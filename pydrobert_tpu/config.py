@@ -1,0 +1,147 @@
+"""Package constants used throughout pydrobert_tpu.
+
+Behavioral parity with the reference library's constants module
+(``pydrobert/torch/config.py`` in sdrobert/pydrobert-pytorch); the values and
+semantics match so data directories, CLI defaults, and numerics line up.
+TPU-specific additions are grouped at the bottom.
+"""
+
+import math
+import os
+
+__all__ = [
+    "DEFT_ALI_SUBDIR",
+    "DEFT_CHUNK_SIZE",
+    "DEFT_CTM_CHANNEL",
+    "DEFT_DEL_COST",
+    "DEFT_DTYPE",
+    "DEFT_FEAT_SUBDIR",
+    "DEFT_FILE_PREFIX",
+    "DEFT_FILE_SUFFIX",
+    "DEFT_FLOAT_PRINT_PRECISION",
+    "DEFT_FRAME_SHIFT_MS",
+    "DEFT_HYP_SUBDIR",
+    "DEFT_INS_COST",
+    "DEFT_NUM_WORKERS",
+    "DEFT_PAD_VALUE",
+    "DEFT_PDFS_SUBDIR",
+    "DEFT_REF_SUBDIR",
+    "DEFT_SUB_COST",
+    "DEFT_TEXTGRID_SUFFIX",
+    "DEFT_TEXTGRID_TIER_ID",
+    "DEFT_TEXTGRID_TIER_NAME",
+    "EPS_0",
+    "EPS_INF",
+    "EPS_NINF",
+    "INDEX_PAD_VALUE",
+    "TINY",
+    "USE_JIT",
+    "USE_PALLAS",
+]
+
+INDEX_PAD_VALUE = -100
+"""The value to pad index-based arrays with.
+
+Batched operations often involve variable-width input. This value is used to
+right-pad index-based arrays to indicate the element should be ignored. The
+value -100 coincides with the common ``ignore_index`` convention so data
+directories are interchangeable with the reference library.
+"""
+
+TINY = 1.1754943508222875e-38
+"""Smallest normal single-precision floating-point value."""
+
+USE_JIT = os.environ.get("PYDROBERT_TPU_JIT", "1") != "0"
+"""Whether functionals are eagerly wrapped in :func:`jax.jit` on import.
+
+Defaults to on (XLA compilation is the whole point on TPU); set the
+environment variable ``PYDROBERT_TPU_JIT=0`` to disable for debugging.
+"""
+
+USE_PALLAS = os.environ.get("PYDROBERT_TPU_PALLAS", "1") != "0"
+"""Whether hand-written Pallas TPU kernels are used on hot paths.
+
+When off (``PYDROBERT_TPU_PALLAS=0``) the pure-XLA fallbacks run instead.
+Automatically off on non-TPU backends.
+"""
+
+EPS_NINF = math.log(1.1754943508222875e-38) / 2
+"""A small enough log-space value that exponentiating it is very close to 0."""
+
+EPS_0 = math.log1p(-2 * 1.1920928955078125e-07)
+"""A large enough log-space value that exponentiating it is very close to 1."""
+
+EPS_INF = math.log(3.4028234663852886e38) / 2
+"""A large enough log-space value that exponentiating it is near infinity."""
+
+DEFT_FRAME_SHIFT_MS = 10.0
+"""The default frame shift in milliseconds for commands."""
+
+DEFT_TEXTGRID_SUFFIX = ".TextGrid"
+"""The default suffix indicating TextGrid files for commands."""
+
+DEFT_CHUNK_SIZE = 1000
+"""Default number of units to process at once when multiprocessing."""
+
+
+def _cpu_count() -> int:
+    if hasattr(os, "sched_getaffinity"):
+        return len(os.sched_getaffinity(0))
+    cpu_count = os.cpu_count()
+    return 0 if cpu_count is None else cpu_count
+
+
+DEFT_NUM_WORKERS = _cpu_count()
+"""Default number of workers when multiprocessing."""
+
+DEFT_FILE_PREFIX = ""
+"""Default prefix of a data file in a data directory."""
+
+DEFT_FILE_SUFFIX = ".pt"
+"""Default suffix of a data file in a data directory.
+
+Data directories remain byte-compatible with the reference's ``torch.save``
+convention; see :mod:`pydrobert_tpu.utils.serial`.
+"""
+
+DEFT_FLOAT_PRINT_PRECISION = 3
+"""Default precision to write floating point values to file with."""
+
+DEFT_CTM_CHANNEL = "A"
+"""Default channel to write to CTM files."""
+
+DEFT_TEXTGRID_TIER_ID = 0
+"""Default TextGrid tier to read transcripts from."""
+
+DEFT_TEXTGRID_TIER_NAME = "transcript"
+"""Default TextGrid tier to write transcripts to."""
+
+DEFT_FEAT_SUBDIR = "feat"
+"""Default subdirectory of a data directory containing features."""
+
+DEFT_ALI_SUBDIR = "ali"
+"""Default subdirectory of a data directory containing alignments."""
+
+DEFT_REF_SUBDIR = "ref"
+"""Default subdirectory of a data directory containing reference tokens."""
+
+DEFT_PDFS_SUBDIR = "pdfs"
+"""Default subdirectory of a data directory to write pdfs to."""
+
+DEFT_HYP_SUBDIR = "hyp"
+"""Default subdirectory of a data directory to write hypothesis tokens to."""
+
+DEFT_PAD_VALUE = 0.0
+"""Default value to pad floating-point arrays with."""
+
+DEFT_INS_COST = 1.0
+"""Default insertion cost in error rate/distance computations."""
+
+DEFT_DEL_COST = 1.0
+"""Default deletion cost in error rate/distance computations."""
+
+DEFT_SUB_COST = 1.0
+"""Default substitution cost in error rate/distance computations."""
+
+DEFT_DTYPE = "float32"
+"""Default floating-point dtype name for feature computation on TPU."""

@@ -1,0 +1,149 @@
+"""Test harness.
+
+Mirrors the reference's strategy (SURVEY.md §4): deterministic per-test seeds,
+a jit/nojit matrix in place of TorchScript's script/trace matrix, a synthetic
+SpectDataSet-directory fixture, and a virtual 8-device CPU mesh in place of
+multi-process gloo tests. Golden fixtures (TF warps, sclite, KenLM) are read
+from the reference checkout when present and skipped otherwise.
+"""
+
+import os
+import zlib
+
+# Must be set before jax initializes: tests run on a virtual 8-device CPU mesh
+# so sharding logic is exercised without TPU hardware. Set
+# PYDROBERT_TPU_TEST_TPU=1 to run the suite on the real accelerator instead.
+if os.environ.get("PYDROBERT_TPU_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax
+import numpy as np
+import pytest
+
+REF_TESTS = "/root/reference/tests"
+
+
+def pytest_collection_modifyitems(config, items):
+    pass
+
+
+@pytest.fixture(autouse=True)
+def seeded(request):
+    """Deterministic numpy seed per test, like the reference's adler32 seeding."""
+    seed = zlib.adler32(request.node.name.encode())
+    np.random.seed(seed)
+    return seed
+
+
+@pytest.fixture
+def key(seeded):
+    return jax.random.PRNGKey(seeded)
+
+
+@pytest.fixture(params=["nojit", "jit"])
+def jit_type(request):
+    return request.param
+
+
+@pytest.fixture
+def jit_fn(jit_type):
+    """Wraps a function in jax.jit (or not) according to the jit matrix."""
+
+    def wrap(fn, **jit_kwargs):
+        if jit_type == "jit":
+            return jax.jit(fn, **jit_kwargs)
+        return fn
+
+    return wrap
+
+
+@pytest.fixture
+def device():
+    return jax.devices()[0]
+
+
+def _ref_fixture_dir(name):
+    d = os.path.join(REF_TESTS, name)
+    if not os.path.isdir(d):
+        pytest.skip(f"reference fixture dir {d} unavailable")
+    return d
+
+
+@pytest.fixture
+def ref_fixture_dir():
+    return _ref_fixture_dir
+
+
+@pytest.fixture
+def populate_data_dir(tmp_path):
+    """Write a random but valid SpectDataSet dir; return ground truth arrays.
+
+    Mirrors the reference's populate_torch_dir fixture (conftest.py:96-163).
+    """
+    from pydrobert_tpu.utils.serial import save_tensor
+
+    def populate(
+        num_utts=10,
+        max_width=10,
+        max_ali_seq=17,
+        max_ref_seq=5,
+        num_filts=5,
+        num_ali_classes=11,
+        num_ref_classes=13,
+        include_ali=True,
+        include_ref=True,
+        include_frame_shift=True,
+        file_prefix="",
+        file_suffix=".pt",
+        root=None,
+    ):
+        root = str(tmp_path if root is None else root)
+        feat_dir = os.path.join(root, "feat")
+        ali_dir = os.path.join(root, "ali")
+        ref_dir = os.path.join(root, "ref")
+        os.makedirs(feat_dir, exist_ok=True)
+        if include_ali:
+            os.makedirs(ali_dir, exist_ok=True)
+        if include_ref:
+            os.makedirs(ref_dir, exist_ok=True)
+        feats, alis, refs, utt_ids = [], [], [], []
+        for n in range(num_utts):
+            utt_id = f"utt_{n:03d}"
+            width = int(np.random.randint(1, max_width + 1))
+            feat = np.random.randn(width, num_filts).astype(np.float32)
+            save_tensor(
+                feat, os.path.join(feat_dir, file_prefix + utt_id + file_suffix)
+            )
+            feats.append(feat)
+            utt_ids.append(utt_id)
+            if include_ali:
+                ali = np.random.randint(
+                    0, num_ali_classes, size=(width,), dtype=np.int64
+                )
+                save_tensor(
+                    ali, os.path.join(ali_dir, file_prefix + utt_id + file_suffix)
+                )
+                alis.append(ali)
+            if include_ref:
+                rlen = int(np.random.randint(1, max_ref_seq + 1))
+                tokens = np.random.randint(0, num_ref_classes, size=(rlen,))
+                if include_frame_shift:
+                    starts = np.sort(np.random.randint(0, width, size=(rlen,)))
+                    ends = np.minimum(
+                        starts + np.random.randint(1, 5, size=(rlen,)), width
+                    )
+                    ref = np.stack([tokens, starts, ends], 1).astype(np.int64)
+                else:
+                    ref = tokens.astype(np.int64)
+                save_tensor(
+                    ref, os.path.join(ref_dir, file_prefix + utt_id + file_suffix)
+                )
+                refs.append(ref)
+        return root, feats, alis, refs, utt_ids
+
+    return populate

@@ -1,0 +1,106 @@
+import numpy as np
+import pytest
+
+from pydrobert_tpu import argcheck, config
+from pydrobert_tpu.utils import serial
+
+
+def test_config_constants():
+    assert config.INDEX_PAD_VALUE == -100
+    assert config.DEFT_FEAT_SUBDIR == "feat"
+    assert np.isclose(np.exp(config.EPS_NINF), 0, atol=1e-15)
+    assert np.isclose(np.exp(config.EPS_0), 1, atol=1e-6)
+    assert np.exp(config.EPS_INF) > 1e18
+
+
+def test_argcheck_basic():
+    assert argcheck.is_posi(3, "x") == 3
+    with pytest.raises(ValueError):
+        argcheck.is_posi(0, "x")
+    with pytest.raises(ValueError):
+        argcheck.is_int(1.5, "x")
+    assert argcheck.is_float(2, "x") == 2.0
+    assert argcheck.is_bool(True, "b") is True
+    with pytest.raises(ValueError):
+        argcheck.is_bool(1, "b")
+    assert argcheck.is_closed01(0.5, name="p") == 0.5
+    with pytest.raises(ValueError):
+        argcheck.is_open01(1.0, name="p")
+    assert argcheck.is_in("a", ["a", "b"], "x") == "a"
+    with pytest.raises(ValueError):
+        argcheck.is_in("c", ["a", "b"], "x")
+    assert argcheck.is_nat(None, "x", allow_none=True) is None
+    arr = np.arange(5)
+    assert argcheck.is_nonnegt(arr, "arr") is arr
+    with pytest.raises(ValueError):
+        argcheck.is_post(arr, "arr")
+    assert argcheck.has_ndim(arr, 1, "arr") is arr
+    with pytest.raises(ValueError):
+        argcheck.has_ndim(arr, 2, "arr")
+    assert argcheck.as_posi("4") == 4
+    with pytest.raises(ValueError):
+        argcheck.as_posi("-4")
+    assert argcheck.is_token("hello") == "hello"
+    with pytest.raises(ValueError):
+        argcheck.is_token("he llo")
+
+
+@pytest.mark.parametrize(
+    "dtype", ["float32", "float64", "int64", "int32", "uint8", "bool"]
+)
+@pytest.mark.parametrize("shape", [(), (4,), (3, 5), (2, 3, 4)])
+def test_serial_roundtrip(tmp_path, dtype, shape):
+    arr = np.asarray(np.random.rand(*shape) * 10).astype(dtype)
+    p = tmp_path / "x.pt"
+    serial.save_tensor(arr, p)
+    out = serial.load_tensor(p)
+    assert out.dtype == arr.dtype
+    assert out.shape == arr.shape
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_serial_pure_python_matches_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    arr = np.random.randn(7, 3).astype(np.float32)
+    # pure writer -> torch reader
+    serial._save_pure(arr, tmp_path / "pure.pt")
+    t = torch.load(tmp_path / "pure.pt", weights_only=True)
+    np.testing.assert_array_equal(t.numpy(), arr)
+    # torch writer -> pure reader
+    torch.save(torch.from_numpy(arr), tmp_path / "t.pt")
+    out = serial._load_pure(tmp_path / "t.pt")
+    np.testing.assert_array_equal(out, arr)
+    # non-contiguous torch tensor
+    torch.save(torch.from_numpy(arr).t(), tmp_path / "t2.pt")
+    out = serial._load_pure(tmp_path / "t2.pt")
+    np.testing.assert_array_equal(out, arr.T)
+
+
+def test_pytree_utils():
+    import jax.numpy as jnp
+
+    from pydrobert_tpu.utils import extract_by_src, lengths_to_mask, mix_by_mask
+
+    state = {"a": jnp.arange(12).reshape(4, 3), "b": jnp.arange(4.0)}
+    src = jnp.array([2, 2, 0])
+    out = extract_by_src(state, src)
+    np.testing.assert_array_equal(out["a"][0], state["a"][2])
+    np.testing.assert_array_equal(out["b"], [2.0, 2.0, 0.0])
+
+    t = {"a": jnp.ones((3, 2)), "b": jnp.zeros((3,))}
+    f = {"a": jnp.zeros((3, 2)), "b": jnp.ones((3,))}
+    mask = jnp.array([True, False, True])
+    mixed = mix_by_mask(t, f, mask)
+    np.testing.assert_array_equal(mixed["a"][:, 0], [1, 0, 1])
+    np.testing.assert_array_equal(mixed["b"], [0, 1, 0])
+
+    m = lengths_to_mask(jnp.array([1, 3]), 4)
+    np.testing.assert_array_equal(
+        m, [[True, False, False, False], [True, True, True, False]]
+    )
+
+
+def test_eight_virtual_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
