@@ -25,6 +25,11 @@ import jax
 import numpy as np
 import pytest
 
+if os.environ.get("PYDROBERT_TPU_TEST_TPU") != "1":
+    # the axon sitecustomize imports jax before conftest runs, so the env var
+    # alone is too late — force the platform through the config as well
+    jax.config.update("jax_platforms", "cpu")
+
 REF_TESTS = "/root/reference/tests"
 
 
