@@ -1,0 +1,621 @@
+"""Batched string-matching ops: edit distances, error rates, OCD, losses.
+
+Capability parity with the reference's ``_string.py`` (``_string_matching``
+engine at ``_string.py:146-406``; wrappers at ``409-583``; losses at
+``1188-1472``), redesigned for XLA:
+
+- The per-hypothesis-step DP runs under :func:`jax.lax.scan` with a
+  register-resident row carry rather than a Python loop.
+- The in-row deletion recursion ``v[i] = min(v[i], v[i-1] + d)`` is solved in
+  closed form as a cumulative min in the shifted space ``u[j] = v[j] - j*d``
+  (``v'[i] = cummin(u)[i] + i*d``), a log-depth associative scan on the VPU —
+  replacing both the reference's :math:`O(R^2)` ``del_mat`` trick
+  (``_string.py:234-258``) and its sequential Python loop in mistake-counting
+  mode (``_string.py:307-313``). Mistake counts ride along via a
+  last-argmin cumulative scan with the same tie-breaking (substitutions over
+  insertions over deletions) as the reference.
+
+All functions are pure and jittable; the cost/flag arguments are static.
+"""
+
+import warnings
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+__all__ = [
+    "edit_distance",
+    "error_rate",
+    "fill_after_eos",
+    "hard_optimal_completion_distillation_loss",
+    "minimum_error_rate_loss",
+    "optimal_completion",
+    "prefix_edit_distances",
+    "prefix_error_rates",
+]
+
+
+def _is_concrete(*arrays) -> bool:
+    return not any(isinstance(a, jax.core.Tracer) for a in arrays)
+
+
+def _maybe_warn(cond, msg: str, warn: bool) -> None:
+    """Emit a data-dependent warning only when the value is concrete."""
+    if not warn or isinstance(cond, jax.core.Tracer):
+        return
+    if bool(cond):
+        warnings.warn(msg)
+
+
+def fill_after_eos(
+    tokens: jax.Array,
+    eos: int,
+    axis: int = 0,
+    fill: Optional[float] = None,
+    value: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fill everything after the first `eos` along `axis` with `fill`.
+
+    Parity: reference ``fill_after_eos`` (``_string.py:30-42``), including the
+    double-cumsum construction of the fill mask.
+    """
+    out = tokens if value is None else value
+    fill_ = eos if fill is None else fill
+    hit = (tokens == eos).astype(jnp.int32)
+    fill_mask = jnp.clip(jnp.cumsum(hit, axis), max=1).cumsum(axis) > 1
+    out, fill_mask = jnp.broadcast_arrays(out, fill_mask)
+    return jnp.where(fill_mask, jnp.asarray(fill_, dtype=out.dtype), out)
+
+
+def _lens_from_eos(tok: jax.Array, eos: int, axis: int) -> jax.Array:
+    """Index of first `eos` along `axis`, or the axis length if absent.
+
+    Parity: reference ``_lens_from_eos`` (``_string.py:137-143``).
+    """
+    mask = tok == eos
+    any_ = mask.any(axis)
+    arg = jnp.argmax(mask, axis=axis)
+    return jnp.where(any_, arg, tok.shape[axis]).astype(jnp.int32)
+
+
+def _cummin_last_argmin(u: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Cumulative (min, index-of-last-min) along axis 0 (ties -> later index).
+
+    The last-argmin tie-break reproduces the reference's sequential deletion
+    loop, which prefers "no deletion" on cost ties (``_string.py:307-313``).
+    """
+    idx = jnp.broadcast_to(
+        jnp.arange(u.shape[0], dtype=jnp.int32)[:, None], u.shape
+    )
+
+    def combine(a, b):
+        av, ai = a
+        bv, bi = b
+        take_b = bv <= av
+        return jnp.where(take_b, bv, av), jnp.where(take_b, bi, ai)
+
+    return jax.lax.associative_scan(combine, (u, idx), axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "eos",
+        "include_eos",
+        "batch_first",
+        "ins_cost",
+        "del_cost",
+        "sub_cost",
+        "norm",
+        "return_mask",
+        "return_prf_dsts",
+        "exclude_last",
+        "padding",
+        "return_mistakes",
+        "mult",
+    ),
+)
+def _string_matching_jit(
+    ref,
+    hyp,
+    ref_lens,
+    hyp_lens,
+    *,
+    eos,
+    include_eos,
+    batch_first,
+    ins_cost,
+    del_cost,
+    sub_cost,
+    norm,
+    return_mask,
+    return_prf_dsts,
+    exclude_last,
+    padding,
+    return_mistakes,
+    mult=1.0,
+):
+    # time-major internally: ref (R, N), hyp (H, N)
+    R, N = ref.shape
+    H = hyp.shape[0]
+    f32 = jnp.float32
+    rrange = jnp.arange(R + 1, dtype=f32)[:, None]  # (R+1, 1)
+    row0 = jnp.broadcast_to(rrange * del_cost, (R + 1, N))
+    mistakes0 = jnp.broadcast_to(rrange, (R + 1, N))
+    del_shift = rrange * del_cost  # for the cummin change of variables
+
+    num_steps = H + (0 if exclude_last else 1) - 1
+
+    def step(carry, hyp_idx):
+        last_row, last_mistakes = carry
+        not_done = (hyp_idx - (0 if exclude_last else 1)) < hyp_lens  # (N,)
+        ins_mask = (hyp_lens >= hyp_idx).astype(f32)  # (N,)
+        hyp_tok = jnp.take(hyp, hyp_idx - 1, axis=0)  # (N,)
+        neq = (ref != hyp_tok[None]).astype(f32)  # (R, N)
+        row = last_row + ins_cost * ins_mask[None]
+        sub_row = last_row[:-1] + sub_cost * neq
+        if return_mistakes:
+            # substitutions beat insertions on ties (reference _string.py:296)
+            pick_sub = row[1:] >= sub_row
+            row = jnp.concatenate(
+                [row[:1], jnp.where(pick_sub, sub_row, row[1:])]
+            )
+            mistakes = last_mistakes + ins_mask[None]
+            msub_row = last_mistakes[:-1] + neq
+            mistakes = jnp.concatenate(
+                [mistakes[:1], jnp.where(pick_sub, msub_row, mistakes[1:])]
+            )
+            # deletion relaxation with mistake tracking: cummin + last argmin
+            u = row - del_shift
+            umin, jstar = _cummin_last_argmin(u)
+            row = umin + del_shift
+            base = jnp.take_along_axis(mistakes, jstar, axis=0)
+            ndel = jnp.arange(R + 1, dtype=f32)[:, None] - jstar.astype(f32)
+            mistakes = base + ndel
+            mistakes = jnp.where(not_done[None], mistakes, last_mistakes)
+        else:
+            mistakes = last_mistakes
+            row = jnp.concatenate(
+                [row[:1], jnp.minimum(row[1:], sub_row)]
+            )
+            row = jax.lax.cummin(row - del_shift, axis=0) + del_shift
+        row = jnp.where(not_done[None], row, last_row)
+
+        out = None
+        if return_mask:
+            # OCD: minima of the masked row mark optimal next ref positions
+            # (reference _string.py:319-339)
+            masked = jnp.where(rrange > ref_lens[None], jnp.inf, row)
+            mins = masked.min(0, keepdims=True)
+            out = (masked[:-1] == mins) & not_done[None]
+        elif return_prf_dsts:
+            src = mistakes if return_mistakes else row
+            out = jnp.take_along_axis(src, ref_lens[None].astype(jnp.int32), 0)[0]
+        return (row, mistakes), out
+
+    (row, mistakes), outs = jax.lax.scan(
+        step, (row0, mistakes0), jnp.arange(1, num_steps + 1), length=num_steps
+    )
+
+    if return_mask:
+        first = jnp.zeros((R, N), bool).at[0].set(ref_lens > 0) if R else jnp.zeros((R, N), bool)
+        mask = jnp.concatenate([first[None], outs], 0) if num_steps else first[None]
+        valid_ref = (jnp.arange(R, dtype=jnp.int32)[:, None] < ref_lens[None])
+        return mask & valid_ref[None]
+
+    if return_prf_dsts:
+        first = ref_lens.astype(f32) * (1.0 if return_mistakes else del_cost)
+        prefix = jnp.concatenate([first[None], outs], 0) if num_steps else first[None]
+        prefix = prefix * mult
+        if norm:
+            safe = jnp.maximum(ref_lens, 1).astype(f32)
+            normed = prefix / safe[None]
+            fallback = (jnp.arange(prefix.shape[0]) > 0).astype(f32)[:, None]
+            prefix = jnp.where((ref_lens == 0)[None], fallback, normed)
+        P = prefix.shape[0]
+        pad_mask = jnp.arange(P, dtype=jnp.int32)[:, None] >= (
+            hyp_lens[None] + (0 if exclude_last else 1)
+        )
+        prefix = jnp.where(pad_mask, jnp.asarray(padding, f32), prefix)
+        return prefix.T if batch_first else prefix
+
+    src = mistakes if return_mistakes else row
+    er = jnp.take_along_axis(src, ref_lens[None].astype(jnp.int32), 0)[0]
+    er = er * mult
+    if norm:
+        safe = jnp.maximum(ref_lens, 1).astype(f32)
+        er = jnp.where(ref_lens == 0, (hyp_lens > 0).astype(f32), er / safe)
+    return er
+
+
+def _string_matching(
+    ref,
+    hyp,
+    eos,
+    include_eos,
+    batch_first,
+    ins_cost,
+    del_cost,
+    sub_cost,
+    warn,
+    norm=False,
+    return_mask=False,
+    return_prf_dsts=False,
+    exclude_last=False,
+    padding=config.INDEX_PAD_VALUE,
+    return_mistakes=False,
+):
+    """Host-side wrapper: validation, eos handling, uniform-cost shortcut."""
+    assert not return_mask or not return_prf_dsts
+    ref, hyp = jnp.asarray(ref), jnp.asarray(hyp)
+    if ref.ndim != 2 or hyp.ndim != 2:
+        raise RuntimeError("ref and hyp must be 2 dimensional")
+    mult = 1.0
+    ins_cost = float(ins_cost)
+    del_cost = float(del_cost)
+    sub_cost = float(sub_cost)
+    if ins_cost == del_cost == sub_cost > 0.0:
+        # uniform-cost shortcut (reference _string.py:169-174)
+        if not return_mistakes:
+            mult = ins_cost
+        ins_cost = del_cost = sub_cost = 1.0
+        return_mistakes = False
+    else:
+        _maybe_warn(
+            return_mistakes,
+            "The behaviour for non-uniform error rates differs from edit "
+            "distances. Set warn=False to suppress this warning",
+            warn,
+        )
+    if batch_first:
+        ref, hyp = ref.T, hyp.T
+    ref = jax.lax.stop_gradient(ref)
+    hyp = jax.lax.stop_gradient(hyp)
+    R, N = ref.shape
+    H, N_ = hyp.shape
+    if N != N_:
+        raise RuntimeError(f"ref has batch size {N}, but hyp has {N_}")
+    if eos is not None:
+        ref_lens = _lens_from_eos(ref, eos, 0)
+        hyp_lens = _lens_from_eos(hyp, eos, 0)
+        if include_eos:
+            ref_eq = ref_lens == R
+            _maybe_warn(
+                ref_eq.any(),
+                f"include_eos=True, but a transcription in ref did not contain "
+                f"the eos symbol ({eos}). To suppress this warning, set "
+                f"warn=False",
+                warn,
+            )
+            ref_lens = ref_lens + 1 - ref_eq.astype(ref_lens.dtype)
+            hyp_eq = hyp_lens == H
+            _maybe_warn(
+                hyp_eq.any(),
+                f"include_eos=True, but a transcription in hyp did not contain "
+                f"the eos symbol ({eos}). To suppress this warning, set "
+                f"warn=False",
+                warn,
+            )
+            hyp_lens = hyp_lens + 1 - hyp_eq.astype(hyp_lens.dtype)
+    else:
+        ref_lens = jnp.full((N,), R, jnp.int32)
+        hyp_lens = jnp.full((N,), H, jnp.int32)
+    if norm:
+        _maybe_warn(
+            (ref_lens == 0).any(),
+            "ref contains empty transcripts. Error rates will be 0 for "
+            "prefixes of length 0, 1 otherwise. To suppress this warning, set "
+            "warn=False",
+            warn,
+        )
+    out = _string_matching_jit(
+        ref,
+        hyp,
+        ref_lens,
+        hyp_lens,
+        eos=eos,
+        include_eos=include_eos,
+        batch_first=batch_first,
+        ins_cost=ins_cost,
+        del_cost=del_cost,
+        sub_cost=sub_cost,
+        norm=norm,
+        return_mask=return_mask,
+        return_prf_dsts=return_prf_dsts,
+        exclude_last=exclude_last,
+        padding=padding,
+        return_mistakes=return_mistakes,
+        mult=mult,
+    )
+    return out
+
+
+def error_rate(
+    ref: jax.Array,
+    hyp: jax.Array,
+    eos: Optional[int] = None,
+    include_eos: bool = False,
+    norm: bool = True,
+    batch_first: bool = False,
+    ins_cost: float = config.DEFT_INS_COST,
+    del_cost: float = config.DEFT_DEL_COST,
+    sub_cost: float = config.DEFT_SUB_COST,
+    warn: bool = True,
+) -> jax.Array:
+    """Calculate error rates over a batch of references and hypotheses.
+
+    Counts the number of mistakes (insertions + deletions + substitutions)
+    along the cost-minimizing alignment, optionally normalized by reference
+    length. Parity: reference ``error_rate`` (``_string.py:409-434``).
+    """
+    return _string_matching(
+        ref, hyp, eos, include_eos, batch_first, ins_cost, del_cost, sub_cost,
+        warn, norm=norm, return_mistakes=True,
+    )
+
+
+def edit_distance(
+    ref: jax.Array,
+    hyp: jax.Array,
+    eos: Optional[int] = None,
+    include_eos: bool = False,
+    norm: bool = False,
+    batch_first: bool = False,
+    ins_cost: float = config.DEFT_INS_COST,
+    del_cost: float = config.DEFT_DEL_COST,
+    sub_cost: float = config.DEFT_SUB_COST,
+    warn: bool = True,
+) -> jax.Array:
+    """Levenshtein (weighted) edit distances over a batch.
+
+    Parity: reference ``edit_distance`` (``_string.py:437-461``).
+    """
+    return _string_matching(
+        ref, hyp, eos, include_eos, batch_first, ins_cost, del_cost, sub_cost,
+        warn, norm=norm,
+    )
+
+
+def prefix_error_rates(
+    ref: jax.Array,
+    hyp: jax.Array,
+    eos: Optional[int] = None,
+    include_eos: bool = True,
+    norm: bool = True,
+    batch_first: bool = False,
+    ins_cost: float = config.DEFT_INS_COST,
+    del_cost: float = config.DEFT_DEL_COST,
+    sub_cost: float = config.DEFT_SUB_COST,
+    padding: int = config.INDEX_PAD_VALUE,
+    exclude_last: bool = False,
+    warn: bool = True,
+) -> jax.Array:
+    """Error rates between ref and each prefix of hyp.
+
+    Parity: reference ``prefix_error_rates`` (``_string.py:520-550``).
+    """
+    return _string_matching(
+        ref, hyp, eos, include_eos, batch_first, ins_cost, del_cost, sub_cost,
+        warn, norm=norm, return_prf_dsts=True, exclude_last=exclude_last,
+        padding=padding, return_mistakes=True,
+    )
+
+
+def prefix_edit_distances(
+    ref: jax.Array,
+    hyp: jax.Array,
+    eos: Optional[int] = None,
+    include_eos: bool = True,
+    norm: bool = False,
+    batch_first: bool = False,
+    ins_cost: float = config.DEFT_INS_COST,
+    del_cost: float = config.DEFT_DEL_COST,
+    sub_cost: float = config.DEFT_SUB_COST,
+    padding: int = config.INDEX_PAD_VALUE,
+    exclude_last: bool = False,
+    warn: bool = True,
+) -> jax.Array:
+    """Edit distances between ref and each prefix of hyp.
+
+    Parity: reference ``prefix_edit_distances`` (``_string.py:553-583``).
+    """
+    return _string_matching(
+        ref, hyp, eos, include_eos, batch_first, ins_cost, del_cost, sub_cost,
+        warn, norm=norm, return_prf_dsts=True, exclude_last=exclude_last,
+        padding=padding, return_mistakes=False,
+    )
+
+
+def optimal_completion(
+    ref: jax.Array,
+    hyp: jax.Array,
+    eos: Optional[int] = None,
+    include_eos: bool = True,
+    batch_first: bool = False,
+    ins_cost: float = config.DEFT_INS_COST,
+    del_cost: float = config.DEFT_DEL_COST,
+    sub_cost: float = config.DEFT_SUB_COST,
+    padding: int = config.INDEX_PAD_VALUE,
+    exclude_last: bool = False,
+    warn: bool = True,
+) -> jax.Array:
+    """Optimal next tokens per hypothesis prefix (for OCD training).
+
+    Returns ``(H', N, C)`` (time-major; transposed if `batch_first`) where
+    entry ``[h, n]`` lists the unique tokens whose continuation minimizes the
+    future edit distance, right-padded with `padding`.
+
+    XLA note: the reference sizes ``C`` dynamically as the largest count
+    (``_string.py:511``); under jit shapes must be static, so here ``C`` is
+    the max reference length and the result is always right-padded. Callers
+    relying on exact-width outputs can slice on host. Parity otherwise:
+    reference ``optimal_completion`` (``_string.py:464-517``).
+    """
+    mask = _string_matching(
+        ref, hyp, eos, include_eos, batch_first, ins_cost, del_cost, sub_cost,
+        warn, return_mask=True, exclude_last=exclude_last,
+    )
+    if not batch_first:
+        ref = jnp.asarray(ref).T
+    targets = _mask_to_unique_targets(mask, ref, padding)
+    if batch_first:
+        targets = jnp.swapaxes(targets, 0, 1)
+    return targets
+
+
+@partial(jax.jit, static_argnames=("padding",))
+def _mask_to_unique_targets(mask, ref, padding):
+    """(H, R, N) optimal-position mask + (N, R) refs -> (H, N, C=R) token sets.
+
+    Dedups tokens and left-packs them, entirely with sorts/gathers (no
+    dynamic shapes).
+    """
+    H, R, N = mask.shape
+    mask = jnp.swapaxes(mask, 1, 2)  # (H, N, R)
+    # propagate "optimal" to every duplicate of the token, then dedup
+    eq = ref[:, :, None] == ref[:, None, :]  # (N, R, R)
+    mask = jnp.einsum("hnr,npr->hnp", mask.astype(jnp.int32), eq.astype(jnp.int32)) > 0
+    order = jnp.argsort(ref, axis=1)  # (N, R)
+    ref_sorted = jnp.take_along_axis(ref, order, axis=1)
+    mask = jnp.take_along_axis(mask, order[None], axis=2)
+    # keep only the last of each run of equal tokens
+    not_dup = jnp.concatenate(
+        [ref_sorted[:, :-1] != ref_sorted[:, 1:], jnp.ones((N, 1), bool)], 1
+    )
+    mask = mask & not_dup[None]
+    # left-pack: stable argsort on (not selected) pushes selected tokens first
+    pack = jnp.argsort(~mask, axis=2, stable=True)
+    tokens = jnp.take_along_axis(
+        jnp.broadcast_to(ref_sorted[None], mask.shape), pack, axis=2
+    )
+    selected = jnp.take_along_axis(mask, pack, axis=2)
+    return jnp.where(selected, tokens, padding)
+
+
+def hard_optimal_completion_distillation_loss(
+    logits: jax.Array,
+    ref: jax.Array,
+    hyp: jax.Array,
+    eos: Optional[int] = None,
+    include_eos: bool = True,
+    batch_first: bool = False,
+    ins_cost: float = config.DEFT_INS_COST,
+    del_cost: float = config.DEFT_DEL_COST,
+    sub_cost: float = config.DEFT_SUB_COST,
+    weight: Optional[jax.Array] = None,
+    reduction: str = "mean",
+    ignore_index: int = -2,
+    warn: bool = True,
+) -> jax.Array:
+    """Cross-entropy of each step's logits against its optimal completions.
+
+    Parity: reference ``hard_optimal_completion_distillation_loss``
+    (``_string.py:1188-1251``).
+    """
+    logits = jnp.asarray(logits)
+    if logits.ndim != 3:
+        raise RuntimeError("logits must be 3 dimensional")
+    if logits.shape[:-1] != jnp.asarray(hyp).shape:
+        raise RuntimeError("first two dims of logits must match hyp shape")
+    if include_eos and eos is not None:
+        if eos < 0 or eos >= logits.shape[-1]:
+            raise RuntimeError(
+                f"If include_eos=True, eos ({eos}) must be a class idx"
+            )
+        if eos == ignore_index:
+            raise RuntimeError(
+                f"If include_eos=True, eos cannot equal ignore_index ({eos})"
+            )
+    optimals = optimal_completion(
+        ref, hyp, eos=eos, include_eos=include_eos, batch_first=batch_first,
+        ins_cost=ins_cost, del_cost=del_cost, sub_cost=sub_cost,
+        padding=ignore_index, exclude_last=True, warn=warn,
+    )  # (H, N, C) or (N, H, C)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    pad_mask = optimals == ignore_index
+    gathered = jnp.take_along_axis(
+        log_probs, jnp.where(pad_mask, 0, optimals), axis=-1
+    )
+    nll = -jnp.where(pad_mask, 0.0, gathered)
+    if weight is not None:
+        w = jnp.take(jnp.asarray(weight), jnp.where(pad_mask, 0, optimals))
+        nll = nll * jnp.where(pad_mask, 0.0, w)
+    loss = nll.sum(-1) / jnp.maximum((~pad_mask).sum(-1), 1)
+    if reduction == "mean":
+        seq_axis = 1 if batch_first else 0
+        denom = jnp.maximum((~pad_mask).any(-1).sum(seq_axis), 1)
+        loss = (loss.sum(seq_axis) / denom).mean()
+    elif reduction == "sum":
+        loss = loss.sum()
+    elif reduction != "none":
+        raise RuntimeError(f"'{reduction}' is not a valid value for reduction")
+    return loss
+
+
+def minimum_error_rate_loss(
+    log_probs: jax.Array,
+    ref: jax.Array,
+    hyp: jax.Array,
+    eos: Optional[int] = None,
+    include_eos: bool = True,
+    sub_avg: bool = True,
+    batch_first: bool = False,
+    norm: bool = True,
+    ins_cost: float = config.DEFT_INS_COST,
+    del_cost: float = config.DEFT_DEL_COST,
+    sub_cost: float = config.DEFT_SUB_COST,
+    reduction: str = "mean",
+    warn: bool = True,
+) -> jax.Array:
+    """Exp. error rate over samples, softmax-weighted by path log-probs.
+
+    Parity: reference ``minimum_error_rate_loss`` (``_string.py:1400-1472``).
+    """
+    log_probs, ref, hyp = map(jnp.asarray, (log_probs, ref, hyp))
+    if log_probs.ndim != 2:
+        raise RuntimeError("log_probs must be 2 dimensional")
+    if hyp.ndim != 3:
+        raise RuntimeError("hyp must be 3 dimensional")
+    if ref.ndim not in (2, 3):
+        raise RuntimeError("ref must be 2 or 3 dimensional")
+    if batch_first:
+        batch_size, samples, max_hyp = hyp.shape
+        if ref.ndim == 2:
+            ref = jnp.repeat(ref[:, None], samples, 1)
+        if ref.shape[:2] != (batch_size, samples) or ref.shape[:2] != log_probs.shape:
+            raise RuntimeError(
+                "ref and hyp batch_size and sample dimensions must match"
+            )
+        ref = ref.reshape(-1, ref.shape[-1])
+        hyp = hyp.reshape(-1, max_hyp)
+    else:
+        max_hyp, batch_size, samples = hyp.shape
+        if ref.ndim == 2:
+            ref = jnp.repeat(ref[..., None], samples, -1)
+        if ref.shape[1:] != (batch_size, samples) or ref.shape[1:] != log_probs.shape:
+            raise RuntimeError(
+                "ref and hyp batch_size and sample dimensions must match"
+            )
+        ref = ref.reshape(ref.shape[0], -1)
+        hyp = hyp.reshape(max_hyp, -1)
+    if samples < 2:
+        raise RuntimeError(f"Batch must have at least two samples, got {samples}")
+    er = error_rate(
+        ref, hyp, eos=eos, include_eos=include_eos, norm=norm,
+        batch_first=batch_first, ins_cost=ins_cost, del_cost=del_cost,
+        sub_cost=sub_cost, warn=warn,
+    ).reshape(batch_size, samples)
+    if sub_avg:
+        er = er - er.mean(1, keepdims=True)
+    loss = er * jax.nn.softmax(log_probs, axis=1)
+    if reduction == "mean":
+        loss = loss.mean()
+    elif reduction == "sum":
+        loss = loss.sum()
+    elif reduction != "none":
+        raise RuntimeError(f"'{reduction}' is not a valid value for reduction")
+    return loss

@@ -72,6 +72,25 @@ def device():
     return jax.devices()[0]
 
 
+@pytest.fixture(scope="session")
+def ref_torch():
+    """Import the reference pydrobert-pytorch for direct parity testing."""
+    import sys
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    try:
+        import torch  # noqa: F401
+        import pydrobert.torch.functional as ref_functional
+        import pydrobert.torch.modules as ref_modules
+    except ImportError:
+        pytest.skip("reference library unavailable")
+    import types
+
+    ns = types.SimpleNamespace(functional=ref_functional, modules=ref_modules)
+    return ns
+
+
 def _ref_fixture_dir(name):
     d = os.path.join(REF_TESTS, name)
     if not os.path.isdir(d):
