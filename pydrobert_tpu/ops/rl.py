@@ -1,0 +1,41 @@
+"""Reinforcement-learning return ops.
+
+Parity with the reference's ``_rl.py`` (``time_distributed_return``
+``_rl.py:24-41``): the discounted return is a single triangular-matrix
+matmul, which XLA places on the MXU.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["time_distributed_return"]
+
+
+@partial(jax.jit, static_argnames=("gamma", "batch_first"))
+def _tdr(r, gamma, batch_first):
+    T = r.shape[1] if batch_first else r.shape[0]
+    exp = jnp.arange(T, dtype=r.dtype)
+    discount = jnp.power(jnp.asarray(gamma, r.dtype), exp)
+    if batch_first:
+        mat = jnp.tril(discount[:, None] / discount[None, :])
+        return jnp.matmul(r, mat, preferred_element_type=r.dtype)
+    mat = jnp.triu(discount[None, :] / discount[:, None])
+    return jnp.matmul(mat, r, preferred_element_type=r.dtype)
+
+
+def time_distributed_return(
+    r: jax.Array, gamma: float, batch_first: bool = False
+) -> jax.Array:
+    """Sum of discounted future rewards at every step.
+
+    ``R[t] = sum_{t' >= t} gamma^(t' - t) r[t']``. Parity: reference
+    ``time_distributed_return`` (``_rl.py:24-41``).
+    """
+    r = jnp.asarray(r)
+    if r.ndim != 2:
+        raise RuntimeError("r must be 2 dimensional")
+    if not gamma:
+        return r
+    return _tdr(r, float(gamma), batch_first)
