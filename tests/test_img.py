@@ -1,0 +1,209 @@
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pydrobert_tpu.ops import img as I
+
+REF_TESTS = "/root/reference/tests"
+
+
+def _np(path, name):
+    return np.load(os.path.join(path, name))
+
+
+def _to_t(x):
+    import torch
+
+    return torch.tensor(np.asarray(x))
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_polyharmonic_spline_matches_tensorflow(ref_fixture_dir, order):
+    d = ref_fixture_dir("polyharmonic_spline")
+    x, y, q = _np(d, "x.npy"), _np(d, "y.npy"), _np(d, "q.npy")
+    exp = _np(d, f"o{order}.npy")
+    act = np.asarray(I.polyharmonic_spline(x, y, q, order, full_matrix=True))
+    np.testing.assert_allclose(act, exp, atol=1e-3)
+
+
+@pytest.mark.parametrize("full_matrix", [True, False])
+def test_polyharmonic_spline_exact_at_knots(full_matrix):
+    N, T, Iin, O = 3, 7, 2, 4
+    x = np.random.randn(N, T, Iin).astype(np.float32)
+    y = np.random.randn(N, T, O).astype(np.float32)
+    act = np.asarray(
+        I.polyharmonic_spline(x, y, x, 2, full_matrix=full_matrix)
+    )
+    np.testing.assert_allclose(act, y, atol=1e-2)
+
+
+@pytest.mark.parametrize("indexing", ["hw", "wh"])
+def test_dense_image_warp_matches_tensorflow(ref_fixture_dir, indexing):
+    d = ref_fixture_dir("dense_image_warp")
+    img, flow = _np(d, "img.npy"), _np(d, "flow.npy")
+    exp = _np(d, "warped.npy")
+    if indexing == "wh":
+        flow = flow[..., ::-1]
+    act = np.asarray(I.dense_image_warp(img, flow, indexing=indexing))
+    np.testing.assert_allclose(act, exp, atol=1e-4)
+
+
+@pytest.mark.parametrize("pinned", [0, 2])
+def test_sparse_image_warp_matches_tensorflow(ref_fixture_dir, pinned):
+    d = ref_fixture_dir("sparse_image_warp")
+    img = _np(d, "img.npy")
+    src, dst = _np(d, "src.npy"), _np(d, "dst.npy")
+    exp_warped = _np(d, f"warped_{pinned}.npy")
+    exp_flow = _np(d, f"flow_{pinned}.npy")
+    warped, flow = I.sparse_image_warp(
+        img, src, dst, pinned_boundary_points=pinned
+    )
+    np.testing.assert_allclose(np.asarray(warped), exp_warped, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(flow), exp_flow, atol=1e-3)
+
+
+@pytest.mark.parametrize("pinned", [0, 1, 2])
+def test_sparse_image_warp_identity(pinned):
+    N, C, H, W = 10, 4, 8, 3
+    img = np.random.rand(N, C, H, W).astype(np.float32) * 255
+    src = dst = np.random.rand(N, 3, 2).astype(np.float32) * min(H, W)
+    warped, flow = I.sparse_image_warp(
+        img, src, dst, dense_interpolation_mode="nearest",
+        pinned_boundary_points=pinned,
+    )
+    np.testing.assert_allclose(np.asarray(warped), img, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(flow), 0.0, atol=1e-2)
+
+
+def test_sparse_image_warp_noflow_matches_flow():
+    N, C, H, W = 4, 2, 9, 7
+    img = np.random.rand(N, C, H, W).astype(np.float32)
+    src = np.random.rand(N, 4, 2).astype(np.float32) * min(H, W)
+    dst = src + np.random.randn(N, 4, 2).astype(np.float32)
+    w1, _ = I.sparse_image_warp(img, src, dst, include_flow=True)
+    w2 = I.sparse_image_warp(img, src, dst, include_flow=False)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("padding_mode", ["zeros", "border", "reflection"])
+def test_grid_sample_matches_torch(ref_torch, mode, padding_mode):
+    import torch
+
+    N, C, H, W = 3, 2, 8, 5
+    img = np.random.randn(N, C, H, W).astype(np.float32)
+    grid = (np.random.rand(N, 6, 7, 2).astype(np.float32) * 2.6 - 1.3)
+    exp = torch.nn.functional.grid_sample(
+        _to_t(img), _to_t(grid), mode=mode, padding_mode=padding_mode,
+        align_corners=False,
+    ).numpy()
+    act = np.asarray(I.grid_sample(img, grid, mode, padding_mode))
+    np.testing.assert_allclose(act, exp, atol=1e-4)
+
+
+def test_warp_1d_grid_parity(ref_torch):
+    # non-degenerate draws only: if src or src+flow clamps onto the
+    # boundary knots the 5x5 system is eps-singular and both the reference
+    # and this implementation return solver-dependent garbage
+    N, T = 6, 12
+    lengths = np.random.randint(6, T + 1, (N,))
+    src = (1 + np.random.rand(N) * (lengths - 3)).astype(np.float32)
+    max_flow = np.minimum(src - 1, lengths - 2 - src)
+    flow = (np.random.uniform(-1, 1, N) * max_flow).astype(np.float32)
+    exp = ref_torch.functional.warp_1d_grid(
+        _to_t(src), _to_t(flow), _to_t(lengths), max_length=T
+    ).numpy()
+    act = np.asarray(I.warp_1d_grid(src, flow, lengths, max_length=T))
+    np.testing.assert_allclose(act, exp, atol=1e-4)
+
+
+def test_spec_augment_apply_parameters_parity(ref_torch):
+    import torch
+
+    N, T, F = 4, 20, 9
+    feats = np.random.randn(N, T, F).astype(np.float32)
+    lengths = np.random.randint(10, T + 1, (N,))
+    # keep warp endpoints strictly interior (see test_warp_1d_grid_parity)
+    w_0 = (2 + np.random.rand(N) * (lengths - 5)).astype(np.float32)
+    w = (np.random.uniform(-1, 1, N) * np.minimum(w_0 - 1, lengths - 2 - w_0)).astype(
+        np.float32
+    )
+    v_0 = (1 + np.random.rand(N) * (F - 3)).astype(np.float32)
+    v = (np.random.uniform(-1, 1, N) * np.minimum(v_0 - 0.5, F - 1.5 - v_0)).astype(
+        np.float32
+    )
+    t_0 = np.random.randint(0, 10, (N, 3))
+    t = np.random.randint(0, 5, (N, 3))
+    f_0 = np.random.randint(0, 5, (N, 2))
+    f = np.random.randint(0, 3, (N, 2))
+    params_t = tuple(
+        _to_t(p) for p in (w_0, w, v_0, v, t_0, t, f_0, f)
+    )
+    exp = ref_torch.functional.spec_augment_apply_parameters(
+        _to_t(feats), params_t, 1, _to_t(lengths)
+    ).numpy()
+    act = np.asarray(
+        I.spec_augment_apply_parameters(
+            feats, (w_0, w, v_0, v, t_0, t, f_0, f), 1, lengths
+        )
+    )
+    np.testing.assert_allclose(act, exp, atol=1e-3)
+
+
+def test_spec_augment_runs_and_masks(key):
+    N, T, F = 4, 50, 20
+    feats = np.abs(np.random.randn(N, T, F).astype(np.float32)) + 0.1
+    lengths = np.full((N,), T)
+    out = I.spec_augment(
+        key, feats, max_time_warp=5, max_freq_warp=2, max_time_mask=10,
+        max_freq_mask=5, num_time_mask=4, num_freq_mask=2, lengths=lengths,
+    )
+    out = np.asarray(out)
+    assert out.shape == feats.shape
+    assert (out == 0).any()  # masks applied
+    # eval mode is the identity
+    out = I.spec_augment(key, feats, training=False)
+    np.testing.assert_array_equal(out, feats)
+
+
+def test_spec_augment_draw_parameters_ranges(key):
+    N, T, F = 8, 40, 16
+    feats = np.random.randn(N, T, F).astype(np.float32)
+    lengths = np.random.randint(20, T + 1, (N,))
+    w_0, w, v_0, v, t_0, t, f_0, f = I.spec_augment_draw_parameters(
+        key, feats, 10.0, 3.0, 12, 6, 0.5, 3, 1.0, 2, lengths
+    )
+    assert w_0.shape == (N,) and w.shape == (N,)
+    assert (np.asarray(w_0) >= 0).all() and (np.asarray(w_0) <= lengths).all()
+    assert (np.abs(np.asarray(w)) <= 10.0 + 1e-5).all()
+    assert t.shape == (N, 3) and f.shape == (N, 2)
+    assert (np.asarray(t) >= 0).all() and (np.asarray(t) <= 12).all()
+    assert (np.asarray(t) <= np.floor(0.5 * lengths)[:, None]).all()
+    assert (np.asarray(f) <= 6).all()
+    assert (np.asarray(f_0) + np.asarray(f) <= F).all()
+    assert (np.asarray(t_0) + np.asarray(t) <= lengths[:, None] + 1).all()
+
+
+def test_random_shift(key, ref_torch):
+    N, T, F = 5, 10, 3
+    x = np.random.randn(N, T, F).astype(np.float32)
+    lens = np.random.randint(2, T + 1, (N,))
+    out, out_lens = I.random_shift(key, x, lens, (0.5, 0.5))
+    out, out_lens = np.asarray(out), np.asarray(out_lens)
+    assert (out_lens >= lens).all()
+    assert out.shape[1] == out_lens.max()
+    # payload preserved: find original subsequence
+    for n in range(N):
+        left = out_lens[n] - lens[n]
+        found = False
+        for off in range(out.shape[1] - lens[n] + 1):
+            if np.allclose(out[n, off : off + lens[n]], x[n, : lens[n]]):
+                found = True
+                break
+        assert found
+    # eval: identity
+    out, out_lens = I.random_shift(key, x, lens, (0.5, 0.5), training=False)
+    np.testing.assert_array_equal(np.asarray(out), x)
