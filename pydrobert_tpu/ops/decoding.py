@@ -1,0 +1,1010 @@
+"""Sequence decoding: beam search, CTC greedy/prefix search, random walks.
+
+Capability parity with the reference's ``_decoding.py``:
+``beam_search_advance`` (``_decoding.py:41-155``), ``BeamSearch``
+(``_decoding.py:158-504``), ``ctc_greedy_search`` (``_decoding.py:507-558``),
+``ctc_prefix_search_advance`` (``_decoding.py:636-934``), ``CTCPrefixSearch``
+with shallow fusion (``_decoding.py:937-1204``), ``random_walk_advance`` /
+``RandomWalk`` (``_decoding.py:1207-1513``), and ``sequence_log_probs``
+(``_decoding.py:1516-1721``, dense path).
+
+TPU-first design:
+
+- The searches run as ``lax.while_loop``/``lax.scan`` bodies over
+  **preallocated static-shape path buffers** ``(max_iters, N, width)``
+  instead of the reference's per-step reallocation (``_decoding.py:127-143``)
+  — XLA requires loop-invariant shapes, and the dense ``-inf``-masked beam
+  the reference already uses is exactly the right formulation.
+- ``max_iters`` is therefore a required static argument of
+  :class:`BeamSearch` / :class:`RandomWalk` calls (the reference substitutes
+  a practically-infinite bound when ``eos`` is set).
+- Early termination still happens on-device via the while-loop condition.
+- LM state rides through the loops as a pytree; beam reordering is a tree
+  gather (:func:`pydrobert_tpu.lm.ExtractableSequentialLanguageModel.extract_by_src`).
+- Stochastic search (:class:`RandomWalk`) takes an explicit PRNG key.
+- torch's ``PackedSequence`` input to ``sequence_log_probs`` has no JAX
+  analogue; the dense + ``eos`` path covers that use case.
+"""
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..lm import (
+    ExtractableSequentialLanguageModel,
+    MixableSequentialLanguageModel,
+    SequentialLanguageModel,
+)
+
+__all__ = [
+    "BeamSearch",
+    "beam_search_advance",
+    "CTCGreedySearch",
+    "ctc_greedy_search",
+    "ctc_prefix_search_advance",
+    "CTCPrefixSearch",
+    "RandomWalk",
+    "random_walk_advance",
+    "sequence_log_probs",
+]
+
+NEG_INF = -float("inf")
+
+
+def _scatter_token_rows(y_ext, lens, y_t):
+    """Write ``y_t`` (1, N, K) into ``y_ext`` (S1, N, K) at row ``lens[n,k]``."""
+    S1 = y_ext.shape[0]
+    pos = jnp.arange(S1, dtype=jnp.int32).reshape(S1, 1, 1)
+    return jnp.where(pos == lens[None], y_t, y_ext)
+
+
+def beam_search_advance(
+    log_probs_t: jax.Array,
+    width: int,
+    log_probs_prev: jax.Array,
+    y_prev: jax.Array,
+    y_prev_lens: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One beam search step: extend, prune to `width`.
+
+    Parity: reference ``beam_search_advance`` (``_decoding.py:41-155``),
+    except the returned ``y_next`` always has ``S + 1`` rows (static shapes;
+    the reference only grows the path buffer when forced to).
+    """
+    log_probs_t = jnp.asarray(log_probs_t)
+    if log_probs_t.ndim != 3:
+        raise RuntimeError("log_probs_t must be 3 dimensional")
+    N, Kp, V = log_probs_t.shape
+    if width < 1:
+        raise RuntimeError(f"Expected width to be >= 1, got {width}")
+    log_probs_prev = jnp.asarray(log_probs_prev)
+    if log_probs_prev.shape != (N, Kp):
+        raise RuntimeError(
+            f"Expected log_probs_prev to be of shape {(N, Kp)}, got "
+            f"{log_probs_prev.shape}"
+        )
+    y_prev = jnp.asarray(y_prev)
+    if y_prev.ndim != 3:
+        raise RuntimeError("y_prev must be 3 dimensional")
+    if y_prev.shape[1:] != (N, Kp):
+        raise RuntimeError(
+            f"Expected the last two dimensions of y_prev to be {(N, Kp)}, "
+            f"got {y_prev.shape[1:]}"
+        )
+    tm1 = y_prev.shape[0]
+    if y_prev_lens is not None:
+        y_prev_lens = jnp.asarray(y_prev_lens)
+        if y_prev_lens.shape != (N, Kp):
+            raise RuntimeError(
+                f"Expected y_prev_lens to have shape {(N, Kp)}, got "
+                f"{y_prev_lens.shape}"
+            )
+
+    K = min(width, Kp * V)
+    cand = (log_probs_prev[..., None] + log_probs_t).reshape(N, Kp * V)
+    log_probs_next, next_ind = jax.lax.top_k(cand, K)
+    next_src = next_ind // V
+    y_t = (next_ind % V)[None].astype(y_prev.dtype)  # (1, N, K)
+
+    if tm1:
+        y_next = jnp.take_along_axis(y_prev, next_src[None], axis=2)
+        y_next = jnp.concatenate([y_next, jnp.zeros_like(y_t)], 0)
+        if y_prev_lens is None:
+            y_next = y_next.at[tm1].set(y_t[0])
+            y_next_lens = jnp.full((N, K), tm1 + 1, jnp.int32)
+        else:
+            lens_prefix = jnp.take_along_axis(y_prev_lens, next_src, axis=1)
+            y_next = _scatter_token_rows(y_next, lens_prefix, y_t)
+            y_next_lens = lens_prefix + 1
+    else:
+        if y_prev_lens is not None and not isinstance(
+            y_prev_lens, jax.core.Tracer
+        ):
+            if np.any(np.asarray(y_prev_lens) != 0):
+                raise RuntimeError("Invalid lengths for t=0")
+        y_next = y_t
+        y_next_lens = jnp.ones((N, K), jnp.int32)
+
+    if K < width:
+        rem = width - K
+        y_next = jnp.concatenate(
+            [y_next, jnp.zeros((y_next.shape[0], N, rem), y_next.dtype)], 2
+        )
+        log_probs_next = jnp.concatenate(
+            [log_probs_next, jnp.full((N, rem), NEG_INF, log_probs_next.dtype)], 1
+        )
+        zeros = jnp.zeros((N, rem), jnp.int32)
+        y_next_lens = jnp.concatenate([y_next_lens.astype(jnp.int32), zeros], 1)
+        next_src = jnp.concatenate([next_src, zeros], 1)
+
+    return y_next, y_next_lens.astype(jnp.int32), log_probs_next, next_src
+
+
+class BeamSearch:
+    """Batched beam search over a :class:`SequentialLanguageModel`.
+
+    Parity: reference ``BeamSearch`` (``_decoding.py:158-504``): per-path eos
+    freezing, optional all-paths finishing, frozen-batch padding with
+    `pad_value`. ``max_iters`` must be provided when calling (static bound of
+    the on-device while-loop).
+
+    Call returns ``(y, y_lens, y_log_probs)`` with ``y`` of shape
+    ``(max_iters, N, width)`` (valid region ``y[:y_lens[n, k], n, k]``).
+    """
+
+    def __init__(
+        self,
+        lm: ExtractableSequentialLanguageModel,
+        width: int,
+        eos: Optional[int] = None,
+        finish_all_paths: bool = False,
+        pad_value: int = config.INDEX_PAD_VALUE,
+    ):
+        from .. import argcheck
+
+        self.width = argcheck.is_posi(width, "width")
+        if eos is not None:
+            if eos < -lm.vocab_size or eos >= lm.vocab_size:
+                raise ValueError(
+                    f"eos ({eos}) must index a token in the vocabulary"
+                )
+            eos = (eos + lm.vocab_size) % lm.vocab_size
+        self.lm = lm
+        self.eos = eos
+        self.finish_all_paths = argcheck.is_bool(
+            finish_all_paths, "finish_all_paths"
+        )
+        self.pad_value = argcheck.is_int(pad_value, "pad_value")
+
+    def update_log_probs_for_step(
+        self, log_probs_prev, log_probs_t, y_prev, y_prev_lens, eos_mask
+    ):
+        """Subclass hook to turn probabilities into scores for one step.
+
+        Mirrors reference ``BeamSearch.update_log_probs_for_step``
+        (``_decoding.py:306-350``).
+        """
+        return log_probs_prev, log_probs_t
+
+    def __call__(
+        self,
+        initial_state: Optional[Dict[str, Any]] = None,
+        batch_size: Optional[int] = None,
+        max_iters: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        lm, W, V = self.lm, self.width, self.lm.vocab_size
+        eos = self.eos
+        initial_state = {} if initial_state is None else initial_state
+        if max_iters is None:
+            raise ValueError(
+                "max_iters must be set (static loop bound on TPU)"
+            )
+        if max_iters < 0:
+            raise RuntimeError(f"max_iters must be non-negative, got {max_iters}")
+        N = 1 if batch_size is None else batch_size
+        S = max_iters
+
+        state = lm.update_input(initial_state, jnp.zeros((0, N), jnp.int32))
+        if S == 0:
+            y = jnp.zeros((0, N, W), jnp.int32)
+            lens = jnp.zeros((N, W), jnp.int32)
+            lp = jnp.full((N, W), NEG_INF).at[:, 0].set(0.0)
+            if batch_size is None:
+                return y[:, 0], lens[0], lp[0]
+            return y, lens, lp
+
+        y_buf = jnp.full((S, N, 1), self.pad_value, jnp.int32)
+
+        def lm_step(y_buf_k, state, t, Kp):
+            hist = jnp.clip(y_buf_k, 0, V - 1).reshape(S, N * Kp)
+            log_probs_t, in_next = lm.calc_idx_log_probs(hist, state, t)
+            log_probs_t = jax.nn.log_softmax(
+                log_probs_t.reshape(N, Kp, V), axis=-1
+            )
+            return log_probs_t, in_next
+
+        def mask_eos(log_probs_t, eos_mask):
+            if eos is None:
+                return log_probs_t
+            lp = jnp.where(eos_mask[..., None], NEG_INF, log_probs_t)
+            eos_vec = jax.nn.one_hot(eos, V, dtype=bool)
+            return jnp.where(eos_mask[..., None] & eos_vec, 0.0, lp)
+
+        # ---- step 0 (beam width 1 -> W) ----
+        t0 = jnp.asarray(0, jnp.int32)
+        lp_prev0 = jnp.zeros((N, 1))
+        lens0 = jnp.zeros((N, 1), jnp.int32)
+        eos_mask0 = jnp.zeros((N, 1), bool)
+        log_probs_t, in_next = lm_step(y_buf, state, t0, 1)
+        lp_prev0, log_probs_t = self.update_log_probs_for_step(
+            lp_prev0, log_probs_t, y_buf, lens0, eos_mask0
+        )
+        log_probs_t = mask_eos(log_probs_t, eos_mask0)
+        K = min(W, V)
+        cand = (lp_prev0[..., None] + log_probs_t).reshape(N, V)
+        log_probs, next_ind = jax.lax.top_k(cand, K)
+        y_t = (next_ind % V).astype(jnp.int32)
+        if K < W:
+            log_probs = jnp.concatenate(
+                [log_probs, jnp.full((N, W - K), NEG_INF)], 1
+            )
+            y_t = jnp.concatenate([y_t, jnp.zeros((N, W - K), jnp.int32)], 1)
+        y_buf = jnp.broadcast_to(y_buf, (S, N, W)).at[0].set(y_t)
+        y_lens = jnp.concatenate(
+            [
+                jnp.ones((N, K), jnp.int32),
+                jnp.zeros((N, W - K), jnp.int32),
+            ],
+            1,
+        )
+        state = lm.extract_by_src(
+            in_next, jnp.repeat(jnp.arange(N, dtype=jnp.int32), W)
+        )
+
+        def cond(carry):
+            t, y_buf, y_lens, log_probs, state = carry
+            if eos is None:
+                return t < S
+            last = jnp.take_along_axis(
+                jnp.moveaxis(y_buf, 0, 2),  # (N, W, S)
+                jnp.clip(y_lens - 1, 0, None)[..., None],
+                axis=2,
+            )[..., 0]
+            eos_mask = (last == eos) & (y_lens > 0)
+            done = (
+                eos_mask.all(1) if self.finish_all_paths else eos_mask[:, 0]
+            )
+            return (t < S) & ~done.all()
+
+        def body(carry):
+            t, y_buf, y_lens, log_probs, state = carry
+            last = jnp.take_along_axis(
+                jnp.moveaxis(y_buf, 0, 2),
+                jnp.clip(y_lens - 1, 0, None)[..., None],
+                axis=2,
+            )[..., 0]
+            if eos is not None:
+                eos_mask = (last == eos) & (y_lens > 0)
+                done_mask = (
+                    eos_mask.all(1, keepdims=True)
+                    if self.finish_all_paths
+                    else eos_mask[:, :1]
+                )
+            else:
+                eos_mask = jnp.zeros((N, W), bool)
+                done_mask = eos_mask[:, :1]
+
+            log_probs_t, in_next = lm_step(y_buf, state, t, W)
+            log_probs_prev, log_probs_t = self.update_log_probs_for_step(
+                log_probs, log_probs_t, y_buf, y_lens, eos_mask
+            )
+            log_probs_t = mask_eos(log_probs_t, eos_mask)
+
+            cand = (log_probs_prev[..., None] + log_probs_t).reshape(N, W * V)
+            lp_next, next_ind = jax.lax.top_k(cand, W)
+            next_src = next_ind // V
+            y_t = (next_ind % V).astype(jnp.int32)[None]  # (1, N, W)
+            y_next = jnp.take_along_axis(y_buf, next_src[None], axis=2)
+            lens_prefix = jnp.take_along_axis(y_lens, next_src, axis=1)
+            y_next = _scatter_token_rows(y_next, lens_prefix, y_t)
+            lens_next = lens_prefix + 1
+            if eos is not None:
+                lens_next = lens_next - jnp.take_along_axis(
+                    eos_mask.astype(jnp.int32), next_src, axis=1
+                )
+            flat_src = (
+                jnp.arange(N, dtype=jnp.int32)[:, None] * W + next_src
+            ).reshape(-1)
+            state_next = lm.extract_by_src(in_next, flat_src)
+
+            # freeze finished batch elements
+            y_next = jnp.where(done_mask[None], y_buf, y_next)
+            lens_next = jnp.where(done_mask, y_lens, lens_next)
+            lp_next = jnp.where(done_mask, log_probs, lp_next)
+            if eos is not None:
+                state_next = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        jnp.repeat(done_mask[:, 0], W).reshape(
+                            (N * W,) + (1,) * (new.ndim - 1)
+                        ),
+                        old,
+                        new,
+                    )
+                    if new.ndim and new.shape[0] == N * W
+                    else new,
+                    state_next,
+                    state,
+                )
+            return (t + 1, y_next, lens_next, lp_next, state_next)
+
+        carry = (jnp.asarray(1, jnp.int32), y_buf, y_lens, log_probs, state)
+        _, y_buf, y_lens, log_probs, _ = jax.lax.while_loop(cond, body, carry)
+
+        if batch_size is None:
+            return y_buf[:, 0], y_lens[0], log_probs[0]
+        return y_buf, y_lens, log_probs
+
+
+@partial(jax.jit, static_argnames=("blank_idx", "batch_first", "is_probs"))
+def _ctc_greedy(logits, in_lens, blank_idx, batch_first, is_probs):
+    if not batch_first:
+        logits = jnp.swapaxes(logits, 0, 1)
+    if not is_probs:
+        logits = jax.nn.log_softmax(logits, axis=2)
+    max_, argmax = logits.max(2), logits.argmax(2)
+    keep = argmax != blank_idx
+    keep = keep.at[:, 1:].set(keep[:, 1:] & (argmax[:, 1:] != argmax[:, :-1]))
+    Tm = argmax.shape[1]
+    if in_lens is not None:
+        valid = jnp.arange(Tm)[None] < in_lens[:, None]
+        keep = keep & valid
+        max_ = jnp.where(valid, max_, 1.0 if is_probs else 0.0)
+    out_lens = keep.sum(1)
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    paths = jnp.take_along_axis(argmax, order, axis=1)
+    out_valid = jnp.arange(Tm)[None] < out_lens[:, None]
+    paths = jnp.where(out_valid, paths, 0)
+    max_ = max_.prod(1) if is_probs else max_.sum(1)
+    if not batch_first:
+        paths = paths.T
+    return max_, paths, out_lens.astype(jnp.int32)
+
+
+def ctc_greedy_search(
+    logits: jax.Array,
+    in_lens: Optional[jax.Array] = None,
+    blank_idx: int = -1,
+    batch_first: bool = False,
+    is_probs: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """CTC greedy decode: argmax, collapse repeats, drop blanks.
+
+    Parity: reference ``ctc_greedy_search`` (``_decoding.py:507-558``)
+    (positions past ``out_lens`` are zero-filled here). Fully vectorized and
+    jittable.
+    """
+    logits = jnp.asarray(logits)
+    if logits.ndim != 3:
+        raise RuntimeError("logits must be 3-dimensional")
+    V = logits.shape[2]
+    if blank_idx < -V or blank_idx > (V - 1):
+        raise RuntimeError(
+            "Blank index out of range (expected to be in the range of "
+            f"[-{V},{V-1}], but got {blank_idx})"
+        )
+    blank_idx = (blank_idx + V) % V
+    if in_lens is not None:
+        in_lens = jnp.asarray(in_lens)
+    return _ctc_greedy(logits, in_lens, blank_idx, batch_first, is_probs)
+
+
+def ctc_prefix_search_advance(
+    probs_t: Tuple[jax.Array, jax.Array, jax.Array],
+    width: int,
+    probs_prev: Tuple[jax.Array, jax.Array],
+    y_prev: jax.Array,
+    y_prev_last: jax.Array,
+    y_prev_lens: jax.Array,
+    prev_is_prefix: jax.Array,
+):
+    """One frame of CTC prefix search (probabilities in linear space).
+
+    Parity: reference ``ctc_prefix_search_advance``
+    (``_decoding.py:636-934``), including extending-candidate absorption into
+    matching non-extending prefixes. ``y_next`` always has one more row than
+    ``y_prev`` (static shapes).
+    """
+    ext_probs_t, nonext_probs_t, blank_probs_t = (
+        jnp.asarray(p) for p in probs_t
+    )
+    if width < 1:
+        raise RuntimeError("width must be positive")
+    if ext_probs_t.ndim != 3:
+        raise RuntimeError("ext_probs_t must be 3 dimensional")
+    N, Kp, V = ext_probs_t.shape
+    nb_probs_prev, b_probs_prev = (jnp.asarray(p) for p in probs_prev)
+    y_prev = jnp.asarray(y_prev)
+    y_prev_last = jnp.asarray(y_prev_last)
+    y_prev_lens = jnp.asarray(y_prev_lens)
+    prev_is_prefix = jnp.asarray(prev_is_prefix)
+    tm1 = y_prev.shape[0]
+    K = min(width, Kp * (V + 1))
+
+    tot_probs_prev = nb_probs_prev + b_probs_prev
+    y_prev_last = jnp.clip(y_prev_last, 0, V - 1)
+
+    last_onehot = jax.nn.one_hot(y_prev_last, V, dtype=ext_probs_t.dtype)
+    nb_ext_probs_cand = (
+        nb_probs_prev[..., None] * (1 - last_onehot) + b_probs_prev[..., None]
+    ) * ext_probs_t  # (N, Kp, V)
+    b_nonext_probs_cand = tot_probs_prev * blank_probs_t[:, None]  # (N, Kp)
+    nb_nonext_probs_cand = nb_probs_prev * jnp.take_along_axis(
+        nonext_probs_t, y_prev_last, axis=1
+    )  # (N, Kp)
+
+    if tm1:
+        yT = jnp.moveaxis(y_prev, 0, 1)  # (N, T, Kp)
+        idx = jnp.clip(y_prev_lens, None, tm1 - 1)  # (N, Kp)
+        to_match = jnp.take_along_axis(
+            yT, jnp.broadcast_to(idx[:, :, None], (N, Kp, Kp)), axis=1
+        )  # [n, k, k'] = y_prev[lens[n,k], n, k']
+        to_match = jnp.clip(to_match, 0, V - 1)
+    else:
+        to_match = jnp.zeros((N, Kp, Kp), y_prev.dtype)
+    ext_is_exact = (
+        (y_prev_lens + 1)[:, :, None] == y_prev_lens[:, None, :]
+    ) & prev_is_prefix  # (N, Kp, Kp)
+    absorbed = jnp.where(
+        ext_is_exact,
+        jnp.take_along_axis(nb_ext_probs_cand, to_match, axis=2),
+        0.0,
+    ).sum(1)
+    nb_nonext_probs_cand = nb_nonext_probs_cand + absorbed
+    has_match = (
+        jax.nn.one_hot(to_match, V, dtype=bool) & ext_is_exact[..., None]
+    ).any(2)
+    nb_ext_probs_cand = jnp.where(has_match, NEG_INF, nb_ext_probs_cand)
+
+    tot_probs_cand = jnp.concatenate(
+        [
+            nb_ext_probs_cand.reshape(N, Kp * V),
+            nb_nonext_probs_cand + b_nonext_probs_cand,
+        ],
+        1,
+    )
+    _, next_ind = jax.lax.top_k(tot_probs_cand, K)  # (N, K)
+
+    next_is_nonext = next_ind >= Kp * V
+    next_src = jnp.where(next_is_nonext, next_ind - Kp * V, next_ind // V)
+    next_ext = next_ind % V
+
+    y_next_prefix_lens = jnp.take_along_axis(y_prev_lens, next_src, axis=1)
+    y_gathered = (
+        jnp.take_along_axis(y_prev, next_src[None], axis=2)
+        if tm1
+        else jnp.zeros((0, N, K), y_prev.dtype)
+    )
+    y_next = jnp.concatenate(
+        [y_gathered, jnp.zeros((1, N, K), y_prev.dtype)], 0
+    )
+    y_next = _scatter_token_rows(
+        y_next, y_next_prefix_lens, next_ext[None].astype(y_prev.dtype)
+    )
+    y_next_lens = y_next_prefix_lens + (~next_is_nonext)
+
+    nb_ext_probs_next = jnp.take_along_axis(
+        nb_ext_probs_cand.reshape(N, Kp * V),
+        jnp.clip(next_ind, None, Kp * V - 1),
+        axis=1,
+    )
+    nb_nonext_probs_next = jnp.take_along_axis(
+        nb_nonext_probs_cand, next_src, axis=1
+    )
+    nb_probs_next = jnp.where(
+        next_is_nonext, nb_nonext_probs_next, nb_ext_probs_next
+    )
+    b_probs_next = (
+        jnp.take_along_axis(b_nonext_probs_cand, next_src, axis=1)
+        * next_is_nonext
+    )
+    y_next_last = jnp.take_along_axis(
+        y_prev_last, next_src, axis=1
+    ) * next_is_nonext + next_ext * (~next_is_nonext)
+
+    next_prefix_is_prefix = jnp.take_along_axis(
+        jnp.take_along_axis(
+            prev_is_prefix, next_src[:, :, None], axis=1
+        ),
+        next_src[:, None, :],
+        axis=2,
+    )
+    next_len_leq = y_next_lens[:, :, None] <= y_next_lens[:, None, :]
+    yTn = jnp.moveaxis(y_next, 0, 1)  # (N, T, K)
+    next_to_match = jnp.take_along_axis(
+        yTn,
+        jnp.broadcast_to(
+            jnp.clip(y_next_lens - 1, 0, None)[:, :, None], (N, K, K)
+        ),
+        axis=1,
+    )
+    next_ext_matches = next_to_match == next_ext[:, :, None]
+    next_is_prefix = (
+        next_prefix_is_prefix
+        & next_len_leq
+        & (next_is_nonext[:, :, None] | next_ext_matches)
+    )
+
+    if K < width:
+        rem = width - K
+        y_next = jnp.concatenate(
+            [y_next, jnp.zeros((tm1 + 1, N, rem), y_next.dtype)], 2
+        )
+        zeros_i = jnp.zeros((N, rem), jnp.int32)
+        y_next_last = jnp.concatenate([y_next_last, zeros_i], 1)
+        y_next_lens = jnp.concatenate(
+            [y_next_lens.astype(jnp.int32), zeros_i], 1
+        )
+        neg_inf = jnp.full((N, rem), NEG_INF, nb_probs_next.dtype)
+        nb_probs_next = jnp.concatenate([nb_probs_next, neg_inf], 1)
+        b_probs_next = jnp.concatenate([b_probs_next, neg_inf], 1)
+        false_ = jnp.zeros((N, rem), bool)
+        next_is_nonext = jnp.concatenate([next_is_nonext, false_], 1)
+        next_is_prefix = jnp.concatenate(
+            [next_is_prefix, jnp.zeros((N, K, rem), bool)], 2
+        )
+        next_is_prefix = jnp.concatenate(
+            [next_is_prefix, jnp.zeros((N, rem, width), bool)], 1
+        )
+        next_src = jnp.concatenate([next_src, zeros_i], 1)
+
+    return (
+        y_next,
+        y_next_last.astype(jnp.int32),
+        y_next_lens.astype(jnp.int32),
+        (nb_probs_next, b_probs_next),
+        next_is_prefix,
+        next_src.astype(jnp.int32),
+        next_is_nonext,
+    )
+
+
+class CTCPrefixSearch:
+    """Batched CTC prefix beam search with optional shallow LM fusion.
+
+    Parity: reference ``CTCPrefixSearch`` (``_decoding.py:937-1204``): the
+    blank is the final vocabulary index of `logits` (``V = logits.shape[2] -
+    1``); per-batch length freezing; LM fusion is a beta-weighted product
+    (or a convex mixture with ``valid_mixture``).
+
+    Call: ``search(logits, lens=None, initial_state=None)`` with `logits`
+    time-major ``(T, N, V + 1)``; returns ``(y, y_lens, y_probs)`` where
+    ``y`` is ``(T, N, width)``.
+    """
+
+    def __init__(
+        self,
+        width: int,
+        beta: float = 0.2,
+        lm: Optional[MixableSequentialLanguageModel] = None,
+        valid_mixture: bool = False,
+    ):
+        from .. import argcheck
+
+        self.width = argcheck.is_posi(width, "width")
+        self.beta = argcheck.is_float(beta, "beta")
+        self.valid_mixture = argcheck.is_bool(valid_mixture, "valid_mixture")
+        self.lm = lm
+
+    def __call__(
+        self,
+        logits: jax.Array,
+        lens: Optional[jax.Array] = None,
+        initial_state: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        logits = jnp.asarray(logits)
+        if logits.ndim != 3:
+            raise RuntimeError("logits must be 3 dimensional")
+        T, N, Vp1 = logits.shape
+        V = Vp1 - 1
+        W = self.width
+        lm, beta = self.lm, self.beta
+        use_lm = lm is not None and beta != 0
+        if lm is not None and lm.vocab_size != V:
+            raise RuntimeError(
+                f"Expected dim 2 of logits to be {lm.vocab_size + 1}, got {Vp1}"
+            )
+        if lens is None:
+            lens = jnp.full((N,), T, jnp.int32)
+        else:
+            lens = jnp.asarray(lens)
+            if lens.ndim != 1:
+                raise RuntimeError("lens must be 1 dimensional")
+            if lens.shape[0] != N:
+                raise RuntimeError(
+                    f"expected dim 0 of lens to be {N}, got {lens.shape[0]}"
+                )
+        prev = {} if initial_state is None else initial_state
+
+        probs = jax.nn.softmax(logits, axis=2)
+        blank_probs = probs[..., V]  # (T, N)
+        nonext_probs = probs[..., :V]  # (T, N, V)
+
+        if lm is not None:
+            prev = lm.update_input(prev, jnp.zeros((0, N), jnp.int32))
+
+        if T == 0:
+            y = jnp.zeros((0, N, W), jnp.int32)
+            y_lens = jnp.zeros((N, W), jnp.int32)
+            y_probs = jnp.full((N, W), NEG_INF).at[:, 0].set(1.0)
+            return y, y_lens, y_probs
+
+        def lm_ext_probs(y_buf, y_lens_flat, prev_state, nonext_t, blank_t, Kp):
+            """Extension probabilities, with or without fusion."""
+            if not use_lm:
+                return (
+                    jnp.broadcast_to(nonext_t[:, None], (N, Kp, V)),
+                    prev_state,
+                )
+            hist = y_buf.reshape(y_buf.shape[0], N * Kp)
+            lm_log_probs, in_next = lm.calc_idx_log_probs(
+                hist, prev_state, y_lens_flat
+            )
+            if self.valid_mixture:
+                lm_probs = (
+                    beta
+                    * jax.nn.softmax(lm_log_probs, axis=-1).reshape(N, Kp, V)
+                    * (1 - blank_t.reshape(N, 1, 1))
+                )
+                ext = (1.0 - beta) * nonext_t[:, None] + lm_probs
+            else:
+                lm_log_probs = jax.nn.log_softmax(lm_log_probs, axis=-1)
+                lm_probs = jnp.exp(beta * lm_log_probs).reshape(N, Kp, V)
+                ext = lm_probs * nonext_t[:, None]
+            return ext, in_next
+
+        def fuse_state(prev_state, in_next, next_src, next_is_nonext, Kp):
+            if not use_lm:
+                return prev_state
+            flat_src = (
+                jnp.arange(N, dtype=jnp.int32)[:, None] * Kp + next_src
+            ).reshape(-1)
+            prev_state = lm.extract_by_src(prev_state, flat_src)
+            in_next = lm.extract_by_src(in_next, flat_src)
+            return lm.mix_by_mask(
+                prev_state, in_next, next_is_nonext.reshape(-1)
+            )
+
+        # ---- t = 0 (prefix width 1 -> W) ----
+        y_buf0 = jnp.zeros((T, N, 1), jnp.int32)
+        nb0 = jnp.zeros((N, 1))
+        b0 = jnp.ones((N, 1))
+        lens0 = jnp.zeros((N, 1), jnp.int32)
+        last0 = jnp.zeros((N, 1), jnp.int32)
+        is_prefix0 = jnp.ones((N, 1, 1), bool)
+
+        ext0, in_next0 = lm_ext_probs(
+            y_buf0, lens0.reshape(-1), prev, nonext_probs[0], blank_probs[0], 1
+        )
+        (
+            y1,
+            y_last,
+            y_lens,
+            (nb, b),
+            is_prefix,
+            next_src,
+            next_is_nonext,
+        ) = ctc_prefix_search_advance(
+            (ext0, nonext_probs[0], blank_probs[0]),
+            W,
+            (nb0, b0),
+            jnp.zeros((0, N, 1), jnp.int32),
+            last0,
+            lens0,
+            is_prefix0,
+        )
+        state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
+        y_buf = jnp.zeros((T, N, W), jnp.int32).at[0].set(y1[0])
+
+        # freeze batch elements with lens == 0
+        valid0 = (0 < lens)[:, None]  # (N, 1)
+        nb_init = jnp.concatenate(
+            [nb0, jnp.full((N, W - 1), NEG_INF)], 1
+        ) if W > 1 else nb0
+        b_init = jnp.concatenate(
+            [b0, jnp.full((N, W - 1), NEG_INF)], 1
+        ) if W > 1 else b0
+        y_lens = jnp.where(valid0, y_lens, 0)
+        nb = jnp.where(valid0, nb, nb_init)
+        b = jnp.where(valid0, b, b_init)
+
+        if T > 1:
+            def step(carry, xs):
+                y_buf, y_lens, y_last, nb, b, is_prefix, state = carry
+                nonext_t, blank_t, t = xs
+                valid_mask = (t < lens)[:, None]  # (N, 1)
+                ext_t, in_next = lm_ext_probs(
+                    y_buf, y_lens.reshape(-1), state, nonext_t, blank_t, W
+                )
+                (
+                    y_next,
+                    y_next_last,
+                    y_next_lens,
+                    (nb_next, b_next),
+                    next_is_prefix,
+                    next_src,
+                    next_is_nonext,
+                ) = ctc_prefix_search_advance(
+                    (ext_t, nonext_t, blank_t),
+                    W,
+                    (nb, b),
+                    y_buf,
+                    y_last,
+                    y_lens,
+                    is_prefix,
+                )
+                state_next = fuse_state(
+                    state, in_next, next_src, next_is_nonext, W
+                )
+                # y_next has T+1 rows (buffer + scratch); drop the scratch row,
+                # which is only populated when a path of length T is extended —
+                # impossible before the final step
+                y_next = y_next[:T]
+                y_buf = jnp.where(valid_mask[None], y_next, y_buf)
+                y_lens = jnp.where(valid_mask, y_next_lens, y_lens)
+                nb = jnp.where(valid_mask, nb_next, nb)
+                b = jnp.where(valid_mask, b_next, b)
+                if use_lm:
+                    vm = jnp.repeat(valid_mask[:, 0], W)
+                    state = jax.tree.map(
+                        lambda new, old: jnp.where(
+                            vm.reshape((N * W,) + (1,) * (new.ndim - 1)),
+                            new,
+                            old,
+                        )
+                        if new.ndim and new.shape[0] == N * W
+                        else new,
+                        state_next,
+                        state,
+                    )
+                else:
+                    state = state_next
+                y_last = y_next_last
+                is_prefix = next_is_prefix
+                return (y_buf, y_lens, y_last, nb, b, is_prefix, state), None
+
+            carry = (y_buf, y_lens, y_last, nb, b, is_prefix, state)
+            xs = (
+                nonext_probs[1:],
+                blank_probs[1:],
+                jnp.arange(1, T, dtype=jnp.int32),
+            )
+            (y_buf, y_lens, y_last, nb, b, is_prefix, state), _ = jax.lax.scan(
+                step, carry, xs
+            )
+
+        y_probs = nb + b
+        return y_buf, y_lens, y_probs
+
+
+class CTCGreedySearch:
+    """Module wrapper for :func:`ctc_greedy_search` (reference
+    ``_decoding.py:561-633``)."""
+
+    def __init__(
+        self,
+        blank_idx: int = -1,
+        batch_first: bool = False,
+        is_probs: bool = False,
+    ):
+        from .. import argcheck
+
+        self.blank_idx = argcheck.is_int(blank_idx, "blank_idx")
+        self.batch_first = argcheck.is_bool(batch_first, "batch_first")
+        self.is_probs = argcheck.is_bool(is_probs, "is_probs")
+
+    def __call__(self, logits, in_lens=None):
+        return ctc_greedy_search(
+            logits, in_lens, self.blank_idx, self.batch_first, self.is_probs
+        )
+
+
+def random_walk_advance(
+    key: jax.Array,
+    log_probs_t: jax.Array,
+    log_probs_prev: jax.Array,
+    y_prev: jax.Array,
+    y_prev_lens: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """One random-walk step: sample a token per batch element.
+
+    Parity: reference ``random_walk_advance`` (``_decoding.py:1207-1283``)
+    with an explicit PRNG `key`; ``y_next`` always gains a row.
+    """
+    log_probs_t = jnp.asarray(log_probs_t)
+    if log_probs_t.ndim != 2:
+        raise RuntimeError("log_probs_t must be 2-dimensional")
+    N, V = log_probs_t.shape
+    log_probs_prev = jnp.asarray(log_probs_prev)
+    if log_probs_prev.shape != (N,):
+        raise RuntimeError(
+            f"Expected log_probs_prev to be of shape {(N,)}, got "
+            f"{log_probs_prev.shape}"
+        )
+    y_prev = jnp.asarray(y_prev)
+    if y_prev.ndim != 2:
+        raise RuntimeError("y_prev must be 2-dimensional")
+    if y_prev.shape[1] != N:
+        raise RuntimeError(
+            f"Expected dim 1 of y_prev to be {N}, got {y_prev.shape[1]}"
+        )
+    tm1 = y_prev.shape[0]
+    y_t = jax.random.categorical(key, log_probs_t, axis=-1).astype(
+        y_prev.dtype if tm1 else jnp.int32
+    )  # (N,)
+    log_probs_next = log_probs_prev + jnp.take_along_axis(
+        log_probs_t, y_t[:, None], axis=1
+    )[:, 0]
+    if tm1:
+        y_next = jnp.concatenate([y_prev, y_t[None]], 0)
+        if y_prev_lens is not None:
+            pos = jnp.arange(tm1 + 1, dtype=jnp.int32)[:, None]
+            y_next = jnp.where(pos == y_prev_lens[None], y_t[None], y_next)
+    else:
+        y_next = y_t[None]
+    return y_next, log_probs_next
+
+
+class RandomWalk:
+    """Ancestral sampling from a :class:`SequentialLanguageModel`.
+
+    Parity: reference ``RandomWalk`` (``_decoding.py:1286-1513``) with an
+    explicit PRNG `key` and required static ``max_iters``. Returns
+    ``(y, y_lens, y_log_probs)`` with ``y`` of shape ``(max_iters, N)``.
+    """
+
+    def __init__(self, lm: SequentialLanguageModel, eos: Optional[int] = None):
+        if eos is not None:
+            if eos < -lm.vocab_size or eos >= lm.vocab_size:
+                raise ValueError(
+                    f"eos ({eos}) must index a token in the vocabulary"
+                )
+            eos = (eos + lm.vocab_size) % lm.vocab_size
+        self.lm = lm
+        self.eos = eos
+
+    def update_log_probs_for_step(
+        self, log_probs_prev, log_probs_t, y_prev, y_prev_lens, eos_mask
+    ):
+        """Subclass hook (reference ``_decoding.py:1393-1435``)."""
+        return log_probs_prev, log_probs_t
+
+    def __call__(
+        self,
+        key: jax.Array,
+        initial_state: Optional[Dict[str, Any]] = None,
+        batch_size: Optional[int] = None,
+        max_iters: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        lm, eos = self.lm, self.eos
+        V = lm.vocab_size
+        prev = {} if initial_state is None else initial_state
+        if max_iters is None:
+            raise ValueError("max_iters must be set (static loop bound on TPU)")
+        if max_iters < 0:
+            raise RuntimeError(f"max_iters must be non-negative, got {max_iters}")
+        N = 1 if batch_size is None else batch_size
+        S = max_iters
+        prev = lm.update_input(prev, jnp.zeros((0, N), jnp.int32))
+        if S == 0:
+            y = jnp.zeros((0, N), jnp.int32)
+            out = (y, jnp.zeros((N,), jnp.int32), jnp.zeros((N,)))
+            if batch_size is None:
+                return out[0][:, 0], out[1][0], out[2][0]
+            return out
+
+        y0 = jnp.zeros((S, N), jnp.int32)
+
+        def cond(carry):
+            t, y, y_lens, eos_mask, log_probs, prev, key = carry
+            return (t < S) & ~eos_mask.all()
+
+        def body(carry):
+            t, y, y_lens, eos_mask, log_probs, prev, key = carry
+            key, sub = jax.random.split(key)
+            log_probs_t, prev = lm.calc_idx_log_probs(y, prev, t)
+            log_probs_t = jax.nn.log_softmax(log_probs_t, axis=-1)
+            log_probs, log_probs_t = self.update_log_probs_for_step(
+                log_probs, log_probs_t, y, y_lens, eos_mask
+            )
+            if eos is not None:
+                lp = jnp.where(eos_mask[:, None], NEG_INF, log_probs_t)
+                eos_vec = jax.nn.one_hot(eos, V, dtype=bool)
+                log_probs_t = jnp.where(eos_mask[:, None] & eos_vec, 0.0, lp)
+            y_t = jax.random.categorical(sub, log_probs_t, axis=-1).astype(
+                jnp.int32
+            )
+            log_probs = log_probs + jnp.take_along_axis(
+                log_probs_t, y_t[:, None], axis=1
+            )[:, 0]
+            pos = jnp.arange(S, dtype=jnp.int32)[:, None]
+            y = jnp.where(pos == y_lens[None], y_t[None], y)
+            if eos is not None:
+                y_lens = y_lens + (~eos_mask)
+                last = jnp.take_along_axis(
+                    y, jnp.clip(y_lens - 1, 0, None)[None], axis=0
+                )[0]
+                eos_mask = (last == eos) & (y_lens > 0)
+            else:
+                y_lens = y_lens + 1
+            return (t + 1, y, y_lens, eos_mask, log_probs, prev, key)
+
+        carry = (
+            jnp.asarray(0, jnp.int32),
+            y0,
+            jnp.zeros((N,), jnp.int32),
+            jnp.zeros((N,), bool),
+            jnp.zeros((N,)),
+            prev,
+            key,
+        )
+        _, y, y_lens, _, log_probs, _, _ = jax.lax.while_loop(cond, body, carry)
+        if batch_size is None:
+            return y[:, 0], y_lens[0], log_probs[0]
+        return y, y_lens, log_probs
+
+
+def sequence_log_probs(
+    logits: jax.Array,
+    hyp: jax.Array,
+    dim: int = 0,
+    eos: Optional[int] = None,
+) -> jax.Array:
+    """Joint log probability of sequences (sum over steps up to first eos).
+
+    Parity: reference ``sequence_log_probs`` dense path
+    (``_decoding.py:1516-1548``). torch's PackedSequence input has no JAX
+    analogue — use dense `logits` + `eos`.
+    """
+    from .string import _lens_from_eos
+
+    logits, hyp = jnp.asarray(logits), jnp.asarray(hyp)
+    hyp_dim = hyp.ndim
+    if dim < -hyp_dim or dim > hyp_dim - 1:
+        raise RuntimeError(
+            "Dimension out of range (expected to be in range of [{}, {}], but "
+            "got {})".format(-hyp_dim, hyp_dim - 1, dim)
+        )
+    dim = (hyp_dim + dim) % hyp_dim
+    steps = hyp.shape[dim]
+    num_classes = logits.shape[-1]
+    logits = jax.nn.log_softmax(logits, axis=-1)
+    mask = (hyp < 0) | (hyp >= num_classes)
+    if eos is not None:
+        hyp_lens = _lens_from_eos(hyp, eos, dim) + 1
+        arange = jnp.arange(steps)
+        shape = [1] * hyp_dim
+        shape[dim] = steps
+        len_mask = arange.reshape(shape) >= jnp.expand_dims(hyp_lens, dim)
+        mask = mask | len_mask
+    hyp_safe = jnp.where(mask, 0, hyp)
+    gathered = jnp.take_along_axis(logits, hyp_safe[..., None], axis=-1)[..., 0]
+    gathered = jnp.where(mask, 0.0, gathered)
+    return gathered.sum(dim)
+
+
+class SequenceLogProbabilities:
+    """Module wrapper for :func:`sequence_log_probs` (reference
+    ``_decoding.py:1636-1721``)."""
+
+    def __init__(self, dim: int = 0, eos: Optional[int] = None):
+        from .. import argcheck
+
+        self.dim = argcheck.is_int(dim, "dim")
+        self.eos = argcheck.is_int(eos, "eos", allow_none=True)
+
+    def __call__(self, logits, hyp):
+        return sequence_log_probs(logits, hyp, self.dim, self.eos)

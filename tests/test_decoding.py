@@ -1,0 +1,357 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pydrobert_tpu.ops import decoding as D
+from pydrobert_tpu import lm as L
+
+
+def _to_t(x):
+    import torch
+
+    return torch.tensor(np.asarray(x))
+
+
+class TableLM(L.MixableSequentialLanguageModel):
+    """log-probs depend only on the previous token (row 0 = start)."""
+
+    def __init__(self, table):
+        super().__init__(table.shape[1])
+        self.table = jnp.asarray(table)
+
+    def calc_idx_log_probs(self, hist, prev, idx):
+        S, N = hist.shape
+        idxs = jnp.broadcast_to(jnp.asarray(idx, jnp.int32), (N,))
+        if S:
+            prev_tok = jnp.take_along_axis(
+                hist, jnp.clip(idxs - 1, 0, None)[None], axis=0
+            )[0]
+            prev_tok = jnp.where(idxs > 0, prev_tok, -1)
+        else:
+            prev_tok = jnp.full((N,), -1, jnp.int32)
+        return self.table[prev_tok + 1], prev
+
+    def extract_by_src(self, prev, src):
+        return prev
+
+    def mix_by_mask(self, a, b, mask):
+        return a
+
+
+def make_ref_table_lm(ref_torch, table):
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import torch
+    from pydrobert.torch.modules import MixableSequentialLanguageModel
+
+    class RefTableLM(MixableSequentialLanguageModel):
+        def __init__(self, table):
+            super().__init__(table.shape[1])
+            self.register_buffer("table", table)
+
+        def calc_idx_log_probs(self, hist, prev, idx):
+            S, N = hist.shape
+            if idx.dim() == 0:
+                idxs = idx.expand(N)
+            else:
+                idxs = idx
+            if S:
+                prev_tok = hist.gather(
+                    0, (idxs - 1).clamp(min=0).unsqueeze(0)
+                ).squeeze(0)
+                prev_tok = torch.where(
+                    idxs > 0, prev_tok, torch.full_like(prev_tok, -1)
+                )
+            else:
+                prev_tok = torch.full((N,), -1, dtype=torch.long)
+            return self.table[prev_tok + 1], prev
+
+        def extract_by_src(self, prev, src):
+            return prev
+
+        def mix_by_mask(self, a, b, mask):
+            return a
+
+    return RefTableLM(_to_t(table))
+
+
+def _rand_table(V, seed=None):
+    t = np.random.randn(V + 1, V).astype(np.float32)
+    return t - np.log(np.exp(t).sum(-1, keepdims=True))
+
+
+def test_beam_search_advance_parity(ref_torch):
+    N, Kp, V, S, width = 4, 3, 7, 5, 5
+    log_probs_t = np.log(
+        np.random.dirichlet(np.ones(V), (N, Kp)).astype(np.float32)
+    )
+    log_probs_prev = np.random.randn(N, Kp).astype(np.float32)
+    y_prev = np.random.randint(0, V, (S, N, Kp))
+    y_prev_lens = np.random.randint(0, S + 1, (N, Kp))
+    exp = ref_torch.functional.beam_search_advance(
+        _to_t(log_probs_t), width, _to_t(log_probs_prev), _to_t(y_prev),
+        _to_t(y_prev_lens),
+    )
+    act = D.beam_search_advance(
+        log_probs_t, width, log_probs_prev, y_prev, y_prev_lens
+    )
+    exp_y, exp_lens, exp_lp, exp_src = (e.numpy() for e in exp)
+    act_y, act_lens, act_lp, act_src = (np.asarray(a) for a in act)
+    np.testing.assert_array_equal(act_lens, exp_lens)
+    np.testing.assert_allclose(act_lp, exp_lp, rtol=1e-5)
+    np.testing.assert_array_equal(act_src, exp_src)
+    for n in range(N):
+        for k in range(width):
+            ln = act_lens[n, k]
+            np.testing.assert_array_equal(
+                act_y[:ln, n, k], exp_y[:ln, n, k], err_msg=f"n={n} k={k}"
+            )
+
+
+@pytest.mark.parametrize("eos", [None, 0])
+@pytest.mark.parametrize("finish_all", [False, True])
+@pytest.mark.parametrize("width", [1, 4])
+def test_beam_search_parity(ref_torch, eos, finish_all, width):
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from pydrobert.torch.modules import BeamSearch as RefBeamSearch
+
+    V, N, max_iters = 6, 5, 12
+    table = _rand_table(V)
+    ref_lm = make_ref_table_lm(ref_torch, table)
+    ref_bs = RefBeamSearch(
+        ref_lm, width, eos=eos, finish_all_paths=finish_all
+    )
+    exp_y, exp_lens, exp_lp = (
+        e.numpy() for e in ref_bs(batch_size=N, max_iters=max_iters)
+    )
+    bs = D.BeamSearch(TableLM(table), width, eos=eos, finish_all_paths=finish_all)
+    act_y, act_lens, act_lp = (
+        np.asarray(a)
+        for a in bs(batch_size=N, max_iters=max_iters)
+    )
+    np.testing.assert_array_equal(act_lens, exp_lens)
+    np.testing.assert_allclose(act_lp, exp_lp, rtol=1e-4, atol=1e-5)
+    for n in range(N):
+        for k in range(width):
+            ln = act_lens[n, k]
+            np.testing.assert_array_equal(
+                act_y[:ln, n, k], exp_y[:ln, n, k], err_msg=f"n={n} k={k}"
+            )
+
+
+def test_beam_search_width1_is_greedy():
+    V, N, max_iters = 8, 4, 6
+    table = _rand_table(V)
+    bs = D.BeamSearch(TableLM(table), 1)
+    y, lens, lp = bs(batch_size=N, max_iters=max_iters)
+    y = np.asarray(y)[:, :, 0]
+    # greedy rollout by hand
+    for n in range(N):
+        prev = -1
+        for t in range(max_iters):
+            exp_tok = int(np.argmax(table[prev + 1]))
+            assert y[t, n] == exp_tok
+            prev = exp_tok
+
+
+@pytest.mark.parametrize("batch_first", [False, True])
+@pytest.mark.parametrize("is_probs", [False, True])
+@pytest.mark.parametrize("use_lens", [False, True])
+def test_ctc_greedy_search_parity(ref_torch, batch_first, is_probs, use_lens):
+    T, N, V = 11, 5, 6
+    logits = np.random.randn(T, N, V).astype(np.float32)
+    if is_probs:
+        logits = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    if batch_first:
+        logits = logits.transpose(1, 0, 2)
+    in_lens = np.random.randint(1, T + 1, (N,)) if use_lens else None
+    exp = ref_torch.functional.ctc_greedy_search(
+        _to_t(logits),
+        None if in_lens is None else _to_t(in_lens),
+        batch_first=batch_first,
+        is_probs=is_probs,
+    )
+    act = D.ctc_greedy_search(
+        logits, in_lens, batch_first=batch_first, is_probs=is_probs
+    )
+    exp_max, exp_paths, exp_lens = (e.numpy() for e in exp)
+    act_max, act_paths, act_lens = (np.asarray(a) for a in act)
+    np.testing.assert_array_equal(act_lens, exp_lens)
+    np.testing.assert_allclose(act_max, exp_max, rtol=1e-4, atol=1e-5)
+    if not batch_first:
+        exp_paths, act_paths = exp_paths.T, act_paths.T
+    for n in range(N):
+        np.testing.assert_array_equal(
+            act_paths[n, : act_lens[n]], exp_paths[n, : exp_lens[n]]
+        )
+
+
+@pytest.mark.parametrize("width", [1, 2, 8])
+@pytest.mark.parametrize("use_lens", [False, True])
+def test_ctc_prefix_search_parity_no_lm(ref_torch, width, use_lens):
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from pydrobert.torch.modules import CTCPrefixSearch as RefCTC
+
+    T, N, V = 9, 4, 5
+    logits = np.random.randn(T, N, V + 1).astype(np.float32)
+    lens = np.random.randint(0, T + 1, (N,)) if use_lens else None
+    ref_search = RefCTC(width)
+    exp_y, exp_lens, exp_p = (
+        e.numpy()
+        for e in ref_search(
+            _to_t(logits), None if lens is None else _to_t(lens)
+        )
+    )
+    search = D.CTCPrefixSearch(width)
+    act_y, act_lens, act_p = (
+        np.asarray(a)
+        for a in search(logits, None if lens is None else lens)
+    )
+    np.testing.assert_array_equal(act_lens, exp_lens)
+    np.testing.assert_allclose(act_p, exp_p, rtol=1e-4, atol=1e-6)
+    for n in range(N):
+        for k in range(width):
+            ln = act_lens[n, k]
+            np.testing.assert_array_equal(
+                act_y[:ln, n, k], exp_y[:ln, n, k], err_msg=f"n={n} k={k}"
+            )
+
+
+@pytest.mark.parametrize("beta", [0.3, 1.0])
+@pytest.mark.parametrize("valid_mixture", [False, True])
+def test_ctc_prefix_search_parity_fused(ref_torch, beta, valid_mixture):
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from pydrobert.torch.modules import CTCPrefixSearch as RefCTC
+
+    T, N, V, width = 7, 3, 5, 4
+    logits = np.random.randn(T, N, V + 1).astype(np.float32)
+    lens = np.random.randint(1, T + 1, (N,))
+    table = _rand_table(V)
+    ref_lm = make_ref_table_lm(ref_torch, table)
+    ref_search = RefCTC(width, beta, ref_lm, valid_mixture=valid_mixture)
+    exp_y, exp_lens, exp_p = (
+        e.numpy() for e in ref_search(_to_t(logits), _to_t(lens))
+    )
+    search = D.CTCPrefixSearch(
+        width, beta, TableLM(table), valid_mixture=valid_mixture
+    )
+    act_y, act_lens, act_p = (np.asarray(a) for a in search(logits, lens))
+    np.testing.assert_array_equal(act_lens, exp_lens)
+    np.testing.assert_allclose(act_p, exp_p, rtol=1e-4, atol=1e-6)
+    for n in range(N):
+        for k in range(width):
+            ln = act_lens[n, k]
+            np.testing.assert_array_equal(
+                act_y[:ln, n, k], exp_y[:ln, n, k], err_msg=f"n={n} k={k}"
+            )
+
+
+def test_ctc_prefix_width1_matches_greedyish():
+    # sanity: the width-1 top path has probability <= 1 and valid tokens
+    T, N, V = 8, 3, 4
+    logits = np.random.randn(T, N, V + 1).astype(np.float32)
+    y, lens, p = D.CTCPrefixSearch(1)(logits)
+    assert (np.asarray(p) <= 1 + 1e-5).all()
+    assert (np.asarray(y) < V).all() and (np.asarray(y) >= 0).all()
+
+
+def test_random_walk_distribution(key):
+    # unigram LM: empirical token frequencies should match the table
+    V, N = 4, 2000
+    probs = np.random.dirichlet(np.ones(V) * 5)
+    table = np.log(np.tile(probs, (V + 1, 1))).astype(np.float32)
+    walk = D.RandomWalk(TableLM(table))
+    y, lens, lp = walk(key, batch_size=N, max_iters=3)
+    y = np.asarray(y)
+    assert (np.asarray(lens) == 3).all()
+    freq = np.bincount(y.ravel(), minlength=V) / y.size
+    np.testing.assert_allclose(freq, probs, atol=0.05)
+    # log probs should equal the sum of the per-token table entries
+    exp_lp = sum(
+        table[(np.concatenate([[-1] * N]) if t == 0 else y[t - 1]) + 1, y[t]]
+        for t in range(3)
+    )
+    np.testing.assert_allclose(np.asarray(lp), exp_lp, rtol=1e-4, atol=1e-4)
+
+
+def test_random_walk_eos(key):
+    V, N = 4, 300
+    table = _rand_table(V)
+    walk = D.RandomWalk(TableLM(table), eos=0)
+    y, lens, lp = walk(key, batch_size=N, max_iters=20)
+    y, lens = np.asarray(y), np.asarray(lens)
+    for n in range(min(N, 50)):
+        seq = y[: lens[n], n]
+        assert (seq[:-1] != 0).all()
+        if lens[n] < 20:
+            assert seq[-1] == 0
+
+
+def test_random_walk_advance_parity_shapes(key):
+    N, V, S = 5, 6, 4
+    log_probs_t = np.log(
+        np.random.dirichlet(np.ones(V), N).astype(np.float32)
+    )
+    log_probs_prev = np.random.randn(N).astype(np.float32)
+    y_prev = np.random.randint(0, V, (S, N))
+    y_prev_lens = np.random.randint(0, S + 1, (N,))
+    y_next, lp_next = D.random_walk_advance(
+        key, log_probs_t, log_probs_prev, y_prev, y_prev_lens
+    )
+    y_next, lp_next = np.asarray(y_next), np.asarray(lp_next)
+    assert y_next.shape == (S + 1, N)
+    for n in range(N):
+        ln = y_prev_lens[n]
+        np.testing.assert_array_equal(y_next[:ln, n], y_prev[:ln, n])
+        tok = y_next[ln, n]
+        np.testing.assert_allclose(
+            lp_next[n], log_probs_prev[n] + log_probs_t[n, tok], rtol=1e-5
+        )
+
+
+@pytest.mark.parametrize("dim", [0, 1])
+@pytest.mark.parametrize("eos", [None, 0])
+def test_sequence_log_probs_parity(ref_torch, dim, eos):
+    S, N, V = 8, 5, 7
+    logits = np.random.randn(S, N, V).astype(np.float32)
+    hyp = np.random.randint(0, V, (S, N))
+    if dim == 1:
+        logits = logits.transpose(1, 0, 2)
+        hyp = hyp.T
+    exp = ref_torch.functional.sequence_log_probs(
+        _to_t(logits), _to_t(hyp), dim=dim, eos=eos
+    ).numpy()
+    act = np.asarray(D.sequence_log_probs(logits, hyp, dim=dim, eos=eos))
+    np.testing.assert_allclose(act, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_searches_jit(key):
+    # entire searches compile under jit with static widths
+    V, N, W, T = 5, 3, 3, 6
+    table = _rand_table(V)
+    bs = D.BeamSearch(TableLM(table), W, eos=0)
+
+    @jax.jit
+    def run_beam():
+        return bs(batch_size=N, max_iters=T)
+
+    y, lens, lp = run_beam()
+    assert y.shape == (T, N, W)
+
+    search = D.CTCPrefixSearch(W)
+
+    @jax.jit
+    def run_ctc(logits):
+        return search(logits)
+
+    logits = jnp.asarray(np.random.randn(T, N, V + 1).astype(np.float32))
+    y, lens, p = run_ctc(logits)
+    assert y.shape == (T, N, W)
