@@ -1,0 +1,302 @@
+"""Conformer CTC acoustic model (flax.linen), TPU-first.
+
+The flagship model family: a convolution-subsampled Conformer encoder with a
+CTC head, written for the MXU — big batched matmuls in ``bfloat16`` compute
+dtype with ``float32`` params/accumulation, static shapes, mask-based length
+handling, and tensor-parallel-ready weight layouts (see
+:func:`conformer_partition_rules`).
+
+The reference library has no model zoo; its docs train user models around its
+ops. This model exists so the package's benchmarks, training controller, and
+decoding stack have a canonical end-to-end consumer (SURVEY.md §7, minimum
+end-to-end slice).
+"""
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec
+
+__all__ = [
+    "ConformerConfig",
+    "ConformerCTC",
+    "conformer_partition_rules",
+    "make_train_step",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    """Hyperparameters for :class:`ConformerCTC`."""
+
+    vocab_size: int = 1024  # excludes the CTC blank (blank = vocab_size)
+    num_filts: int = 80
+    d_model: int = 256
+    num_layers: int = 8
+    num_heads: int = 4
+    ffn_factor: int = 4
+    conv_kernel: int = 15
+    subsample_channels: int = 128
+    dropout: float = 0.1
+    dtype: Any = jnp.bfloat16  # compute dtype; params stay float32
+
+    @property
+    def subsampling(self) -> int:
+        return 4
+
+
+def _sinusoidal_pos_emb(T: int, d: int, dtype) -> jax.Array:
+    pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+    dim = jnp.arange(0, d, 2, dtype=jnp.float32)[None]
+    angles = pos / jnp.power(10000.0, dim / d)
+    emb = jnp.zeros((T, d), jnp.float32)
+    emb = emb.at[:, 0::2].set(jnp.sin(angles))
+    emb = emb.at[:, 1::2].set(jnp.cos(angles[:, : (d // 2)]))
+    return emb.astype(dtype)
+
+
+class _FeedForward(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        x = nn.LayerNorm(dtype=cfg.dtype, name="ln")(x)
+        x = nn.Dense(cfg.d_model * cfg.ffn_factor, dtype=cfg.dtype, name="wi")(x)
+        x = nn.silu(x)
+        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="wo")(x)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+
+
+class _MHSA(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        cfg = self.cfg
+        y = nn.LayerNorm(dtype=cfg.dtype, name="ln")(x)
+        # (N, 1, 1, T): every query may attend any unpadded key
+        attn_mask = pad_mask[:, None, None, :]
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            dtype=cfg.dtype,
+            dropout_rate=cfg.dropout,
+            deterministic=deterministic,
+            name="attn",
+        )(y, y, mask=attn_mask)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
+
+
+class _DepthwiseConv1D(nn.Module):
+    """Depthwise conv as K shifted multiply-adds.
+
+    Equivalent to ``nn.Conv(feature_group_count=C)`` but avoids
+    grouped-convolution gradients, which the XLA SPMD partitioner
+    miscompiles under batch sharding (verified on the CPU backend); this
+    formulation is pure VPU work and partitions trivially.
+    """
+
+    kernel_size: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, y):
+        K = self.kernel_size
+        C = y.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, C), jnp.float32
+        ).astype(self.dtype)
+        b = self.param("bias", nn.initializers.zeros, (C,), jnp.float32).astype(
+            self.dtype
+        )
+        left = (K - 1) // 2
+        yp = jnp.pad(y, ((0, 0), (left, K - 1 - left), (0, 0)))
+        T = y.shape[1]
+        out = b
+        for k in range(K):
+            out = out + yp[:, k : k + T] * w[k]
+        return out
+
+
+class _ConvModule(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        cfg = self.cfg
+        y = nn.LayerNorm(dtype=cfg.dtype, name="ln")(x)
+        y = nn.Dense(2 * cfg.d_model, dtype=cfg.dtype, name="pw1")(y)
+        y = nn.glu(y, axis=-1)
+        # zero padded frames so the depthwise conv cannot leak across lengths
+        y = y * pad_mask[..., None].astype(y.dtype)
+        y = _DepthwiseConv1D(cfg.conv_kernel, cfg.dtype, name="dw")(y)
+        # LayerNorm in place of the paper's BatchNorm: per-position, so it
+        # jits/shards cleanly (no cross-device or cross-time batch stats)
+        y = nn.LayerNorm(dtype=cfg.dtype, name="norm")(y)
+        y = nn.silu(y)
+        y = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="pw2")(y)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
+
+
+class _ConformerBlock(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        cfg = self.cfg
+        x = x + 0.5 * _FeedForward(cfg, name="ffn1")(x, deterministic)
+        x = x + _MHSA(cfg, name="mhsa")(x, pad_mask, deterministic)
+        x = x + _ConvModule(cfg, name="conv")(x, pad_mask, deterministic)
+        x = x + 0.5 * _FeedForward(cfg, name="ffn2")(x, deterministic)
+        return nn.LayerNorm(dtype=cfg.dtype, name="ln_out")(x)
+
+
+class _ConvSubsample(nn.Module):
+    """Two stride-2 2-D convs over (time, freq): 4x time reduction."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats):
+        cfg = self.cfg
+        x = feats[..., None]  # (N, T, F, 1)
+        x = nn.Conv(
+            cfg.subsample_channels, (3, 3), strides=(2, 2), dtype=cfg.dtype,
+            name="conv1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            cfg.subsample_channels, (3, 3), strides=(2, 2), dtype=cfg.dtype,
+            name="conv2",
+        )(x)
+        x = nn.relu(x)
+        N, T4, F4, C = x.shape
+        x = x.reshape(N, T4, F4 * C)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="proj")(x)
+
+
+class ConformerCTC(nn.Module):
+    """Conformer encoder + CTC head.
+
+    Call with batch-major feats ``(N, T, num_filts)`` and lengths ``(N,)``;
+    returns ``(logits, out_lens)`` where logits is ``(N, T', vocab_size + 1)``
+    float32 with the blank at index ``vocab_size`` (the convention
+    :class:`pydrobert_tpu.ops.decoding.CTCPrefixSearch` expects) and
+    ``T' = ceil(ceil(T/2)/2)``.
+    """
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats, lens, deterministic: bool = True):
+        cfg = self.cfg
+        # zero frames past each utterance's length so no garbage leaks through
+        # the SAME-padded subsampling convs into the last valid frame
+        in_mask = jnp.arange(feats.shape[1])[None] < lens[:, None]
+        feats = feats * in_mask[..., None].astype(feats.dtype)
+        x = _ConvSubsample(cfg, name="subsample")(feats.astype(cfg.dtype))
+        out_lens = -(-(-(-lens // 2)) // 2)  # ceil-div by 2, twice
+        N, T4, _ = x.shape
+        pad_mask = jnp.arange(T4)[None] < out_lens[:, None]  # (N, T')
+        x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
+        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        for i in range(cfg.num_layers):
+            x = _ConformerBlock(cfg, name=f"block_{i}")(
+                x, pad_mask, deterministic
+            )
+        logits = nn.Dense(
+            cfg.vocab_size + 1, dtype=jnp.float32, name="ctc_head"
+        )(x.astype(jnp.float32))
+        return logits, out_lens
+
+
+def conformer_partition_rules(
+    path: Tuple[Any, ...], leaf: jax.Array
+) -> PartitionSpec:
+    """Tensor-parallel PartitionSpec for a ConformerCTC param path.
+
+    Layout follows the Megatron pattern XLA shards well: expand projections
+    (ffn wi, attention qkv, ctc head) split their *output* features over the
+    "model" axis; contract projections (ffn wo, attention out) split their
+    *input* features, so each pair needs a single psum on the contract — XLA
+    inserts it from these shardings. Everything else (norms, biases, convs)
+    is replicated.
+    """
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    joined = "/".join(str(n) for n in names)
+    if leaf.ndim >= 2 and names and str(names[-1]) == "kernel":
+        if "wi/" in joined or joined.endswith("wi/kernel"):
+            return PartitionSpec(None, "model")
+        if "wo/" in joined or joined.endswith("wo/kernel"):
+            return PartitionSpec("model", None)
+        if any(f"attn/{w}" in joined for w in ("query", "key", "value")):
+            # (embed, heads, head_dim): shard heads
+            return PartitionSpec(None, "model", None)
+        if "attn/out" in joined:
+            return PartitionSpec("model", None, None)
+        if "ctc_head" in joined:
+            return PartitionSpec(None, "model")
+    return PartitionSpec()
+
+
+def ctc_loss(
+    logits: jax.Array,
+    logit_lens: jax.Array,
+    refs: jax.Array,
+    ref_lens: jax.Array,
+    blank_id: int,
+) -> jax.Array:
+    """Mean per-utterance CTC loss from batch-major logits and dense refs."""
+    N, T, _ = logits.shape
+    U = refs.shape[1]
+    logit_pad = (jnp.arange(T)[None] >= logit_lens[:, None]).astype(jnp.float32)
+    label_pad = (jnp.arange(U)[None] >= ref_lens[:, None]).astype(jnp.float32)
+    per_utt = optax.ctc_loss(
+        logits, logit_pad, refs, label_pad, blank_id=blank_id
+    )
+    return per_utt.mean()
+
+
+def make_train_step(
+    model: ConformerCTC,
+    optimizer: optax.GradientTransformation,
+    augment: Optional[Callable[[jax.Array, jax.Array, jax.Array], jax.Array]] = None,
+) -> Callable:
+    """Build a pure, jittable training step.
+
+    ``step(params, opt_state, key, feats, feat_lens, refs, ref_lens) ->
+    (params, opt_state, loss)``. `augment` optionally maps
+    ``(key, feats, lens) -> feats`` (e.g. SpecAugment) before the forward.
+    Under ``jax.jit`` with sharded params/batch this is the full multi-chip
+    training step: XLA inserts the DP grad psum and TP contraction psums
+    from the shardings alone.
+    """
+    blank_id = model.cfg.vocab_size
+
+    def loss_fn(params, key, feats, feat_lens, refs, ref_lens):
+        k_aug, k_drop = jax.random.split(key)
+        if augment is not None:
+            feats = augment(k_aug, feats, feat_lens)
+        logits, out_lens = model.apply(
+            {"params": params},
+            feats,
+            feat_lens,
+            deterministic=False,
+            rngs={"dropout": k_drop},
+        )
+        return ctc_loss(logits, out_lens, refs, ref_lens, blank_id)
+
+    def step(params, opt_state, key, feats, feat_lens, refs, ref_lens):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key, feats, feat_lens, refs, ref_lens
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

@@ -1,0 +1,32 @@
+"""Mesh/sharding utilities for multi-chip TPU execution.
+
+The reference library's only parallelism is data parallelism via
+``torch.distributed`` hooks (SURVEY.md §2, reference ``_dataloaders.py:84-105``,
+``training.py:887-908``). The TPU-native equivalent is declarative: build a
+:class:`jax.sharding.Mesh` over the chips, annotate array shardings, and let
+XLA insert the collectives over ICI. This subpackage holds those utilities
+plus model-parallel (tensor-parallel) parameter sharding rules used by
+:mod:`pydrobert_tpu.models`.
+"""
+
+from .mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    all_reduce_metrics,
+    batch_sharding,
+    host_shard_info,
+    make_mesh,
+    replicated_sharding,
+    shard_params,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "all_reduce_metrics",
+    "batch_sharding",
+    "host_shard_info",
+    "make_mesh",
+    "replicated_sharding",
+    "shard_params",
+]

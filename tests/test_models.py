@@ -1,0 +1,117 @@
+"""Flagship model family + sharding tests (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pydrobert_tpu.models import (
+    ConformerConfig,
+    ConformerCTC,
+    conformer_partition_rules,
+    make_train_step,
+)
+from pydrobert_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_params,
+)
+
+CFG = ConformerConfig(
+    vocab_size=32,
+    num_filts=8,
+    d_model=16,
+    num_layers=2,
+    num_heads=2,
+    subsample_channels=4,
+    conv_kernel=5,
+    dtype=jnp.float32,
+)
+
+
+def _init(key, N=4, T=32):
+    model = ConformerCTC(CFG)
+    feats = jnp.asarray(np.random.randn(N, T, CFG.num_filts), jnp.float32)
+    lens = jnp.asarray(np.random.randint(T // 2, T + 1, (N,)), jnp.int32)
+    params = model.init(key, feats, lens)["params"]
+    return model, params, feats, lens
+
+
+def test_forward_shapes_and_masking(key, jit_fn):
+    model, params, feats, lens = _init(key)
+    fn = jit_fn(
+        lambda p, f, l: model.apply({"params": p}, f, l)
+    )
+    logits, out_lens = fn(params, feats, lens)
+    N, T = feats.shape[:2]
+    T4 = -(-(-(-T // 2)) // 2)
+    assert logits.shape == (N, T4, CFG.vocab_size + 1)
+    assert logits.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out_lens), -(-(-(-np.asarray(lens) // 2)) // 2)
+    )
+    # frames past an utterance's length must not influence its outputs
+    feats2 = feats.at[0, int(lens[0]):].set(1000.0)
+    logits2, _ = fn(params, feats2, lens)
+    valid = int(out_lens[0])
+    np.testing.assert_allclose(
+        np.asarray(logits[0, :valid]),
+        np.asarray(logits2[0, :valid]),
+        atol=1e-5,
+    )
+
+
+def test_train_step_descends(key):
+    model, params, feats, lens = _init(key, N=4, T=32)
+    U = 4
+    refs = jnp.asarray(np.random.randint(0, CFG.vocab_size, (4, U)), jnp.int32)
+    ref_lens = jnp.full((4,), U, jnp.int32)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(model, optimizer))
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(key, i),
+            feats, lens, refs, ref_lens,
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_train_step_matches_single_device(key):
+    model, params, feats, lens = _init(key, N=8, T=64)
+    refs = jnp.asarray(np.random.randint(0, CFG.vocab_size, (8, 3)), jnp.int32)
+    ref_lens = jnp.full((8,), 3, jnp.int32)
+    optimizer = optax.sgd(1e-2)
+    step = make_train_step(model, optimizer)
+
+    # single-device oracle
+    opt_state = optimizer.init(params)
+    p1, _, loss1 = jax.jit(step)(
+        params, opt_state, key, feats, lens, refs, ref_lens
+    )
+
+    mesh = make_mesh(model_parallelism=2)
+    sp = shard_params(params, mesh, conformer_partition_rules)
+    sopt = jax.device_put(optimizer.init(sp), replicated_sharding(mesh))
+    bs = batch_sharding(mesh)
+    sfeats, slens, srefs, sref_lens = (
+        jax.device_put(x, bs) for x in (feats, lens, refs, ref_lens)
+    )
+    skey = jax.device_put(key, replicated_sharding(mesh))
+    p8, _, loss8 = jax.jit(step)(
+        sp, sopt, skey, sfeats, slens, srefs, sref_lens
+    )
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        p1,
+        jax.device_get(p8),
+    )
