@@ -17,16 +17,19 @@ are jit-constant).
 """
 
 import abc
-from typing import Any, Dict, Optional, Tuple, Union
+from logging import Logger
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .utils import pytree as _pytree
 
 __all__ = [
     "ExtractableSequentialLanguageModel",
     "ExtractableShallowFusionLanguageModel",
+    "LookupLanguageModel",
     "MixableSequentialLanguageModel",
     "MixableShallowFusionLanguageModel",
     "SequentialLanguageModel",
@@ -232,3 +235,288 @@ class MixableShallowFusionLanguageModel(
             self.first.mix_by_mask(at, af, mask),
             self.second.mix_by_mask(bt, bf, mask),
         )
+
+
+# ---------------------------------------------------------------------------
+# LookupLanguageModel: backoff n-gram model via open-addressing hash tables
+# ---------------------------------------------------------------------------
+
+_EMPTY_KEY = np.int32(np.iinfo(np.int32).min)
+_FNV_BASIS = np.uint32(2166136261)
+_FNV_PRIME = np.uint32(16777619)
+
+
+def _fnv_mix_np(h: np.ndarray, x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (h ^ x.astype(np.uint32)) * _FNV_PRIME
+
+
+def _fnv_fin_np(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint32(15))
+        h = h * np.uint32(0x85EBCA6B)
+        return h ^ (h >> np.uint32(13))
+
+
+def _fnv_mix_jnp(h: jax.Array, x: jax.Array) -> jax.Array:
+    return (h ^ x.astype(jnp.uint32)) * jnp.uint32(int(_FNV_PRIME))
+
+
+def _fnv_fin_jnp(h: jax.Array) -> jax.Array:
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0x85EBCA6B)
+    return h ^ (h >> jnp.uint32(13))
+
+
+class _HashTable:
+    """Host-built open-addressing (linear probe) table of int32 id-tuples.
+
+    Keys are n-token id sequences, earliest token first; values are
+    ``(logp, logb)`` float32 pairs. Lookup on device is `max_probe`
+    vectorized gathers + exact key comparison, so collisions cannot corrupt
+    results (full keys are stored and compared).
+    """
+
+    def __init__(self, entries: Dict[Tuple[int, ...], Tuple[float, float]], n: int):
+        count = len(entries)
+        size = 1 << max(1, (max(2 * count, 2) - 1).bit_length())
+        keys = np.full((size, n), _EMPTY_KEY, np.int32)
+        vals = np.zeros((size, 2), np.float32)
+        mask = np.uint32(size - 1)
+        max_probe = 0
+        for key, val in entries.items():
+            h = _FNV_BASIS
+            for tok in key:
+                h = _fnv_mix_np(h, np.uint32(np.int64(tok)))
+            slot = int(_fnv_fin_np(h) & mask)
+            probe = 1
+            while keys[slot, 0] != _EMPTY_KEY:
+                slot = (slot + 1) % size
+                probe += 1
+            keys[slot] = key
+            vals[slot] = val
+            max_probe = max(max_probe, probe)
+        self.n, self.size, self.max_probe = n, size, max_probe
+        self.keys, self.vals = keys, vals
+
+    def lookup(self, qkeys: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """(found, (logp, logb)) for query keys ``(..., n)`` int32."""
+        keys = jnp.asarray(self.keys)
+        vals = jnp.asarray(self.vals)
+        h = jnp.full(qkeys.shape[:-1], int(_FNV_BASIS), jnp.uint32)
+        for j in range(self.n):
+            h = _fnv_mix_jnp(h, qkeys[..., j])
+        h = _fnv_fin_jnp(h)
+        mask = jnp.uint32(self.size - 1)
+        found = jnp.zeros(h.shape, bool)
+        val = jnp.zeros(h.shape + (2,), jnp.float32)
+        for d in range(self.max_probe):
+            slot = ((h + jnp.uint32(d)) & mask).astype(jnp.int32)
+            k = keys[slot]
+            match = jnp.all(k == qkeys, -1) & ~found
+            val = jnp.where(match[..., None], vals[slot], val)
+            found = found | match
+        return found, val
+
+
+class LookupLanguageModel(MixableSequentialLanguageModel):
+    r"""Backoff n-gram language model from a fixed lookup table.
+
+    Computes :math:`\Pr(w_t | w_{t-1}, \ldots, w_{t-(N-1)})` from stored
+    n-gram log-probabilities, backing off to shorter histories with a
+    penalty when the full n-gram is absent; missing entries have probability
+    0 and missing backoff penalties 1. Histories shorter than ``N - 1`` are
+    padded with `sos`. Capability parity with the reference's
+    ``LookupLanguageModel`` (``_lm.py:518-904``, validated there against
+    KenLM).
+
+    TPU-first design: instead of the reference's reverse trie (pointer
+    chasing with data-dependent descendant scans, ``_lm.py:403-515``), each
+    n-gram order is an open-addressing **hash table** in flat device arrays
+    (like KenLM's "probing" format [heafield2011]). A query for all ``V``
+    extensions of a batch of histories is a fixed number of vectorized
+    gathers per order — no sequential dependence, no sos id shifting, exact
+    (full keys are stored and compared).
+
+    Stateless as a sequential LM: the state dict is empty and histories are
+    re-queried each step.
+    """
+
+    def __init__(
+        self,
+        vocab_size: int,
+        sos: int,
+        prob_dicts: Optional[List[dict]] = None,
+        destructive: bool = False,
+        logger: Optional[Logger] = None,
+    ):
+        from . import argcheck
+
+        super().__init__(vocab_size)
+        self.sos = argcheck.is_int(sos, "sos")
+        info = logger.info if logger is not None else (lambda msg: None)
+        V = vocab_size
+        if prob_dicts is None:
+            prob_dicts = [{w: -float(np.log(V)) for w in range(V)}]
+        elif not len(prob_dicts):
+            raise ValueError("prob_dicts must contain at least unigrams")
+        elif not destructive:
+            prob_dicts = [d.copy() for d in prob_dicts]
+        N = self.max_ngram = len(prob_dicts)
+        if not prob_dicts[-1]:
+            raise ValueError("Final element in prob_dicts must not be empty")
+        valid_ids = set(range(V))
+        valid_ids.add(sos)
+        # validate ids and auto-complete missing contexts with (-inf, 0.0),
+        # mirroring the reference's trie build (_lm.py:922-962)
+        for n in range(N - 1, -1, -1):
+            info(f"checking prob_dict of order {n + 1}")
+            prob_dict = prob_dicts[n]
+            if n == 0:
+                extra = set(prob_dict) - valid_ids
+                if extra:
+                    raise ValueError(
+                        f"Unexpected unigrams in prob_dicts: {extra} "
+                        "(are these ids?)"
+                    )
+            else:
+                for seq in list(prob_dict):
+                    if not isinstance(seq, tuple) or len(seq) != n + 1:
+                        raise ValueError(
+                            f"Key {seq} in {n + 1}-gram is not a sequence of "
+                            f"length {n + 1}"
+                        )
+                    extra = set(seq) - valid_ids
+                    if extra:
+                        raise ValueError(
+                            f"Unexpected tokens in {n + 1}-gram in "
+                            f"prob_dicts: {extra} (are these ids?)"
+                        )
+                    suffix = seq[1:] if len(seq) > 2 else seq[1]
+                    if suffix not in prob_dicts[n - 1]:
+                        prob_dicts[n - 1][suffix] = (-float("inf"), 0.0)
+        # dense unigram log-probs over [0, V); sos's unigram prob is never
+        # queried (it can't be a next token in [0, V)) but its backoff is
+        uni = np.full((V,), -np.inf, np.float32)
+        for w, val in prob_dicts[0].items():
+            logp = val[0] if N > 1 else val
+            if isinstance(logp, tuple):  # unigram-only model with backoffs
+                logp = logp[0]
+            if 0 <= w < V:
+                uni[w] = logp
+        self._uni_logp = uni
+        # context tables (orders 1..N-1): key -> (logp?, logb); the order-1
+        # table also holds sos's backoff
+        self._ctx_tables: List[_HashTable] = []
+        for n in range(0, N - 1):
+            entries = {}
+            for key, val in prob_dicts[n].items():
+                key_t = (key,) if n == 0 else tuple(key)
+                logb = float(val[1])
+                if logb != 0.0:
+                    entries[key_t] = (0.0, logb)
+            info(f"building context table of order {n + 1} ({len(entries)})")
+            self._ctx_tables.append(_HashTable(entries, n + 1))
+        # full n-gram probability tables (orders 2..N)
+        self._prob_tables: List[_HashTable] = []
+        for n in range(1, N):
+            entries = {}
+            for key, val in prob_dicts[n].items():
+                logp = float(val[0]) if n < N - 1 else float(val)
+                if np.isfinite(logp):
+                    entries[tuple(key)] = (logp, 0.0)
+            info(f"building prob table of order {n + 1} ({len(entries)})")
+            self._prob_tables.append(_HashTable(entries, n + 1))
+
+    def extract_by_src(self, prev: StateDict, src: jax.Array) -> StateDict:
+        return prev
+
+    def mix_by_mask(self, prev_true, prev_false, mask) -> StateDict:
+        return prev_true
+
+    def _context(self, hist: jax.Array, idx: jax.Array) -> jax.Array:
+        """Last ``N - 1`` tokens before `idx`, sos-padded: ``(N - 1, B)``,
+        most recent first."""
+        S, B = hist.shape
+        N = self.max_ngram
+        idxs = jnp.broadcast_to(jnp.asarray(idx, jnp.int32), (B,))
+        pos = idxs[None, :] - 1 - jnp.arange(N - 1, dtype=jnp.int32)[:, None]
+        if S == 0:
+            return jnp.full((N - 1, B), self.sos, jnp.int32)
+        gathered = hist[jnp.clip(pos, 0, S - 1), jnp.arange(B)[None, :]]
+        return jnp.where(pos >= 0, gathered.astype(jnp.int32), self.sos)
+
+    def calc_idx_log_probs(
+        self, hist: jax.Array, prev: StateDict, idx: jax.Array
+    ) -> Tuple[jax.Array, StateDict]:
+        hist = jnp.asarray(hist)
+        if hist.ndim != 2:
+            raise RuntimeError("hist must be 2 dimensional")
+        B = hist.shape[1]
+        V, N = self.vocab_size, self.max_ngram
+        lp = jnp.broadcast_to(jnp.asarray(self._uni_logp), (B, V))
+        if N == 1:
+            return lp, prev
+        ctx = self._context(hist, idx)  # (N-1, B), most recent first
+        vrange = jnp.arange(V, dtype=jnp.int32)
+        for n in range(2, N + 1):
+            # key tokens earliest-first: (w_{t-n+1}, ..., w_{t-1})
+            ctx_n = ctx[: n - 1][::-1].T  # (B, n-1)
+            bo_found, bo_val = self._ctx_tables[n - 2].lookup(ctx_n)
+            logb = jnp.where(bo_found, bo_val[..., 1], 0.0)  # (B,)
+            qkeys = jnp.concatenate(
+                [
+                    jnp.broadcast_to(ctx_n[:, None], (B, V, n - 1)),
+                    jnp.broadcast_to(vrange[None, :, None], (B, V, 1)),
+                ],
+                -1,
+            )
+            p_found, p_val = self._prob_tables[n - 2].lookup(qkeys)  # (B, V)
+            lp = jnp.where(p_found, p_val[..., 0], lp + logb[:, None])
+        return lp, prev
+
+    def calc_full_log_probs(self, hist: jax.Array, prev: StateDict) -> jax.Array:
+        hist = jnp.asarray(hist)
+        S = hist.shape[0]
+
+        def step(t):
+            return self.calc_idx_log_probs(hist, prev, t)[0]
+
+        return jax.vmap(step)(jnp.arange(S + 1, dtype=jnp.int32))
+
+    # -- persistence (reference analogue: custom state dict, _lm.py:850-904)
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        d = {
+            "uni_logp": self._uni_logp,
+            "meta": np.asarray([self.vocab_size, self.sos, self.max_ngram]),
+        }
+        for name, tables in (
+            ("ctx", self._ctx_tables),
+            ("prob", self._prob_tables),
+        ):
+            for i, t in enumerate(tables):
+                d[f"{name}{i}_keys"] = t.keys
+                d[f"{name}{i}_vals"] = t.vals
+                d[f"{name}{i}_probe"] = np.asarray([t.max_probe])
+        return d
+
+    def load_state_dict(self, d: Dict[str, np.ndarray]) -> None:
+        self.vocab_size, self.sos, self.max_ngram = (
+            int(x) for x in d["meta"]
+        )
+        self._uni_logp = np.asarray(d["uni_logp"], np.float32)
+
+        def load(name, i):
+            t = _HashTable.__new__(_HashTable)
+            t.keys = np.asarray(d[f"{name}{i}_keys"], np.int32)
+            t.vals = np.asarray(d[f"{name}{i}_vals"], np.float32)
+            t.size, t.n = t.keys.shape
+            t.max_probe = int(d[f"{name}{i}_probe"][0])
+            return t
+
+        self._ctx_tables = [
+            load("ctx", i) for i in range(self.max_ngram - 1)
+        ]
+        self._prob_tables = [
+            load("prob", i) for i in range(self.max_ngram - 1)
+        ]

@@ -1,0 +1,214 @@
+"""LookupLanguageModel parity tests vs the reference (KenLM-validated)."""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pydrobert_tpu.data import parse_arpa_lm
+from pydrobert_tpu.lm import LookupLanguageModel
+
+
+def _random_backoff_lm(V, N, seed, sos, density=0.5):
+    """Random but well-formed prob_dicts (ids in [0, V), sos allowed in ctx)."""
+    rng = np.random.RandomState(seed)
+    dicts = []
+    vocab = list(range(V))
+    ctx_vocab = vocab + [sos]
+    for n in range(1, N + 1):
+        d = {}
+        if n == 1:
+            for w in vocab:
+                logp = float(-rng.rand() * 3 - 0.1)
+                d[w] = logp if N == 1 else (logp, float(-rng.rand()))
+            if N > 1:
+                d[sos] = (float("-inf"), float(-rng.rand()))
+        else:
+            count = max(1, int(density * V ** min(n, 2) * 2))
+            for _ in range(count):
+                key = tuple(
+                    int(rng.choice(ctx_vocab)) for _ in range(n - 1)
+                ) + (int(rng.choice(vocab)),)
+                val = float(-rng.rand() * 5 - 0.1)
+                d[key] = val if n == N else (val, float(-rng.rand()))
+        dicts.append(d)
+    return dicts
+
+
+@pytest.fixture(scope="session")
+def ref_lm_mod():
+    import sys
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    try:
+        import pydrobert.torch._lm as ref_lm
+    except ImportError:
+        pytest.skip("reference library unavailable")
+    return ref_lm
+
+
+def _oracle_log_probs(prob_dicts, hist, sos, V):
+    """Brute-force ARPA backoff lookup (like the reference's own test oracle,
+    reference ``tests/test_lm.py:246-276``)."""
+    N = len(prob_dicts)
+
+    def lookup(query, backoff=False):
+        n = len(query)
+        key = query[0] if n == 1 else query
+        val = prob_dicts[n - 1].get(key, None)
+        if val is None:
+            if backoff:
+                return 0.0
+            if n == 1:
+                return -np.inf
+            return lookup(query[1:]) + lookup(query[:-1], True)
+        if n == N:
+            return val if not backoff else 0.0
+        return val[1 if backoff else 0]
+
+    S, B = hist.shape
+    out = np.empty((S + 1, B, V), np.float32)
+    for t in range(S + 1):
+        for b in range(B):
+            ctx = [sos] * max(N - 1 - t, 0) + list(hist[max(t - N + 1, 0):t, b])
+            for v in range(V):
+                out[t, b, v] = lookup(tuple(ctx) + (v,))
+    return out
+
+
+@pytest.mark.parametrize("N", [1, 2, 3, 5])
+@pytest.mark.parametrize("sos", [-1, 5])
+def test_lookup_lm_matches_reference(ref_lm_mod, seeded, N, sos):
+    import torch
+
+    V, B, S = 10, 7, 12
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos)
+    ours = LookupLanguageModel(
+        V, sos=sos, prob_dicts=[d.copy() for d in prob_dicts]
+    )
+    hist = np.random.randint(0, V, (S, B))
+    exp = _oracle_log_probs(prob_dicts, hist, sos, V)
+    act = np.asarray(ours(jnp.asarray(hist)))
+    np.testing.assert_allclose(act, exp, rtol=1e-4, atol=1e-5)
+    try:
+        ref = ref_lm_mod.LookupLanguageModel(
+            V, sos=sos, prob_dicts=[d.copy() for d in prob_dicts]
+        )
+    except IndexError:
+        # the reference's trie build underflows its unsigned offset dtype on
+        # many small LMs (reference _lm.py:1068-1070, `parent -= 1` wraps to
+        # 255); the oracle above is the dependable cross-check
+        ref = None
+    if ref is not None:
+        ref_lp = ref(torch.as_tensor(hist)).detach().numpy()
+        np.testing.assert_allclose(act, ref_lp, rtol=1e-4, atol=1e-5)
+    # single-idx queries, jitted
+    for idx in (0, 1, S // 2, S):
+        act_idx, _ = jax.jit(
+            lambda h, i: ours.calc_idx_log_probs(h, {}, i)
+        )(jnp.asarray(hist), jnp.asarray(idx, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(act_idx), exp[idx], rtol=1e-4, atol=1e-5, err_msg=str(idx)
+        )
+
+
+def test_lookup_lm_per_batch_idx(seeded):
+    V, B, S, N = 8, 5, 9, 3
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos=-1)
+    lm = LookupLanguageModel(V, sos=-1, prob_dicts=prob_dicts)
+    hist = jnp.asarray(np.random.randint(0, V, (S, B)))
+    idx = jnp.asarray(np.random.randint(0, S + 1, (B,)), jnp.int32)
+    per_batch, _ = lm(hist, idx=idx)
+    full = lm(hist)
+    for b in range(B):
+        np.testing.assert_allclose(
+            np.asarray(per_batch[b]), np.asarray(full[int(idx[b]), b]),
+            rtol=1e-6,
+        )
+
+
+def test_lookup_lm_uniform_default():
+    V = 6
+    lm = LookupLanguageModel(V, sos=V)
+    hist = jnp.zeros((0, 3), jnp.int32)
+    lp = lm(hist)
+    np.testing.assert_allclose(
+        np.asarray(lp), np.full((1, 3, V), -np.log(V)), rtol=1e-6
+    )
+
+
+def test_lookup_lm_state_dict_round_trip(seeded):
+    V, N = 9, 3
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos=V)
+    lm_a = LookupLanguageModel(V, sos=V, prob_dicts=prob_dicts)
+    lm_b = LookupLanguageModel(V, sos=V)  # different shape (unigram only)
+    lm_b.load_state_dict(lm_a.state_dict())
+    hist = jnp.asarray(np.random.randint(0, V, (6, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(lm_a(hist)), np.asarray(lm_b(hist))
+    )
+
+
+def test_lookup_lm_from_arpa(ref_lm_mod):
+    import torch
+
+    arpa = r"""
+\data\
+ngram 1=5
+ngram 2=3
+
+\1-grams:
+-0.8 <s> -0.3
+-0.9 </s>
+-0.5 a -0.2
+-0.6 b -0.25
+-1.1 c
+
+\2-grams:
+-0.4 <s> a
+-0.3 a b
+-0.7 b </s>
+
+\end\
+"""
+    token2id = {"<s>": 3, "</s>": 4, "a": 0, "b": 1, "c": 2}
+    V, sos = 5, 3
+    pd_ours = parse_arpa_lm(io.StringIO(arpa), token2id, to_base_e=False)
+    pd_oracle = parse_arpa_lm(io.StringIO(arpa), token2id, to_base_e=False)
+    ours = LookupLanguageModel(V, sos=sos, prob_dicts=pd_ours)
+    hist = np.array([[0, 1], [1, 4], [2, 0]])
+    act = np.asarray(ours(jnp.asarray(hist)))
+    exp = _oracle_log_probs(pd_oracle, hist, sos, V)
+    np.testing.assert_allclose(act, exp, rtol=1e-4, atol=1e-5)
+    try:
+        ref = ref_lm_mod.LookupLanguageModel(
+            V,
+            sos=sos,
+            prob_dicts=parse_arpa_lm(io.StringIO(arpa), token2id, to_base_e=False),
+        )
+    except IndexError:  # reference small-LM build bug (see above)
+        ref = None
+    if ref is not None:
+        ref_lp = ref(torch.as_tensor(hist)).detach().numpy()
+        np.testing.assert_allclose(act, ref_lp, rtol=1e-4, atol=1e-5)
+
+
+def test_lookup_lm_shallow_fusion_in_ctc_search(seeded):
+    """LookupLanguageModel plugs into CTCPrefixSearch as a mixable LM."""
+    from pydrobert_tpu.ops.decoding import CTCPrefixSearch
+
+    V, B, T, W, N = 6, 3, 8, 4, 2
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos=V)
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=prob_dicts)
+    logits = jnp.asarray(np.random.randn(T, B, V + 1), jnp.float32)
+    lens = jnp.asarray([T, T - 2, T // 2], jnp.int32)
+    search = CTCPrefixSearch(W, beta=0.5, lm=lm)
+    y, y_lens, y_probs = search(logits, lens)
+    assert y.shape[1:] == (B, W)
+    assert np.all(np.asarray(y_lens) <= np.asarray(lens)[:, None])
+    nofuse = CTCPrefixSearch(W)
+    y0, _, _ = nofuse(logits, lens)
+    assert not np.array_equal(np.asarray(y), np.asarray(y0))
