@@ -168,3 +168,104 @@ def enumerate_binary_sequences_with_cardinality(
         ]
         out[b][: len(keep)] = keep
     return jnp.asarray(out), jnp.asarray(binom)
+
+
+class SimpleRandomSamplingWithoutReplacement:
+    r"""Uniform distribution over fixed-cardinality binary vectors.
+
+    Supports highly-parallel sampling (Fan 1962 sequential draws via
+    ``lax.scan``), exact log-probabilities, and support enumeration. Parity:
+    reference ``SimpleRandomSamplingWithoutReplacement``
+    (``_combinatorics.py:415-597``), with explicit PRNG keys.
+    """
+
+    def __init__(self, given_count, total_count, out_size=None):
+        total_count = jnp.asarray(total_count)
+        given_count = jnp.asarray(given_count)
+        total_count, given_count = jnp.broadcast_arrays(
+            total_count, given_count
+        )
+        if out_size is None:
+            out_size = int(np.max(np.asarray(total_count)))
+        self.total_count, self.given_count = total_count, given_count
+        self.out_size = int(out_size)
+
+    @property
+    def batch_shape(self):
+        return self.given_count.shape
+
+    @property
+    def event_shape(self):
+        return (self.out_size,)
+
+    @property
+    def has_enumerate_support(self) -> bool:
+        tc = np.asarray(self.total_count).ravel()
+        gc = np.asarray(self.given_count).ravel()
+        return bool((tc == tc[0]).all() and (gc == gc[0]).all())
+
+    def enumerate_support(self, expand: bool = True) -> jax.Array:
+        if not self.has_enumerate_support:
+            raise NotImplementedError(
+                "total_count must all be equal and given_count must all be "
+                "equal to enumerate support"
+            )
+        total = int(np.asarray(self.total_count).ravel()[0])
+        given = int(np.asarray(self.given_count).ravel()[0])
+        support = enumerate_binary_sequences_with_cardinality(
+            total, given
+        ).astype(jnp.float32)
+        if self.out_size != total:
+            support = jnp.pad(
+                support, ((0, 0), (0, self.out_size - total))
+            )
+        support = support.reshape(
+            (-1,) + (1,) * len(self.batch_shape) + (self.out_size,)
+        )
+        if expand:
+            support = jnp.broadcast_to(
+                support, (support.shape[0],) + self.batch_shape + (self.out_size,)
+            )
+        return support
+
+    @property
+    def log_partition(self) -> jax.Array:
+        """log C(total_count, given_count), batched."""
+        log_factorial = jnp.cumsum(
+            jnp.log(jnp.arange(1, self.out_size + 1, dtype=jnp.float32)), 0
+        )
+        tc = self.total_count.astype(jnp.int32)
+        gc = self.given_count.astype(jnp.int32)
+        t_idx = jnp.clip(tc - 1, 0, None)
+        g_idx = jnp.clip(gc - 1, 0, None)
+        tmg_idx = jnp.clip(tc - gc - 1, 0, None)
+        return (
+            log_factorial[t_idx]
+            - log_factorial[g_idx]
+            - log_factorial[tmg_idx]
+        )
+
+    @property
+    def mean(self) -> jax.Array:
+        len_mask = self.total_count[..., None] <= jnp.arange(self.out_size)
+        m = (
+            self.given_count / jnp.clip(self.total_count, 1, None)
+        )[..., None]
+        return jnp.where(len_mask, 0.0, jnp.broadcast_to(
+            m, self.batch_shape + (self.out_size,)
+        ))
+
+    @property
+    def variance(self) -> jax.Array:
+        return self.mean * (1 - self.mean)
+
+    def sample(self, key: jax.Array, sample_shape=()) -> jax.Array:
+        shape = tuple(sample_shape) + self.batch_shape
+        total_count = jnp.broadcast_to(self.total_count, shape)
+        given_count = jnp.broadcast_to(self.given_count, shape)
+        return simple_random_sampling_without_replacement(
+            key, total_count, given_count, self.out_size
+        )
+
+    def log_prob(self, value: jax.Array) -> jax.Array:
+        return jnp.broadcast_to(-self.log_partition, value.shape[:-1])

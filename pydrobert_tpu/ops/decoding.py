@@ -1008,3 +1008,196 @@ class SequenceLogProbabilities:
 
     def __call__(self, logits, hyp):
         return sequence_log_probs(logits, hyp, self.dim, self.eos)
+
+
+class TokenSequenceConstraint:
+    """Support constraint for completed token sequences.
+
+    A value is in-support when its tokens lie in ``[0, vocab_size)`` and the
+    sequence is completed: its length equals `max_iters`, or it contains an
+    `eos` within `max_iters` steps. Parity: reference
+    ``TokenSequenceConstraint`` (``_decoding.py:1724-1770``).
+    """
+
+    is_discrete = True
+    event_dim = 1
+
+    def __init__(self, vocab_size, eos=None, max_iters=None):
+        from .. import argcheck
+
+        self.vocab_size = argcheck.is_posi(vocab_size, "vocab_size")
+        if eos is None and max_iters is None:
+            raise ValueError("At least one of max_iters or eos must be non-none")
+        self.eos = argcheck.is_int(eos, "eos", allow_none=True)
+        self.max_iters = (
+            float("inf") if max_iters is None
+            else argcheck.is_nonnegi(max_iters, "max_iters")
+        )
+
+    def check(self, value: jax.Array) -> jax.Array:
+        value = jnp.asarray(value)
+        completed = jnp.full(value.shape[:-1], value.shape[-1] == self.max_iters)
+        if self.eos is not None:
+            from .string import fill_after_eos
+
+            value = fill_after_eos(value, self.eos, -1)
+            completed = (
+                (value == self.eos).any(-1) & (value.shape[-1] <= self.max_iters)
+            ) | completed
+        in_vocab = (
+            (value % 1 == 0) & (value >= 0) & (value < self.vocab_size)
+        ).all(-1)
+        return in_vocab & completed
+
+
+class SequentialLanguageModelDistribution:
+    """A :class:`RandomWalk`'s language model as a distribution over
+    token sequences.
+
+    Samples are drawn via the walk (explicit PRNG key); log-probabilities
+    come from the LM's full step distributions summed up to the first eos.
+    Can be passed to any :class:`pydrobert_tpu.estimators.Estimator`.
+    Parity: reference ``SequentialLanguageModelDistribution``
+    (``_decoding.py:1773-2029``), with two TPU deviations: `max_iters` is
+    required (static shapes; samples are padded to it with `eos`), and
+    sample caching is keyed on object identity rather than array equality
+    (arrays may be traced).
+    """
+
+    def __init__(
+        self,
+        random_walk: RandomWalk,
+        batch_shape: Tuple[int, ...] = (),
+        initial_state: Optional[Dict[str, Any]] = None,
+        max_iters: Optional[int] = None,
+        cache_samples: bool = False,
+        validate_args: Optional[bool] = None,
+    ):
+        from .. import argcheck
+
+        if max_iters is None:
+            raise ValueError(
+                "max_iters must be set (static sequence bound on TPU)"
+            )
+        self.random_walk = random_walk
+        self.batch_shape = tuple(batch_shape)
+        self.event_shape = (argcheck.is_nonnegi(max_iters, "max_iters"),)
+        self.initial_state = dict() if initial_state is None else initial_state
+        self.max_iters = max_iters
+        self.cache_samples = argcheck.is_bool(cache_samples, "cache_samples")
+        self._samples_cache = None
+        self._log_probs_cache = None
+
+    @property
+    def support(self) -> TokenSequenceConstraint:
+        return TokenSequenceConstraint(
+            self.random_walk.lm.vocab_size, self.random_walk.eos, self.max_iters
+        )
+
+    def _pad_eos(self, y, y_lens):
+        if self.random_walk.eos is None:
+            return y
+        pos = jnp.arange(y.shape[0], dtype=jnp.int32)[:, None]
+        return jnp.where(pos >= y_lens[None], self.random_walk.eos, y)
+
+    def sample(self, key: jax.Array, sample_shape: Tuple[int, ...] = ()):
+        shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+        num_samples = 1
+        for d in sample_shape:
+            num_samples *= d
+        if num_samples == 0:
+            return jnp.zeros(shape, jnp.int32)
+        if len(self.batch_shape):
+            batch_size = self.batch_shape[0]
+            keys = jax.random.split(key, num_samples)
+            samples, log_probs = [], []
+            for k in keys:
+                y, y_lens, lp = self.random_walk(
+                    k, dict(self.initial_state), batch_size, self.max_iters
+                )
+                samples.append(self._pad_eos(y, y_lens).T)
+                log_probs.append(lp)
+            samples = jnp.stack(samples)  # (num, batch, S)
+            log_probs = jnp.stack(log_probs)
+        else:
+            y, y_lens, log_probs = self.random_walk(
+                key, dict(self.initial_state), num_samples, self.max_iters
+            )
+            samples = self._pad_eos(y, y_lens).T  # (num, S)
+        samples = samples.reshape(shape)
+        if self.cache_samples:
+            self._samples_cache = samples
+            self._log_probs_cache = log_probs.reshape(shape[:-1])
+        return samples
+
+    @property
+    def has_enumerate_support(self) -> bool:
+        return self.max_iters is not None
+
+    def enumerate_support(self, expand: bool = True) -> jax.Array:
+        from .combinatorics import enumerate_vocab_sequences
+
+        support = enumerate_vocab_sequences(
+            self.max_iters, self.random_walk.lm.vocab_size
+        )
+        if self.random_walk.eos is not None:
+            from .string import fill_after_eos
+
+            support = fill_after_eos(support, self.random_walk.eos, 1)
+            support = jnp.asarray(np.unique(np.asarray(support), axis=0))
+        if len(self.batch_shape):
+            support = support.reshape(
+                (-1,) + (1,) * len(self.batch_shape) + support.shape[-1:]
+            )
+            if expand:
+                support = jnp.broadcast_to(
+                    support,
+                    (support.shape[0],) + self.batch_shape + support.shape[-1:],
+                )
+        return support
+
+    def clear_cache(self) -> None:
+        """Manually clear the sample cache."""
+        self._samples_cache = self._log_probs_cache = None
+
+    def log_prob(self, value: jax.Array) -> jax.Array:
+        value = jnp.asarray(value)
+        if (
+            self.cache_samples
+            and self._samples_cache is not None
+            and self._samples_cache is value
+        ):
+            return self._log_probs_cache
+        lm, eos = self.random_walk.lm, self.random_walk.eos
+        shape = value.shape[:-1]
+        if len(self.batch_shape):
+            flat = value.reshape((-1,) + value.shape[-2:])  # (num, batch, S)
+            hists = jnp.swapaxes(flat, 1, 2)  # (num, S, batch)
+            log_probs = jnp.stack(
+                [
+                    lm(h[:-1].astype(jnp.int32), dict(self.initial_state))
+                    for h in hists
+                ]
+            )  # (num, S, batch, V)
+            lp = sequence_log_probs(
+                jnp.swapaxes(log_probs, 1, 2),
+                flat.astype(jnp.int32),
+                dim=-1,
+                eos=eos,
+            )
+        else:
+            hist = value.reshape(-1, value.shape[-1]).T  # (S, num)
+            log_probs = lm(
+                hist[:-1].astype(jnp.int32), dict(self.initial_state)
+            )  # (S, num, V)
+            lp = sequence_log_probs(
+                jnp.swapaxes(log_probs, 0, 1),
+                value.reshape(-1, value.shape[-1]).astype(jnp.int32),
+                dim=-1,
+                eos=eos,
+            )
+        lp = lp.reshape(shape)
+        if self.cache_samples:
+            self._samples_cache = value
+            self._log_probs_cache = lp
+        return lp
