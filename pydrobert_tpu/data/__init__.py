@@ -8,6 +8,37 @@ Host-side code is numpy; device hand-off produces (optionally sharded)
 ``jax.Array`` batches.
 """
 
+from .datasets import (  # noqa: F401
+    ContextWindowDataSet,
+    LangDataSet,
+    SpectDataSet,
+    extract_window,
+    validate_spect_data_set,
+)
+from .dataloaders import (  # noqa: F401
+    AbstractEpochSampler,
+    BucketBatchSampler,
+    ContextWindowDataLoader,
+    ContextWindowDataLoaderParams,
+    DataLoaderParams,
+    DynamicLengthDataLoaderParams,
+    EpochRandomSampler,
+    EpochSequentialSampler,
+    LangDataLoader,
+    LangDataLoaderParams,
+    SpectDataLoader,
+    SpectDataLoaderParams,
+    context_window_seq_to_batch,
+    lang_seq_to_batch,
+    spect_seq_to_batch,
+)
+from .params import (  # noqa: F401
+    ContextWindowDataParams,
+    LangDataParams,
+    SpectDataParams,
+    params_from_dict,
+    params_to_dict,
+)
 from .parsing import (  # noqa: F401
     parse_arpa_lm,
     read_ctm,
@@ -22,7 +53,32 @@ from .parsing import (  # noqa: F401
 )
 
 __all__ = [
+    "AbstractEpochSampler",
+    "BucketBatchSampler",
+    "ContextWindowDataLoader",
+    "ContextWindowDataLoaderParams",
+    "ContextWindowDataParams",
+    "ContextWindowDataSet",
+    "DataLoaderParams",
+    "DynamicLengthDataLoaderParams",
+    "EpochRandomSampler",
+    "EpochSequentialSampler",
+    "LangDataLoader",
+    "LangDataLoaderParams",
+    "LangDataParams",
+    "LangDataSet",
+    "SpectDataLoader",
+    "SpectDataLoaderParams",
+    "SpectDataParams",
+    "SpectDataSet",
+    "context_window_seq_to_batch",
+    "extract_window",
+    "lang_seq_to_batch",
+    "params_from_dict",
+    "params_to_dict",
     "parse_arpa_lm",
+    "spect_seq_to_batch",
+    "validate_spect_data_set",
     "read_ctm",
     "read_textgrid",
     "read_trn",

@@ -1,0 +1,140 @@
+"""Dataclass-based hyperparameter objects with optuna hooks.
+
+The reference uses the ``param`` library's ``Parameterized`` classes for
+dataset/loader/training configuration, each exposing ``get_tunable()`` /
+``suggest_params(trial, base, only, prefix)`` for optuna integration
+(e.g. reference ``_datasets.py:230-265``, ``_dataloaders.py:362-430``).
+This module provides the same surface on plain dataclasses: field bounds are
+validated on assignment, and ini/yaml round-trips are handled by
+:func:`params_to_dict` / :func:`params_from_dict`.
+"""
+
+import dataclasses
+from typing import Any, Container, Dict, List, Optional, Set, Tuple
+
+__all__ = [
+    "ContextWindowDataParams",
+    "LangDataParams",
+    "Parameterized",
+    "SpectDataParams",
+    "params_from_dict",
+    "params_to_dict",
+]
+
+
+@dataclasses.dataclass
+class Parameterized:
+    """Base for hyperparameter objects: bounds checks + optuna hooks."""
+
+    # per-field metadata: {"bounds": (lo, hi), "softbounds": (lo, hi)}
+    def __setattr__(self, name, value):
+        fields = {f.name: f for f in dataclasses.fields(self)}
+        f = fields.get(name)
+        if f is not None and value is not None:
+            bounds = f.metadata.get("bounds")
+            if bounds is not None:
+                lo, hi = bounds
+                if lo is not None and value < lo:
+                    raise ValueError(f"{name} must be >= {lo}, got {value}")
+                if hi is not None and value > hi:
+                    raise ValueError(f"{name} must be <= {hi}, got {value}")
+        super().__setattr__(name, value)
+
+    @classmethod
+    def get_tunable(cls) -> Set[str]:
+        """Names of hyperparameters the optuna hook can tune."""
+        return set()
+
+    @classmethod
+    def suggest_params(cls, trial, base=None, only=None, prefix: str = ""):
+        """Populate an instance with values suggested by an optuna trial."""
+        params = cls() if base is None else base
+        if only is None:
+            only = cls.get_tunable()
+        cls._suggest(trial, params, only, prefix)
+        return params
+
+    @classmethod
+    def _suggest(cls, trial, params, only: Container[str], prefix: str):
+        pass
+
+
+def params_to_dict(params: Parameterized) -> Dict[str, Any]:
+    """Serialize a params object to a plain dict (ini/yaml-friendly)."""
+    return dataclasses.asdict(params)
+
+
+def params_from_dict(cls, d: Dict[str, Any]) -> Parameterized:
+    """Deserialize a params object, validating field names."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    bad = set(d) - names
+    if bad:
+        raise ValueError(f"unknown parameters for {cls.__name__}: {sorted(bad)}")
+    return cls(**d)
+
+
+def _field(default, **metadata):
+    if isinstance(default, (list, dict, set)):
+        return dataclasses.field(
+            default_factory=lambda: type(default)(default), metadata=metadata
+        )
+    return dataclasses.field(default=default, metadata=metadata)
+
+
+@dataclasses.dataclass
+class LangDataParams(Parameterized):
+    """Parameters for :class:`LangDataSet` (reference ``_datasets.py:28-49``)."""
+
+    subset_ids: List[str] = _field([])
+    sos: Optional[int] = _field(None)
+    eos: Optional[int] = _field(None)
+
+
+@dataclasses.dataclass
+class SpectDataParams(LangDataParams):
+    """Parameters for :class:`SpectDataSet` (reference ``_datasets.py:230-265``)."""
+
+    delta_order: int = _field(0, bounds=(0, None), softbounds=(0, 2))
+    do_mvn: bool = _field(False)
+
+    @classmethod
+    def get_tunable(cls) -> Set[str]:
+        return {"delta_order", "do_mvn"}
+
+    @classmethod
+    def _suggest(cls, trial, params, only, prefix):
+        if "delta_order" in only:
+            lo, hi = dataclasses.fields(cls)[-2].metadata["softbounds"]
+            params.delta_order = trial.suggest_int(prefix + "delta_order", lo, hi)
+        if "do_mvn" in only:
+            params.do_mvn = trial.suggest_categorical(
+                prefix + "do_mvn", [True, False]
+            )
+
+
+@dataclasses.dataclass
+class ContextWindowDataParams(SpectDataParams):
+    """Parameters for :class:`ContextWindowDataSet`
+    (reference ``_datasets.py:1017-1067``)."""
+
+    context_left: int = _field(4, bounds=(0, None), softbounds=(3, 8))
+    context_right: int = _field(4, bounds=(0, None), softbounds=(3, 8))
+    reverse: bool = _field(False)
+
+    @classmethod
+    def get_tunable(cls) -> Set[str]:
+        return super().get_tunable() | {"context_left", "context_right", "reverse"}
+
+    @classmethod
+    def _suggest(cls, trial, params, only, prefix):
+        SpectDataParams._suggest(trial, params, only, prefix)
+        if "context_left" in only:
+            params.context_left = trial.suggest_int(prefix + "context_left", 3, 8)
+        if "context_right" in only:
+            params.context_right = trial.suggest_int(
+                prefix + "context_right", 3, 8
+            )
+        if "reverse" in only:
+            params.reverse = trial.suggest_categorical(
+                prefix + "reverse", [True, False]
+            )
