@@ -5,6 +5,11 @@ The headline value is batched CTC prefix beam search (width 16) throughput on
 B=32, T=500, V=1024 logits (target 5k utt/sec/chip); extra fields carry the
 SpecAugment throughput (B=16, T=1000, 80-mel; target 50k utt/sec/chip) and
 p50 per-utterance decode latency. Configs from BASELINE.json.
+
+Measurement notes: host->device dispatch over remote-device tunnels costs
+~0.5 ms/call and ``block_until_ready`` can be a no-op, so each measured
+program iterates its workload K times inside one jitted ``lax.scan`` (pure
+device time) and synchronizes via a device->host fetch.
 """
 
 import json
@@ -22,60 +27,68 @@ DECODE_TARGET = 5_000.0
 
 
 def _sync(out):
-    # Fetch one element to host: block_until_ready can be a no-op over
-    # remote-device tunnels, but a device->host read must drain the stream.
+    # device->host read drains the stream even where block_until_ready lies
     leaf = jax.tree_util.tree_leaves(out)[0]
     return np.asarray(leaf.reshape(-1)[:1])
 
 
-def _time(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        _sync(fn(*args))
+def _time(fn, *args, reps=3):
+    _sync(fn(*args))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(reps):
         out = fn(*args)
     _sync(out)
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / reps
 
 
-def bench_spec_augment():
+def bench_spec_augment(inner=16):
     B, T, F = 16, 1000, 80
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(B, T, F), jnp.float32)
-    lengths = jnp.asarray(
-        rng.randint(T // 2, T + 1, (B,)).astype(np.float32)
-    )
+    lengths = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.float32))
 
     @jax.jit
     def run(key, feats, lengths):
-        return spec_augment(
-            key,
-            feats,
-            max_time_warp=80.0,
-            max_freq_warp=0.0,
-            max_time_mask=100,
-            max_freq_mask=27,
-            max_time_mask_proportion=1.0,
-            num_time_mask=20,
-            num_time_mask_proportion=0.04,
-            num_freq_mask=2,
-            lengths=lengths,
-        )
+        def step(carry, k):
+            out = spec_augment(
+                k,
+                carry,
+                max_time_warp=80.0,
+                max_freq_warp=0.0,
+                max_time_mask=100,
+                max_freq_mask=27,
+                max_time_mask_proportion=1.0,
+                num_time_mask=20,
+                num_time_mask_proportion=0.04,
+                num_freq_mask=2,
+                lengths=lengths,
+            )
+            return out, None
+        out, _ = jax.lax.scan(step, feats, jax.random.split(key, inner))
+        return out
 
-    key = jax.random.PRNGKey(0)
-    dt = _time(run, key, feats, lengths, iters=50)
+    dt = _time(run, jax.random.PRNGKey(0), feats, lengths) / inner
     return B / dt
 
 
-def bench_ctc_beam16():
+def bench_ctc_beam16(inner=2):
     B, T, V, W = 32, 500, 1024, 16
     rng = np.random.RandomState(1)
     logits = jnp.asarray(rng.randn(T, B, V + 1), jnp.float32)
     lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
     search = CTCPrefixSearch(W)
 
-    run = jax.jit(lambda logits, lens: search(logits, lens))
-    dt = _time(run, logits, lens, iters=10)
+    @jax.jit
+    def run(logits, lens):
+        def step(carry, _):
+            y, y_lens, y_probs = search(carry, lens)
+            # fold outputs back in so iterations can't be elided
+            carry = carry + y_probs.sum() * 1e-9
+            return carry, y_lens
+        out, y_lens = jax.lax.scan(step, logits, None, length=inner)
+        return out, y_lens
+
+    dt = _time(run, logits, lens) / inner
     return B / dt, dt / B
 
 

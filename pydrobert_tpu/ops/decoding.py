@@ -446,27 +446,23 @@ def ctc_prefix_search_advance(
         nonext_probs_t, y_prev_last, axis=1
     )  # (N, Kp)
 
-    if tm1:
-        yT = jnp.moveaxis(y_prev, 0, 1)  # (N, T, Kp)
-        idx = jnp.clip(y_prev_lens, None, tm1 - 1)  # (N, Kp)
-        to_match = jnp.take_along_axis(
-            yT, jnp.broadcast_to(idx[:, :, None], (N, Kp, Kp)), axis=1
-        )  # [n, k, k'] = y_prev[lens[n,k], n, k']
-        to_match = jnp.clip(to_match, 0, V - 1)
-    else:
-        to_match = jnp.zeros((N, Kp, Kp), y_prev.dtype)
-    ext_is_exact = (
-        (y_prev_lens + 1)[:, :, None] == y_prev_lens[:, None, :]
-    ) & prev_is_prefix  # (N, Kp, Kp)
+    to_match, ext_is_exact = _ctc_match_info(
+        y_prev, y_prev_lens, prev_is_prefix, V
+    )
     absorbed = jnp.where(
         ext_is_exact,
         jnp.take_along_axis(nb_ext_probs_cand, to_match, axis=2),
         0.0,
     ).sum(1)
     nb_nonext_probs_cand = nb_nonext_probs_cand + absorbed
+    # scatter-max instead of a (N, Kp, Kp, V) one-hot blowup
+    n_idx = jnp.arange(N)[:, None, None]
+    k_idx = jnp.arange(Kp)[None, :, None]
     has_match = (
-        jax.nn.one_hot(to_match, V, dtype=bool) & ext_is_exact[..., None]
-    ).any(2)
+        jnp.zeros((N, Kp, V), bool)
+        .at[n_idx, k_idx, to_match]
+        .max(ext_is_exact)
+    )
     nb_ext_probs_cand = jnp.where(has_match, NEG_INF, nb_ext_probs_cand)
 
     tot_probs_cand = jnp.concatenate(
@@ -481,31 +477,182 @@ def ctc_prefix_search_advance(
     next_is_nonext = next_ind >= Kp * V
     next_src = jnp.where(next_is_nonext, next_ind - Kp * V, next_ind // V)
     next_ext = next_ind % V
-
-    y_next_prefix_lens = jnp.take_along_axis(y_prev_lens, next_src, axis=1)
-    y_gathered = (
-        jnp.take_along_axis(y_prev, next_src[None], axis=2)
-        if tm1
-        else jnp.zeros((0, N, K), y_prev.dtype)
-    )
-    y_next = jnp.concatenate(
-        [y_gathered, jnp.zeros((1, N, K), y_prev.dtype)], 0
-    )
-    y_next = _scatter_token_rows(
-        y_next, y_next_prefix_lens, next_ext[None].astype(y_prev.dtype)
-    )
-    y_next_lens = y_next_prefix_lens + (~next_is_nonext)
-
-    nb_ext_probs_next = jnp.take_along_axis(
+    nb_ext_sel = jnp.take_along_axis(
         nb_ext_probs_cand.reshape(N, Kp * V),
         jnp.clip(next_ind, None, Kp * V - 1),
         axis=1,
     )
+    return _ctc_advance_tail(
+        y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
+        next_src, next_ext, next_is_nonext, nb_ext_sel,
+        nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+    )
+
+
+def _ctc_match_info(y_prev, y_prev_lens, prev_is_prefix, V):
+    """``to_match[n,k,k'] = y_prev[lens[n,k], n, k']`` and the exact-extension
+    mask (reference ``_decoding.py:797-817``)."""
+    tm1, N, Kp = y_prev.shape
+    if tm1:
+        yT = jnp.moveaxis(y_prev, 0, 1)  # (N, T, Kp)
+        idx = jnp.clip(y_prev_lens, None, tm1 - 1)  # (N, Kp)
+        to_match = jnp.take_along_axis(
+            yT, jnp.broadcast_to(idx[:, :, None], (N, Kp, Kp)), axis=1
+        )
+        to_match = jnp.clip(to_match, 0, V - 1)
+    else:
+        to_match = jnp.zeros((N, Kp, Kp), y_prev.dtype)
+    ext_is_exact = (
+        (y_prev_lens + 1)[:, :, None] == y_prev_lens[:, None, :]
+    ) & prev_is_prefix  # (N, Kp, Kp)
+    return to_match, ext_is_exact
+
+
+def ctc_prefix_search_advance_factored(
+    top_probs_t: Tuple[jax.Array, jax.Array],
+    nonext_probs_t: jax.Array,
+    blank_probs_t: jax.Array,
+    width: int,
+    probs_prev: Tuple[jax.Array, jax.Array],
+    y_prev: jax.Array,
+    y_prev_last: jax.Array,
+    y_prev_lens: jax.Array,
+    prev_is_prefix: jax.Array,
+):
+    """One frame of CTC prefix search when extension probabilities factor as
+    ``ext[n, k, v] = nonext_probs_t[n, v]`` (no per-beam LM fusion).
+
+    TPU-first fast path: instead of scoring all ``Kp*V`` extensions per step
+    (reference ``_decoding.py:636-934``), each beam's global top-``width``
+    picks must come from the frame's shared top-``M`` tokens
+    (``M >= width + Kp``, covering up to ``Kp - 1`` absorption removals and
+    one last-token correction), plus the beam's last token and the
+    non-extension candidate. Per-step work drops from ``O(N K V)`` to
+    ``O(N K (width + K))``; the ``O(N V)`` top-M is hoisted out of the decode
+    loop. Results match :func:`ctc_prefix_search_advance` exactly (up to ties
+    in candidate scores).
+
+    `top_probs_t` is ``(values, indices)`` of the frame's top-M
+    ``nonext_probs_t`` tokens, ``M >= width + Kp``.
+    """
+    top_vals, top_inds = (jnp.asarray(p) for p in top_probs_t)
+    nonext_probs_t = jnp.asarray(nonext_probs_t)
+    blank_probs_t = jnp.asarray(blank_probs_t)
+    nb_probs_prev, b_probs_prev = (jnp.asarray(p) for p in probs_prev)
+    y_prev = jnp.asarray(y_prev)
+    y_prev_lens = jnp.asarray(y_prev_lens)
+    prev_is_prefix = jnp.asarray(prev_is_prefix)
+    N, V = nonext_probs_t.shape
+    Kp = nb_probs_prev.shape[1]
+    M = top_inds.shape[1]
+    if M < min(width + Kp, V):
+        raise RuntimeError(f"M ({M}) must be at least width + Kp or V")
+    K = min(width, Kp * (V + 1))
+    S = M + 2  # per-beam slots: M shared + last-token + non-extension
+
+    tot_probs_prev = nb_probs_prev + b_probs_prev
+    y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
+    p_last = jnp.take_along_axis(nonext_probs_t, y_prev_last, axis=1)
+
+    # shared-token extension scores; the beam's own last token only carries
+    # the blank mass (CTC repeat rule)
+    shared_is_last = top_inds[:, None, :] == y_prev_last[:, :, None]
+    coeff = jnp.where(
+        shared_is_last, b_probs_prev[:, :, None], tot_probs_prev[:, :, None]
+    )
+    shared_scores = coeff * top_vals[:, None, :]  # (N, Kp, M)
+    # dedicated last-token slot, disabled when the last token is already in
+    # the shared top-M (dedup)
+    last_scores = jnp.where(
+        shared_is_last.any(-1), NEG_INF, b_probs_prev * p_last
+    )
+
+    b_nonext_probs_cand = tot_probs_prev * blank_probs_t[:, None]
+    nb_nonext_probs_cand = nb_probs_prev * p_last
+
+    to_match, ext_is_exact = _ctc_match_info(
+        y_prev, y_prev_lens, prev_is_prefix, V
+    )
+    p_tm = jnp.take_along_axis(
+        nonext_probs_t, to_match.reshape(N, -1), axis=1
+    ).reshape(N, Kp, Kp)
+    tm_coeff = jnp.where(
+        to_match == y_prev_last[:, :, None],
+        b_probs_prev[:, :, None],
+        tot_probs_prev[:, :, None],
+    )
+    absorbed = jnp.where(ext_is_exact, tm_coeff * p_tm, 0.0).sum(1)
+    nb_nonext_probs_cand = nb_nonext_probs_cand + absorbed
+
+    cand_v = jnp.concatenate(
+        [
+            jnp.broadcast_to(top_inds[:, None], (N, Kp, M)),
+            y_prev_last[:, :, None],
+        ],
+        2,
+    )  # (N, Kp, M + 1)
+    removed = (
+        ext_is_exact[:, :, None, :]
+        & (cand_v[:, :, :, None] == to_match[:, :, None, :])
+    ).any(-1)
+    ext_scores = jnp.concatenate(
+        [shared_scores, last_scores[:, :, None]], 2
+    )
+    ext_scores = jnp.where(removed, NEG_INF, ext_scores)
+
+    tot_probs_cand = jnp.concatenate(
+        [ext_scores, (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None]],
+        2,
+    ).reshape(N, Kp * S)
+    _, next_ind = jax.lax.top_k(tot_probs_cand, K)
+
+    slot = next_ind % S
+    next_src = next_ind // S
+    next_is_nonext = slot == (S - 1)
+    shared_tok = jnp.take_along_axis(
+        top_inds, jnp.clip(slot, None, M - 1), axis=1
+    )
+    last_tok = jnp.take_along_axis(y_prev_last, next_src, axis=1)
+    next_ext = jnp.where(slot < M, shared_tok, last_tok)
+    nb_ext_sel = jnp.take_along_axis(tot_probs_cand, next_ind, axis=1)
+
+    return _ctc_advance_tail(
+        y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
+        next_src, next_ext, next_is_nonext, nb_ext_sel,
+        nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+    )
+
+
+def _ctc_advance_tail(
+    y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
+    next_src, next_ext, next_is_nonext, nb_ext_sel,
+    nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+):
+    """Common bookkeeping after candidate selection: path extension, masses,
+    prefix matrix, and width padding."""
+    tm1, N, Kp = y_prev.shape
+    y_next_prefix_lens = jnp.take_along_axis(y_prev_lens, next_src, axis=1)
+    K_new = next_src.shape[1]
+    if tm1:
+        y_gathered = jnp.take_along_axis(y_prev, next_src[None], axis=2)
+    else:
+        y_gathered = jnp.zeros((0, N, K_new), y_prev.dtype)
+    y_next = jnp.concatenate(
+        [y_gathered, jnp.zeros((1, N, K_new), y_prev.dtype)], 0
+    )
+    # write each path's new token at its length: a small (N*K) scatter
+    n_sc = jnp.arange(N)[:, None]
+    k_sc = jnp.arange(K_new)[None, :]
+    y_next = y_next.at[y_next_prefix_lens, n_sc, k_sc].set(
+        next_ext.astype(y_prev.dtype), mode="drop"
+    )
+    y_next_lens = y_next_prefix_lens + (~next_is_nonext)
+
     nb_nonext_probs_next = jnp.take_along_axis(
         nb_nonext_probs_cand, next_src, axis=1
     )
     nb_probs_next = jnp.where(
-        next_is_nonext, nb_nonext_probs_next, nb_ext_probs_next
+        next_is_nonext, nb_nonext_probs_next, nb_ext_sel
     )
     b_probs_next = (
         jnp.take_along_axis(b_nonext_probs_cand, next_src, axis=1)
@@ -678,6 +825,13 @@ class CTCPrefixSearch:
                 prev_state, in_next, next_is_nonext.reshape(-1)
             )
 
+        # without fusion, extension probabilities factor over beams: hoist a
+        # single top-M over the vocabulary out of the decode loop and run the
+        # O(N K (W + K)) factored advance per step
+        M = min(V, 2 * W) if not use_lm else 0
+        if not use_lm:
+            top_vals, top_inds = jax.lax.top_k(nonext_probs, M)  # (T, N, M)
+
         # ---- t = 0 (prefix width 1 -> W) ----
         y_buf0 = jnp.zeros((T, N, 1), jnp.int32)
         nb0 = jnp.zeros((N, 1))
@@ -686,9 +840,33 @@ class CTCPrefixSearch:
         last0 = jnp.zeros((N, 1), jnp.int32)
         is_prefix0 = jnp.ones((N, 1, 1), bool)
 
-        ext0, in_next0 = lm_ext_probs(
-            y_buf0, lens0.reshape(-1), prev, nonext_probs[0], blank_probs[0], 1
-        )
+        if use_lm:
+            ext0, in_next0 = lm_ext_probs(
+                y_buf0, lens0.reshape(-1), prev, nonext_probs[0],
+                blank_probs[0], 1,
+            )
+            advanced0 = ctc_prefix_search_advance(
+                (ext0, nonext_probs[0], blank_probs[0]),
+                W,
+                (nb0, b0),
+                jnp.zeros((0, N, 1), jnp.int32),
+                last0,
+                lens0,
+                is_prefix0,
+            )
+        else:
+            in_next0 = prev
+            advanced0 = ctc_prefix_search_advance_factored(
+                (top_vals[0], top_inds[0]),
+                nonext_probs[0],
+                blank_probs[0],
+                W,
+                (nb0, b0),
+                jnp.zeros((0, N, 1), jnp.int32),
+                last0,
+                lens0,
+                is_prefix0,
+            )
         (
             y1,
             y_last,
@@ -697,15 +875,7 @@ class CTCPrefixSearch:
             is_prefix,
             next_src,
             next_is_nonext,
-        ) = ctc_prefix_search_advance(
-            (ext0, nonext_probs[0], blank_probs[0]),
-            W,
-            (nb0, b0),
-            jnp.zeros((0, N, 1), jnp.int32),
-            last0,
-            lens0,
-            is_prefix0,
-        )
+        ) = advanced0
         state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
         y_buf = jnp.zeros((T, N, W), jnp.int32).at[0].set(y1[0])
 
@@ -724,11 +894,37 @@ class CTCPrefixSearch:
         if T > 1:
             def step(carry, xs):
                 y_buf, y_lens, y_last, nb, b, is_prefix, state = carry
-                nonext_t, blank_t, t = xs
+                if use_lm:
+                    nonext_t, blank_t, t = xs
+                else:
+                    nonext_t, blank_t, t, top_vals_t, top_inds_t = xs
                 valid_mask = (t < lens)[:, None]  # (N, 1)
-                ext_t, in_next = lm_ext_probs(
-                    y_buf, y_lens.reshape(-1), state, nonext_t, blank_t, W
-                )
+                if use_lm:
+                    ext_t, in_next = lm_ext_probs(
+                        y_buf, y_lens.reshape(-1), state, nonext_t, blank_t, W
+                    )
+                    advanced = ctc_prefix_search_advance(
+                        (ext_t, nonext_t, blank_t),
+                        W,
+                        (nb, b),
+                        y_buf,
+                        y_last,
+                        y_lens,
+                        is_prefix,
+                    )
+                else:
+                    in_next = state
+                    advanced = ctc_prefix_search_advance_factored(
+                        (top_vals_t, top_inds_t),
+                        nonext_t,
+                        blank_t,
+                        W,
+                        (nb, b),
+                        y_buf,
+                        y_last,
+                        y_lens,
+                        is_prefix,
+                    )
                 (
                     y_next,
                     y_next_last,
@@ -737,15 +933,7 @@ class CTCPrefixSearch:
                     next_is_prefix,
                     next_src,
                     next_is_nonext,
-                ) = ctc_prefix_search_advance(
-                    (ext_t, nonext_t, blank_t),
-                    W,
-                    (nb, b),
-                    y_buf,
-                    y_last,
-                    y_lens,
-                    is_prefix,
-                )
+                ) = advanced
                 state_next = fuse_state(
                     state, in_next, next_src, next_is_nonext, W
                 )
@@ -782,6 +970,8 @@ class CTCPrefixSearch:
                 blank_probs[1:],
                 jnp.arange(1, T, dtype=jnp.int32),
             )
+            if not use_lm:
+                xs = xs + (top_vals[1:], top_inds[1:])
             (y_buf, y_lens, y_last, nb, b, is_prefix, state), _ = jax.lax.scan(
                 step, carry, xs
             )

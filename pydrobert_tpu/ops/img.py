@@ -397,6 +397,43 @@ def _check_spec_augment_input(feats, lengths):
             )
 
 
+def _axis_lerp_weights(grid: jax.Array, size: int):
+    """Bilinear weights/indices for a 1-D normalized grid with border
+    padding, matching ``_grid_sample``'s coordinate math exactly."""
+    i = ((grid + 1) * size - 1) / 2
+    x0 = jnp.floor(i).astype(jnp.int32)
+    w1 = i - x0
+    w0 = 1 - w1
+    x0c = jnp.clip(x0, 0, size - 1)
+    x1c = jnp.clip(x0 + 1, 0, size - 1)
+    return x0c, x1c, w0, w1
+
+
+def _separable_warp(
+    feats: jax.Array,
+    time_grid: Optional[jax.Array],
+    freq_grid: Optional[jax.Array],
+) -> jax.Array:
+    """Bilinear+border warp of ``(N, T, F)`` feats by independent per-axis
+    grids: whole-row gathers along time (HBM-friendly) and an ``(F, F)``
+    interpolation matmul along frequency (MXU-friendly)."""
+    N, T, F = feats.shape
+    out = feats
+    if time_grid is not None:
+        t0, t1, w0, w1 = _axis_lerp_weights(time_grid, T)  # (N, T)
+        g0 = jnp.take_along_axis(out, t0[:, :, None], axis=1)
+        g1 = jnp.take_along_axis(out, t1[:, :, None], axis=1)
+        out = w0[:, :, None] * g0 + w1[:, :, None] * g1
+    if freq_grid is not None:
+        f0, f1, w0, w1 = _axis_lerp_weights(freq_grid, F)  # (N, F)
+        cols = jnp.arange(F, dtype=jnp.int32)
+        Wf = w0[:, :, None] * (f0[:, :, None] == cols) + w1[:, :, None] * (
+            f1[:, :, None] == cols
+        )  # (N, F_out, F_in)
+        out = jnp.einsum("nof,ntf->nto", Wf, out)
+    return out
+
+
 def spec_augment_draw_parameters(
     key: jax.Array,
     feats: jax.Array,
@@ -503,18 +540,11 @@ def spec_augment_apply_parameters(
             v_0, v, jnp.full((N,), F, jnp.float32), F, interpolation_order
         )
     if time_grid is not None or freq_grid is not None:
-        if time_grid is None:
-            tg = (2 * jnp.arange(T, dtype=jnp.float32) + 1) / T - 1
-            time_grid = jnp.broadcast_to(tg[None], (N, T))
-        if freq_grid is None:
-            fg = (2 * jnp.arange(F, dtype=jnp.float32) + 1) / F - 1
-            freq_grid = jnp.broadcast_to(fg[None], (N, F))
-        tgrid = jnp.broadcast_to(time_grid[:, :, None], (N, T, F))
-        fgrid = jnp.broadcast_to(freq_grid[:, None, :], (N, T, F))
-        grid = jnp.stack([fgrid, tgrid], 3)  # x=freq, y=time
-        new_feats = grid_sample(
-            new_feats[:, None], grid, mode="bilinear", padding_mode="border"
-        )[:, 0]
+        # SpecAugment's warp grids are separable (per-axis 1-D grids), so the
+        # 2-D grid_sample (pointwise gathers, slow on TPU) reduces to a row
+        # gather over time and a small (F, F) interpolation matmul over
+        # frequency -- numerically identical to bilinear+border grid_sample
+        new_feats = _separable_warp(new_feats, time_grid, freq_grid)
     tmask = fmask = None
     if t_0 is not None and t is not None:
         tr = jnp.arange(T)[None, :, None]  # (1, T, 1)
