@@ -520,3 +520,25 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         self._prob_tables = [
             load("prob", i) for i in range(self.max_ngram - 1)
         ]
+
+    def calc_full_log_probs_chunked(
+        self, hist: jax.Array, prev: StateDict, chunk_size: int = 32
+    ) -> jax.Array:
+        """Like :func:`calc_full_log_probs`, but bounding memory by
+        processing `chunk_size` history positions at a time (the reference's
+        ``calc_full_log_probs_chunked``, ``_lm.py:792-848``)."""
+        hist = jnp.asarray(hist)
+        S, B = hist.shape
+        V = self.vocab_size
+        total = S + 1
+        pad = (-total) % chunk_size
+        idxs = jnp.pad(jnp.arange(total, dtype=jnp.int32), (0, pad))
+        chunks = idxs.reshape(-1, chunk_size)
+
+        def do_chunk(ix):
+            return jax.vmap(
+                lambda t: self.calc_idx_log_probs(hist, prev, t)[0]
+            )(ix)
+
+        out = jax.lax.map(do_chunk, chunks)
+        return out.reshape(-1, B, V)[:total]

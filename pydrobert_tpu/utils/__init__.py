@@ -16,3 +16,5 @@ __all__ = [
     "mix_by_mask",
     "save_tensor",
 ]
+
+from . import profiling  # noqa: F401
