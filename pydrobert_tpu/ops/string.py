@@ -117,6 +117,7 @@ def _cummin_last_argmin(u: jax.Array) -> Tuple[jax.Array, jax.Array]:
         "padding",
         "return_mistakes",
         "mult",
+        "use_pallas",
     ),
 )
 def _string_matching_jit(
@@ -138,11 +139,32 @@ def _string_matching_jit(
     padding,
     return_mistakes,
     mult=1.0,
+    use_pallas=False,
 ):
     # time-major internally: ref (R, N), hyp (H, N)
     R, N = ref.shape
     H = hyp.shape[0]
     f32 = jnp.float32
+    if (
+        use_pallas
+        and not (return_mask or return_prf_dsts or return_mistakes)
+        and R > 0
+        and H + (0 if exclude_last else 1) > 1
+    ):
+        from .pallas import edit_distance_kernel, tpu_available
+
+        if tpu_available():
+            er = edit_distance_kernel(
+                ref, hyp, ref_lens, hyp_lens,
+                ins_cost, del_cost, sub_cost, exclude_last,
+            )
+            er = er * mult
+            if norm:
+                safe = jnp.maximum(ref_lens, 1).astype(f32)
+                er = jnp.where(
+                    ref_lens == 0, (hyp_lens > 0).astype(f32), er / safe
+                )
+            return er
     rrange = jnp.arange(R + 1, dtype=f32)[:, None]  # (R+1, 1)
     row0 = jnp.broadcast_to(rrange * del_cost, (R + 1, N))
     mistakes0 = jnp.broadcast_to(rrange, (R + 1, N))
@@ -330,6 +352,7 @@ def _string_matching(
         padding=padding,
         return_mistakes=return_mistakes,
         mult=mult,
+        use_pallas=bool(config.USE_PALLAS),
     )
     return out
 
