@@ -7,6 +7,12 @@ model (feats -> SpecAugment -> conformer encoder -> CTC head) whose decode
 path runs through :mod:`pydrobert_tpu.ops.decoding`.
 """
 
+from .seq2seq import (  # noqa: F401
+    AttentionSeq2Seq,
+    Seq2SeqConfig,
+    Seq2SeqDecoderLM,
+    make_mer_train_step,
+)
 from .conformer import (  # noqa: F401
     ConformerConfig,
     ConformerCTC,
@@ -15,6 +21,10 @@ from .conformer import (  # noqa: F401
 )
 
 __all__ = [
+    "AttentionSeq2Seq",
+    "Seq2SeqConfig",
+    "Seq2SeqDecoderLM",
+    "make_mer_train_step",
     "ConformerConfig",
     "ConformerCTC",
     "conformer_partition_rules",

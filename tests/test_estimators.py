@@ -216,3 +216,40 @@ def test_enumerate_estimator_over_lm_distribution(seeded, key):
         s = dist.sample(jax.random.fold_in(key, i), (8,))
         mc.append(np.asarray(func(s)))
     np.testing.assert_allclose(float(exact), np.mean(mc), atol=0.1)
+
+
+def test_deprecated_v03_functional_interface(seeded, key):
+    """to_z/to_b/reinforce/relax warn and produce sane gradients
+    (reference estimators.py:54-471)."""
+    import warnings
+
+    from pydrobert_tpu import estimators as E
+
+    logits = jnp.asarray(np.random.randn(512, V), jnp.float32)
+    with pytest.warns(DeprecationWarning):
+        z = E.to_z(key, logits, "onehot")
+    with pytest.warns(DeprecationWarning):
+        b = E.to_b(z, "onehot")
+    assert np.asarray(b).sum(-1).max() == 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fb = _f(b)
+        g = E.reinforce(fb, b, logits, "onehot")
+        # REINFORCE estimate averages to the exact gradient
+        exact_g = jax.grad(lambda l: _exact(l).sum())(logits)
+        np.testing.assert_allclose(
+            np.asarray(g).mean(0), np.asarray(exact_g).mean(0), atol=0.2
+        )
+        g2 = E.relax(
+            fb, b, logits, z, lambda zz: 0.3 * _f(jax.nn.softmax(zz, -1)),
+            "onehot", jax.random.fold_in(key, 1),
+        )
+        assert g2.shape == logits.shape
+        np.testing.assert_allclose(
+            np.asarray(g2).mean(0), np.asarray(exact_g).mean(0), atol=0.2
+        )
+        # bernoulli branch
+        zb = E.to_z(key, logits[:, 0], "bern")
+        bb = E.to_b(zb, "bern")
+        gb = E.reinforce(bb, bb, logits[:, 0], "bern")
+        assert gb.shape == logits[:, 0].shape

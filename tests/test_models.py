@@ -115,3 +115,62 @@ def test_sharded_train_step_matches_single_device(key):
         p1,
         jax.device_get(p8),
     )
+
+
+def test_seq2seq_beam_search_and_mer(key):
+    import optax
+
+    from pydrobert_tpu.models import (
+        AttentionSeq2Seq,
+        Seq2SeqConfig,
+        Seq2SeqDecoderLM,
+        make_mer_train_step,
+    )
+    from pydrobert_tpu.ops.decoding import BeamSearch, RandomWalk
+
+    cfg = Seq2SeqConfig(
+        vocab_size=8, num_filts=5, enc_hidden=12, dec_hidden=12,
+        embed_dim=6, attn_hidden=10,
+    )
+    model = AttentionSeq2Seq(cfg)
+    feats = jnp.asarray(np.random.randn(3, 11, 5), jnp.float32)
+    lens = jnp.asarray([11, 8, 4], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, lens)
+    lm = Seq2SeqDecoderLM(model, params)
+    state = lm.initial_state(feats, lens)
+    # LM protocol: normalized distributions, state threading
+    lp, state2 = lm(jnp.zeros((0, 3), jnp.int32), dict(state), idx=0)
+    assert lp.shape == (3, 8)
+    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=1e-5)
+    # beam search end-to-end (jitted)
+    search = BeamSearch(lm, width=4, eos=0)
+    y, y_lens, y_probs = jax.jit(
+        lambda s: search(s, batch_size=3, max_iters=6)
+    )(state)
+    assert y.shape == (6, 3, 4)
+    assert (np.asarray(y_lens) <= 6).all()
+    # beams sorted by log prob
+    yp = np.asarray(y_probs)
+    assert (np.diff(yp, axis=1) <= 1e-6).all()
+    # random walk samples differ across keys
+    walk = RandomWalk(lm, eos=0)
+    s1 = walk(key, dict(state), 3, 6)[0]
+    s2 = walk(jax.random.fold_in(key, 1), dict(state), 3, 6)[0]
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+    # MER training step produces finite loss and nonzero grads
+    optimizer = optax.adam(1e-2)
+    step = jax.jit(
+        make_mer_train_step(model, optimizer, num_samples=3, max_iters=6, eos=0)
+    )
+    opt_state = optimizer.init(params)
+    refs = jnp.asarray(np.random.randint(1, 8, (3, 4)), jnp.int32)
+    ref_lens = jnp.asarray([4, 3, 2], jnp.int32)
+    p2, opt_state, loss = step(
+        params, opt_state, key, feats, lens, refs, ref_lens
+    )
+    assert np.isfinite(float(loss))
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        params, p2,
+    )
+    assert max(jax.tree.leaves(moved)) > 0
