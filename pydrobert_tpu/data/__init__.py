@@ -89,3 +89,51 @@ __all__ = [
     "write_textgrid",
     "write_trn",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Deprecated v0.3-era names (reference data.py:101-135 and
+# _dataloaders.py:1118-1548): warn-and-forward aliases.
+# ---------------------------------------------------------------------------
+
+
+def _deprecated_alias(old_name, cls, **fixed_kwargs):
+    import functools
+    import warnings as _warnings
+
+    @functools.wraps(cls, assigned=("__doc__",), updated=())
+    def make(*args, **kwargs):
+        _warnings.warn(
+            f"The name '{old_name}' is deprecated. Please switch to "
+            f"'{cls.__name__}'",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        kwargs = {**fixed_kwargs, **kwargs}
+        return cls(*args, **kwargs)
+
+    make.__name__ = old_name
+    return make
+
+
+DataSetParams = _deprecated_alias("DataSetParams", DataLoaderParams)
+SpectDataSetParams = _deprecated_alias(
+    "SpectDataSetParams", SpectDataLoaderParams
+)
+ContextWindowDataSetParams = _deprecated_alias(
+    "ContextWindowDataSetParams", ContextWindowDataLoaderParams
+)
+SpectTrainingDataLoader = _deprecated_alias(
+    "SpectTrainingDataLoader", SpectDataLoader, shuffle=True
+)
+SpectEvaluationDataLoader = _deprecated_alias(
+    "SpectEvaluationDataLoader", SpectDataLoader, shuffle=False,
+    suppress_uttids=False,
+)
+ContextWindowTrainingDataLoader = _deprecated_alias(
+    "ContextWindowTrainingDataLoader", ContextWindowDataLoader, shuffle=True
+)
+ContextWindowEvaluationDataLoader = _deprecated_alias(
+    "ContextWindowEvaluationDataLoader", ContextWindowDataLoader,
+    shuffle=False, suppress_uttids=False,
+)
