@@ -92,9 +92,56 @@ def bench_ctc_beam16(inner=2):
     return B / dt, dt / B
 
 
+def bench_ctc_beam16_fused(inner=1):
+    """Width-16 prefix search with a shallow-fused 3-gram LookupLanguageModel
+    (BASELINE config #3)."""
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    B, T, V, W = 32, 500, 1024, 16
+    rng = np.random.RandomState(2)
+    # random but well-formed backoff 3-gram model over the full vocab
+    uni = {w: (float(-rng.rand() * 5 - 0.1), float(-rng.rand())) for w in range(V)}
+    uni[V] = (float("-inf"), float(-rng.rand()))  # sos
+    bi, tri = {}, {}
+    ctx = list(range(V)) + [V]
+    for _ in range(10000):
+        key2 = (int(rng.choice(ctx)), int(rng.randint(V)))
+        bi[key2] = (float(-rng.rand() * 5 - 0.1), float(-rng.rand()))
+    for _ in range(15000):
+        key3 = (int(rng.choice(ctx)), int(rng.randint(V)), int(rng.randint(V)))
+        tri[key3] = float(-rng.rand() * 5 - 0.1)
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
+    logits = jnp.asarray(rng.randn(T, B, V + 1), jnp.float32)
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
+    search = CTCPrefixSearch(W, beta=0.5, lm=lm)
+
+    @jax.jit
+    def run(logits, lens):
+        def step(carry, _):
+            y, y_lens, y_probs = search(carry, lens)
+            return carry + y_probs.sum() * 1e-9, y_lens
+        out, y_lens = jax.lax.scan(step, logits, None, length=inner)
+        return out, y_lens
+
+    dt = _time(run, logits, lens, reps=1) / inner
+    return B / dt
+
+
+def _guard(fn, default):
+    """Never let one sub-benchmark take down the whole JSON line."""
+    try:
+        return fn()
+    except Exception as e:  # pragma: no cover
+        import sys
+
+        print(f"benchmark {fn.__name__} failed: {e!r}", file=sys.stderr)
+        return default
+
+
 def main():
-    sa = bench_spec_augment()
-    dec, per_utt = bench_ctc_beam16()
+    sa = _guard(bench_spec_augment, 0.0)
+    dec, per_utt = _guard(bench_ctc_beam16, (0.0, float("inf")))
+    fused = _guard(bench_ctc_beam16_fused, 0.0)
     print(
         json.dumps(
             {
@@ -104,6 +151,7 @@ def main():
                 "vs_baseline": round(dec / DECODE_TARGET, 3),
                 "specaugment_utt_per_sec": round(sa, 1),
                 "specaugment_vs_baseline": round(sa / SPECAUG_TARGET, 3),
+                "fused_ngram_decode_utt_per_sec": round(fused, 1),
                 "decode_p50_latency_ms_per_utt": round(per_utt * 1e3, 3),
                 "device": jax.devices()[0].platform,
             }
