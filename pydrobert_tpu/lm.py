@@ -279,7 +279,9 @@ class _HashTable:
 
     def __init__(self, entries: Dict[Tuple[int, ...], Tuple[float, float]], n: int):
         count = len(entries)
-        size = 1 << max(1, (max(2 * count, 2) - 1).bit_length())
+        # 4x load headroom keeps linear-probe chains (and thus the number of
+        # device-side gather rounds) short
+        size = 1 << max(1, (max(4 * count, 2) - 1).bit_length())
         keys = np.full((size, n), _EMPTY_KEY, np.int32)
         vals = np.zeros((size, 2), np.float32)
         mask = np.uint32(size - 1)

@@ -355,3 +355,34 @@ def test_searches_jit(key):
     logits = jnp.asarray(np.random.randn(T, N, V + 1).astype(np.float32))
     y, lens, p = run_ctc(logits)
     assert y.shape == (T, N, W)
+
+
+def test_ctc_prefix_search_tiny_vocab_wide_beam(ref_torch, seeded, jit_fn):
+    """Factored fast path with V < 2W and width > V (K capping)."""
+    import torch
+
+    T, N, V, W = 7, 3, 3, 8
+    logits = np.random.randn(T, N, V + 1).astype(np.float32)
+    lens = np.random.randint(1, T + 1, (N,)).astype(np.int64)
+    ours = __import__(
+        "pydrobert_tpu.ops.decoding", fromlist=["CTCPrefixSearch"]
+    ).CTCPrefixSearch(W)
+    y_a, lens_a, probs_a = jit_fn(lambda l, n: ours(l, n))(
+        jnp.asarray(logits), jnp.asarray(lens, jnp.int32)
+    )
+    ref = ref_torch.modules.CTCPrefixSearch(W)
+    y_e, lens_e, probs_e = ref(
+        torch.as_tensor(logits), torch.as_tensor(lens)
+    )
+    lens_a, lens_e = np.asarray(lens_a), lens_e.numpy()
+    np.testing.assert_array_equal(lens_a, lens_e)
+    np.testing.assert_allclose(
+        np.asarray(probs_a), probs_e.numpy(), atol=1e-5
+    )
+    y_a, y_e = np.asarray(y_a), y_e.numpy()
+    for n in range(N):
+        for k in range(W):
+            L = lens_a[n, k]
+            np.testing.assert_array_equal(
+                y_a[:L, n, k], y_e[:L, n, k], err_msg=f"n={n} k={k}"
+            )
