@@ -321,6 +321,99 @@ class _HashTable:
         return found, val
 
 
+class _CtxTable:
+    """Hash table over contexts: ``ctx (n ids) -> (logb, row_start,
+    row_len)`` plus CSR children arrays ``(tok, logp)`` grouped by context.
+
+    The KenLM-trie-style layout reorganized for batched device queries: one
+    context lookup (a few small probe gathers) fetches the backoff AND the
+    span of that context's continuations; scoring all ``V`` extensions is a
+    gather of at most `max_children` (token, logp) pairs plus a scatter —
+    no per-(context, token) probing.
+    """
+
+    def __init__(
+        self,
+        entries: Dict[Tuple[int, ...], Tuple[float, int, int]],
+        child_tok: np.ndarray,
+        child_logp: np.ndarray,
+        n: int,
+        max_children: int,
+    ):
+        count = len(entries)
+        # 4x load headroom keeps linear-probe chains short
+        size = 1 << max(1, (max(4 * count, 2) - 1).bit_length())
+        keys = np.full((size, n), _EMPTY_KEY, np.int32)
+        fvals = np.zeros((size,), np.float32)
+        ivals = np.zeros((size, 2), np.int32)
+        mask = np.uint32(size - 1)
+        max_probe = 0
+        for key, (logb, start, length) in entries.items():
+            h = _FNV_BASIS
+            for tok in key:
+                h = _fnv_mix_np(h, np.uint32(np.int64(tok)))
+            slot = int(_fnv_fin_np(h) & mask)
+            probe = 1
+            while keys[slot, 0] != _EMPTY_KEY:
+                slot = (slot + 1) % size
+                probe += 1
+            keys[slot] = key
+            fvals[slot] = logb
+            ivals[slot] = (start, length)
+            max_probe = max(max_probe, probe)
+        self.n, self.size, self.max_probe = n, size, max_probe
+        self.keys, self.fvals, self.ivals = keys, fvals, ivals
+        self.child_tok = child_tok
+        self.child_logp = child_logp
+        self.max_children = int(max_children)
+
+    def lookup_ctx(self, qkeys: jax.Array):
+        """(found, logb, start, length) for query contexts ``(B, n)``."""
+        keys = jnp.asarray(self.keys)
+        fvals = jnp.asarray(self.fvals)
+        ivals = jnp.asarray(self.ivals)
+        h = jnp.full(qkeys.shape[:-1], int(_FNV_BASIS), jnp.uint32)
+        for j in range(self.n):
+            h = _fnv_mix_jnp(h, qkeys[..., j])
+        h = _fnv_fin_jnp(h)
+        mask = jnp.uint32(self.size - 1)
+        found = jnp.zeros(h.shape, bool)
+        logb = jnp.zeros(h.shape, jnp.float32)
+        span = jnp.zeros(h.shape + (2,), jnp.int32)
+        for d in range(self.max_probe):
+            slot = ((h + jnp.uint32(d)) & mask).astype(jnp.int32)
+            match = jnp.all(keys[slot] == qkeys, -1) & ~found
+            logb = jnp.where(match, fvals[slot], logb)
+            span = jnp.where(match[..., None], ivals[slot], span)
+            found = found | match
+        return found, logb, span[..., 0], span[..., 1]
+
+    def extend_scores(self, qkeys: jax.Array, base: jax.Array) -> jax.Array:
+        """Scores over all V extensions of contexts ``(B, n)``: children's
+        stored log-probs where present, else ``base + logb`` (backoff)."""
+        B, V = base.shape
+        found, logb, start, length = self.lookup_ctx(qkeys)
+        out = base + jnp.where(found, logb, 0.0)[:, None]
+        S = self.max_children
+        if S == 0:
+            return out
+        rows = max(len(self.child_tok), 1)
+        tok_arr = jnp.asarray(
+            self.child_tok if len(self.child_tok) else np.zeros(1, np.int32)
+        )
+        logp_arr = jnp.asarray(
+            self.child_logp if len(self.child_logp) else np.zeros(1, np.float32)
+        )
+        pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # (B, S)
+        valid = (jnp.arange(S)[None] < length[:, None]) & found[:, None]
+        pos = jnp.clip(pos, 0, rows - 1)
+        toks = jnp.where(valid, tok_arr[pos], V)  # V -> dropped by scatter
+        lps = logp_arr[pos]
+        return out.at[
+            jnp.arange(B)[:, None], toks
+        ].set(lps, mode="drop")
+
+
 class LookupLanguageModel(MixableSequentialLanguageModel):
     r"""Backoff n-gram language model from a fixed lookup table.
 
@@ -407,28 +500,50 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             if 0 <= w < V:
                 uni[w] = logp
         self._uni_logp = uni
-        # context tables (orders 1..N-1): key -> (logp?, logb); the order-1
-        # table also holds sos's backoff
-        self._ctx_tables: List[_HashTable] = []
+        # one table per context order n (1..N-1): backoff + CSR span over
+        # the order-(n+1) continuations of that context
+        self._ctx_tables: List[_CtxTable] = []
         for n in range(0, N - 1):
-            entries = {}
+            children: Dict[Tuple[int, ...], List[Tuple[int, float]]] = {}
+            for key, val in prob_dicts[n + 1].items():
+                logp = float(val[0]) if n + 1 < N - 1 else float(
+                    val if not isinstance(val, tuple) else val[0]
+                )
+                if not np.isfinite(logp):
+                    continue
+                ctx = tuple(key[:-1])
+                children.setdefault(ctx, []).append((int(key[-1]), logp))
+            entries: Dict[Tuple[int, ...], Tuple[float, int, int]] = {}
+            tok_rows: List[int] = []
+            logp_rows: List[float] = []
+            max_children = 0
+            ctxs = set(children)
             for key, val in prob_dicts[n].items():
                 key_t = (key,) if n == 0 else tuple(key)
-                logb = float(val[1])
-                if logb != 0.0:
-                    entries[key_t] = (0.0, logb)
-            info(f"building context table of order {n + 1} ({len(entries)})")
-            self._ctx_tables.append(_HashTable(entries, n + 1))
-        # full n-gram probability tables (orders 2..N)
-        self._prob_tables: List[_HashTable] = []
-        for n in range(1, N):
-            entries = {}
-            for key, val in prob_dicts[n].items():
-                logp = float(val[0]) if n < N - 1 else float(val)
-                if np.isfinite(logp):
-                    entries[tuple(key)] = (logp, 0.0)
-            info(f"building prob table of order {n + 1} ({len(entries)})")
-            self._prob_tables.append(_HashTable(entries, n + 1))
+                if float(val[1]) != 0.0:
+                    ctxs.add(key_t)
+            for ctx in sorted(ctxs):
+                val = prob_dicts[n].get(ctx[0] if n == 0 else ctx)
+                logb = float(val[1]) if val is not None else 0.0
+                kids = children.get(ctx, [])
+                entries[ctx] = (logb, len(tok_rows), len(kids))
+                max_children = max(max_children, len(kids))
+                for tok, logp in kids:
+                    tok_rows.append(tok)
+                    logp_rows.append(logp)
+            info(
+                f"building context table of order {n + 1} "
+                f"({len(entries)} contexts, {len(tok_rows)} continuations)"
+            )
+            self._ctx_tables.append(
+                _CtxTable(
+                    entries,
+                    np.asarray(tok_rows, np.int32),
+                    np.asarray(logp_rows, np.float32),
+                    n + 1,
+                    max_children,
+                )
+            )
 
     def extract_by_src(self, prev: StateDict, src: jax.Array) -> StateDict:
         return prev
@@ -460,21 +575,10 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         if N == 1:
             return lp, prev
         ctx = self._context(hist, idx)  # (N-1, B), most recent first
-        vrange = jnp.arange(V, dtype=jnp.int32)
         for n in range(2, N + 1):
-            # key tokens earliest-first: (w_{t-n+1}, ..., w_{t-1})
+            # context tokens earliest-first: (w_{t-n+1}, ..., w_{t-1})
             ctx_n = ctx[: n - 1][::-1].T  # (B, n-1)
-            bo_found, bo_val = self._ctx_tables[n - 2].lookup(ctx_n)
-            logb = jnp.where(bo_found, bo_val[..., 1], 0.0)  # (B,)
-            qkeys = jnp.concatenate(
-                [
-                    jnp.broadcast_to(ctx_n[:, None], (B, V, n - 1)),
-                    jnp.broadcast_to(vrange[None, :, None], (B, V, 1)),
-                ],
-                -1,
-            )
-            p_found, p_val = self._prob_tables[n - 2].lookup(qkeys)  # (B, V)
-            lp = jnp.where(p_found, p_val[..., 0], lp + logb[:, None])
+            lp = self._ctx_tables[n - 2].extend_scores(ctx_n, lp)
         return lp, prev
 
     def calc_full_log_probs(self, hist: jax.Array, prev: StateDict) -> jax.Array:
@@ -492,14 +596,13 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             "uni_logp": self._uni_logp,
             "meta": np.asarray([self.vocab_size, self.sos, self.max_ngram]),
         }
-        for name, tables in (
-            ("ctx", self._ctx_tables),
-            ("prob", self._prob_tables),
-        ):
-            for i, t in enumerate(tables):
-                d[f"{name}{i}_keys"] = t.keys
-                d[f"{name}{i}_vals"] = t.vals
-                d[f"{name}{i}_probe"] = np.asarray([t.max_probe])
+        for i, t in enumerate(self._ctx_tables):
+            d[f"ctx{i}_keys"] = t.keys
+            d[f"ctx{i}_fvals"] = t.fvals
+            d[f"ctx{i}_ivals"] = t.ivals
+            d[f"ctx{i}_tok"] = t.child_tok
+            d[f"ctx{i}_logp"] = t.child_logp
+            d[f"ctx{i}_meta"] = np.asarray([t.max_probe, t.max_children])
         return d
 
     def load_state_dict(self, d: Dict[str, np.ndarray]) -> None:
@@ -508,20 +611,19 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         )
         self._uni_logp = np.asarray(d["uni_logp"], np.float32)
 
-        def load(name, i):
-            t = _HashTable.__new__(_HashTable)
-            t.keys = np.asarray(d[f"{name}{i}_keys"], np.int32)
-            t.vals = np.asarray(d[f"{name}{i}_vals"], np.float32)
+        def load(i):
+            t = _CtxTable.__new__(_CtxTable)
+            t.keys = np.asarray(d[f"ctx{i}_keys"], np.int32)
+            t.fvals = np.asarray(d[f"ctx{i}_fvals"], np.float32)
+            t.ivals = np.asarray(d[f"ctx{i}_ivals"], np.int32)
+            t.child_tok = np.asarray(d[f"ctx{i}_tok"], np.int32)
+            t.child_logp = np.asarray(d[f"ctx{i}_logp"], np.float32)
             t.size, t.n = t.keys.shape
-            t.max_probe = int(d[f"{name}{i}_probe"][0])
+            t.max_probe = int(d[f"ctx{i}_meta"][0])
+            t.max_children = int(d[f"ctx{i}_meta"][1])
             return t
 
-        self._ctx_tables = [
-            load("ctx", i) for i in range(self.max_ngram - 1)
-        ]
-        self._prob_tables = [
-            load("prob", i) for i in range(self.max_ngram - 1)
-        ]
+        self._ctx_tables = [load(i) for i in range(self.max_ngram - 1)]
 
     def calc_full_log_probs_chunked(
         self, hist: jax.Array, prev: StateDict, chunk_size: int = 32
