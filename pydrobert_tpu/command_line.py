@@ -1138,6 +1138,9 @@ command does."""
 
         def pad(batch):
             maxlen = max(len(t) + 1 for _, t in batch)
+            # round the length up so jit reuses a few bucketed shapes
+            # instead of recompiling per batch
+            maxlen = -(-maxlen // 32) * 32
             out = np.full((maxlen, len(batch)), padding, np.int64)
             for n, (_, t) in enumerate(batch):
                 out[: len(t), n] = t
