@@ -410,6 +410,7 @@ def ctc_prefix_search_advance(
     y_prev_last: jax.Array,
     y_prev_lens: jax.Array,
     prev_is_prefix: jax.Array,
+    return_core: bool = False,
 ):
     """One frame of CTC prefix search (probabilities in linear space).
 
@@ -447,7 +448,7 @@ def ctc_prefix_search_advance(
     )  # (N, Kp)
 
     to_match, ext_is_exact = _ctc_match_info(
-        y_prev, y_prev_lens, prev_is_prefix, V
+        y_prev_last, y_prev_lens, prev_is_prefix
     )
     absorbed = jnp.where(
         ext_is_exact,
@@ -482,26 +483,26 @@ def ctc_prefix_search_advance(
         jnp.clip(next_ind, None, Kp * V - 1),
         axis=1,
     )
-    return _ctc_advance_tail(
+    core = _ctc_advance_tail(
         y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
         next_src, next_ext, next_is_nonext, nb_ext_sel,
         nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
     )
+    if return_core:
+        return core
+    return _finish_with_buffer(y_prev, core)
 
 
-def _ctc_match_info(y_prev, y_prev_lens, prev_is_prefix, V):
-    """``to_match[n,k,k'] = y_prev[lens[n,k], n, k']`` and the exact-extension
-    mask (reference ``_decoding.py:797-817``)."""
-    tm1, N, Kp = y_prev.shape
-    if tm1:
-        yT = jnp.moveaxis(y_prev, 0, 1)  # (N, T, Kp)
-        idx = jnp.clip(y_prev_lens, None, tm1 - 1)  # (N, Kp)
-        to_match = jnp.take_along_axis(
-            yT, jnp.broadcast_to(idx[:, :, None], (N, Kp, Kp)), axis=1
-        )
-        to_match = jnp.clip(to_match, 0, V - 1)
-    else:
-        to_match = jnp.zeros((N, Kp, Kp), y_prev.dtype)
+def _ctc_match_info(y_prev_last, y_prev_lens, prev_is_prefix):
+    """Token-to-match and the exact-extension mask.
+
+    The reference reads ``y_prev[lens[n,k], n, k']``
+    (``_decoding.py:797-817``), but every consumer masks by `ext_is_exact`
+    (``lens_k + 1 == lens_k'`` and prefix), under which that token is
+    exactly beam ``k'``'s *last* token — so no path-buffer read is needed.
+    """
+    N, Kp = y_prev_last.shape
+    to_match = jnp.broadcast_to(y_prev_last[:, None, :], (N, Kp, Kp))
     ext_is_exact = (
         (y_prev_lens + 1)[:, :, None] == y_prev_lens[:, None, :]
     ) & prev_is_prefix  # (N, Kp, Kp)
@@ -518,6 +519,7 @@ def ctc_prefix_search_advance_factored(
     y_prev_last: jax.Array,
     y_prev_lens: jax.Array,
     prev_is_prefix: jax.Array,
+    return_core: bool = False,
 ):
     """One frame of CTC prefix search when extension probabilities factor as
     ``ext[n, k, v] = nonext_probs_t[n, v]`` (no per-beam LM fusion).
@@ -571,7 +573,7 @@ def ctc_prefix_search_advance_factored(
     nb_nonext_probs_cand = nb_probs_prev * p_last
 
     to_match, ext_is_exact = _ctc_match_info(
-        y_prev, y_prev_lens, prev_is_prefix, V
+        y_prev_last, y_prev_lens, prev_is_prefix
     )
     p_tm = jnp.take_along_axis(
         nonext_probs_t, to_match.reshape(N, -1), axis=1
@@ -616,11 +618,37 @@ def ctc_prefix_search_advance_factored(
     next_ext = jnp.where(slot < M, shared_tok, last_tok)
     nb_ext_sel = jnp.take_along_axis(tot_probs_cand, next_ind, axis=1)
 
-    return _ctc_advance_tail(
+    core = _ctc_advance_tail(
         y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
         next_src, next_ext, next_is_nonext, nb_ext_sel,
         nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
     )
+    if return_core:
+        return core
+    return _finish_with_buffer(y_prev, core)
+
+
+def _finish_with_buffer(y_prev, core):
+    """Reconstruct the reference-shaped ``y_next`` (``tm1 + 1`` rows) from
+    core outputs, for the public step-function API."""
+    (
+        prefix_lens, y_last, y_lens, probs, is_prefix, src, ext, is_nonext,
+    ) = core
+    tm1, N, _ = y_prev.shape
+    K = src.shape[1]
+    if tm1:
+        y_gathered = jnp.take_along_axis(y_prev, src[None], axis=2)
+    else:
+        y_gathered = jnp.zeros((0, N, K), y_prev.dtype)
+    y_next = jnp.concatenate(
+        [y_gathered, jnp.zeros((1, N, K), y_prev.dtype)], 0
+    )
+    n_sc = jnp.arange(N)[:, None]
+    k_sc = jnp.arange(K)[None, :]
+    y_next = y_next.at[prefix_lens, n_sc, k_sc].set(
+        ext.astype(y_prev.dtype), mode="drop"
+    )
+    return (y_next, y_last, y_lens, probs, is_prefix, src, is_nonext)
 
 
 def _ctc_advance_tail(
@@ -628,24 +656,18 @@ def _ctc_advance_tail(
     next_src, next_ext, next_is_nonext, nb_ext_sel,
     nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
 ):
-    """Common bookkeeping after candidate selection: path extension, masses,
-    prefix matrix, and width padding."""
+    """Common bookkeeping after candidate selection: masses, lengths, and
+    prefix matrix. Reads the old path buffer only through an ``O(N K^2)``
+    element gather (new-beam tokens at interrogation points are derived from
+    ``(next_src, next_ext)``), so callers can maintain the ``(T, N, K)``
+    buffer themselves without per-step full-buffer rewrites.
+
+    Returns ``(y_next_prefix_lens, y_next_last, y_next_lens,
+    (nb, b), next_is_prefix, next_src, next_ext, next_is_nonext)``,
+    width-padded.
+    """
     tm1, N, Kp = y_prev.shape
     y_next_prefix_lens = jnp.take_along_axis(y_prev_lens, next_src, axis=1)
-    K_new = next_src.shape[1]
-    if tm1:
-        y_gathered = jnp.take_along_axis(y_prev, next_src[None], axis=2)
-    else:
-        y_gathered = jnp.zeros((0, N, K_new), y_prev.dtype)
-    y_next = jnp.concatenate(
-        [y_gathered, jnp.zeros((1, N, K_new), y_prev.dtype)], 0
-    )
-    # write each path's new token at its length: a small (N*K) scatter
-    n_sc = jnp.arange(N)[:, None]
-    k_sc = jnp.arange(K_new)[None, :]
-    y_next = y_next.at[y_next_prefix_lens, n_sc, k_sc].set(
-        next_ext.astype(y_prev.dtype), mode="drop"
-    )
     y_next_lens = y_next_prefix_lens + (~next_is_nonext)
 
     nb_nonext_probs_next = jnp.take_along_axis(
@@ -670,13 +692,25 @@ def _ctc_advance_tail(
         axis=2,
     )
     next_len_leq = y_next_lens[:, :, None] <= y_next_lens[:, None, :]
-    yTn = jnp.moveaxis(y_next, 0, 1)  # (N, T, K)
-    next_to_match = jnp.take_along_axis(
-        yTn,
-        jnp.broadcast_to(
-            jnp.clip(y_next_lens - 1, 0, None)[:, :, None], (N, K, K)
-        ),
-        axis=1,
+    # next_to_match[n,k,k'] = (new) y[p_k, n, k'], p_k = lens_next_k - 1.
+    # The new beam k' is old beam src_k' plus next_ext_k' written at
+    # q_k' = prefix_lens_k', so the value is next_ext_k' when p_k == q_k',
+    # the zero pad when p_k is past the old buffer, and otherwise the old
+    # buffer at [p_k, n, src_k'] -- an O(N K^2) gather instead of the
+    # reference's full-buffer transpose+gather.
+    p = jnp.clip(y_next_lens - 1, 0, None)  # (N, K)
+    q = y_next_prefix_lens  # (N, K)
+    K_new = next_src.shape[1]
+    n3 = jnp.arange(N)[:, None, None]
+    if tm1:
+        old_val = y_prev[
+            jnp.clip(p, None, tm1 - 1)[:, :, None], n3, next_src[:, None, :]
+        ]  # (N, K, K')
+        old_val = jnp.where((p >= tm1)[:, :, None], 0, old_val)
+    else:
+        old_val = jnp.zeros((N, K_new, K_new), y_prev.dtype)
+    next_to_match = jnp.where(
+        p[:, :, None] == q[:, None, :], next_ext[:, None, :], old_val
     )
     next_ext_matches = next_to_match == next_ext[:, :, None]
     next_is_prefix = (
@@ -687,10 +721,10 @@ def _ctc_advance_tail(
 
     if K < width:
         rem = width - K
-        y_next = jnp.concatenate(
-            [y_next, jnp.zeros((tm1 + 1, N, rem), y_next.dtype)], 2
-        )
         zeros_i = jnp.zeros((N, rem), jnp.int32)
+        y_next_prefix_lens = jnp.concatenate(
+            [y_next_prefix_lens.astype(jnp.int32), zeros_i], 1
+        )
         y_next_last = jnp.concatenate([y_next_last, zeros_i], 1)
         y_next_lens = jnp.concatenate(
             [y_next_lens.astype(jnp.int32), zeros_i], 1
@@ -707,15 +741,34 @@ def _ctc_advance_tail(
             [next_is_prefix, jnp.zeros((N, rem, width), bool)], 1
         )
         next_src = jnp.concatenate([next_src, zeros_i], 1)
+        next_ext = jnp.concatenate([next_ext.astype(jnp.int32), zeros_i], 1)
 
     return (
-        y_next,
+        y_next_prefix_lens.astype(jnp.int32),
         y_next_last.astype(jnp.int32),
         y_next_lens.astype(jnp.int32),
         (nb_probs_next, b_probs_next),
         next_is_prefix,
         next_src.astype(jnp.int32),
+        next_ext.astype(jnp.int32),
         next_is_nonext,
+    )
+
+
+def _apply_advance_to_buffer(y_buf, prefix_lens, next_src, next_ext, valid):
+    """Caller-side path-buffer maintenance: reorder columns by `next_src`
+    (identity where `valid` is False, freezing those batch rows) and write
+    each path's new token at its prefix length (dropped where frozen)."""
+    T, N, W = y_buf.shape
+    src_eff = jnp.where(
+        valid, next_src, jnp.arange(W, dtype=jnp.int32)[None]
+    )
+    y_buf = jnp.take_along_axis(y_buf, src_eff[None], axis=2)
+    pos = jnp.where(valid, prefix_lens, T)  # T -> dropped
+    n_sc = jnp.arange(N)[:, None]
+    k_sc = jnp.arange(W)[None, :]
+    return y_buf.at[pos, n_sc, k_sc].set(
+        next_ext.astype(y_buf.dtype), mode="drop"
     )
 
 
@@ -853,6 +906,7 @@ class CTCPrefixSearch:
                 last0,
                 lens0,
                 is_prefix0,
+                return_core=True,
             )
         else:
             in_next0 = prev
@@ -866,18 +920,26 @@ class CTCPrefixSearch:
                 last0,
                 lens0,
                 is_prefix0,
+                return_core=True,
             )
         (
-            y1,
+            prefix_lens0,
             y_last,
             y_lens,
             (nb, b),
             is_prefix,
             next_src,
+            next_ext0,
             next_is_nonext,
         ) = advanced0
         state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
-        y_buf = jnp.zeros((T, N, W), jnp.int32).at[0].set(y1[0])
+        y_buf = _apply_advance_to_buffer(
+            jnp.zeros((T, N, W), jnp.int32),
+            prefix_lens0,
+            next_src,
+            next_ext0,
+            jnp.ones((N, 1), bool),
+        )
 
         # freeze batch elements with lens == 0
         valid0 = (0 < lens)[:, None]  # (N, 1)
@@ -911,6 +973,7 @@ class CTCPrefixSearch:
                         y_last,
                         y_lens,
                         is_prefix,
+                        return_core=True,
                     )
                 else:
                     in_next = state
@@ -924,24 +987,26 @@ class CTCPrefixSearch:
                         y_last,
                         y_lens,
                         is_prefix,
+                        return_core=True,
                     )
                 (
-                    y_next,
+                    prefix_lens,
                     y_next_last,
                     y_next_lens,
                     (nb_next, b_next),
                     next_is_prefix,
                     next_src,
+                    next_ext,
                     next_is_nonext,
                 ) = advanced
                 state_next = fuse_state(
                     state, in_next, next_src, next_is_nonext, W
                 )
-                # y_next has T+1 rows (buffer + scratch); drop the scratch row,
-                # which is only populated when a path of length T is extended —
-                # impossible before the final step
-                y_next = y_next[:T]
-                y_buf = jnp.where(valid_mask[None], y_next, y_buf)
+                # reorder/extend the path buffer in place (identity for
+                # frozen batch rows) instead of rewriting it wholesale
+                y_buf = _apply_advance_to_buffer(
+                    y_buf, prefix_lens, next_src, next_ext, valid_mask
+                )
                 y_lens = jnp.where(valid_mask, y_next_lens, y_lens)
                 nb = jnp.where(valid_mask, nb_next, nb)
                 b = jnp.where(valid_mask, b_next, b)
