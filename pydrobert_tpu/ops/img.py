@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from .pad import pad_variable
 
 __all__ = [
@@ -63,6 +64,7 @@ def _polyharmonic_spline(
     regularization_weight, full_matrix,
 ):
     c, f, x = train_points, train_values, query_points
+    hp = jax.lax.Precision.HIGHEST  # golden-file fidelity on TPU matmuls
     A = _phi(_cdist(c, c), order)  # (N, T, T)
     if regularization_weight > 0.0:
         A = A + jnp.eye(A.shape[1], dtype=A.dtype)[None] * regularization_weight
@@ -75,17 +77,25 @@ def _polyharmonic_spline(
         zeros = jnp.zeros((B.shape[0], B.shape[2], f.shape[2]), f.dtype)
         rhs = jnp.concatenate([f, zeros], 1)
         wv = jnp.linalg.solve(lhs, rhs)
+        # iterative refinement: recovers accuracy lost to the TPU's f32
+        # factorization (residuals computed at HIGHEST precision)
+        for _ in range(2):
+            resid = rhs - jnp.matmul(lhs, wv, precision=hp)
+            wv = wv + jnp.linalg.solve(lhs, resid)
         w, v = wv[:, : B.shape[1]], wv[:, B.shape[1]:]
     else:
         Ainv = jnp.linalg.inv(A)
-        Ainv_f = Ainv @ f
-        Ainv_B = Ainv @ B
+        Ainv_f = jnp.matmul(Ainv, f, precision=hp)
+        Ainv_B = jnp.matmul(Ainv, B, precision=hp)
         Bt = jnp.swapaxes(B, 1, 2)
-        v = jnp.linalg.solve(Bt @ Ainv_B, Bt @ Ainv_f)
-        w = Ainv_f - Ainv_B @ v
+        v = jnp.linalg.solve(
+            jnp.matmul(Bt, Ainv_B, precision=hp),
+            jnp.matmul(Bt, Ainv_f, precision=hp),
+        )
+        w = Ainv_f - jnp.matmul(Ainv_B, v, precision=hp)
     phi_r = _phi(_cdist(x, c), order)  # (N, Q, T)
     x1 = jnp.concatenate([x, jnp.ones_like(x[..., :1])], 2)
-    return phi_r @ w + x1 @ v
+    return jnp.matmul(phi_r, w, precision=hp) + jnp.matmul(x1, v, precision=hp)
 
 
 def polyharmonic_spline(
@@ -430,7 +440,9 @@ def _separable_warp(
         Wf = w0[:, :, None] * (f0[:, :, None] == cols) + w1[:, :, None] * (
             f1[:, :, None] == cols
         )  # (N, F_out, F_in)
-        out = jnp.einsum("nof,ntf->nto", Wf, out)
+        out = jnp.einsum(
+            "nof,ntf->nto", Wf, out, precision=jax.lax.Precision.HIGHEST
+        )
     return out
 
 
@@ -539,6 +551,46 @@ def spec_augment_apply_parameters(
         freq_grid = warp_1d_grid(
             v_0, v, jnp.full((N,), F, jnp.float32), F, interpolation_order
         )
+    # fused Pallas path: time warp + both masks in one kernel pass (one HBM
+    # read/write) when there's no frequency warp (the park2020 default)
+    use_kernel = False
+    if config.USE_PALLAS and freq_grid is None and T % 8 == 0:
+        vmem_bytes = 4 * (T * T + 3 * T * F)
+        if vmem_bytes <= 12 * 2**20:
+            from .pallas import tpu_available
+
+            use_kernel = tpu_available()
+    if use_kernel:
+        from .pallas import spec_augment_apply_kernel
+
+        if time_grid is not None:
+            t0i, t1i, tw0, tw1 = _axis_lerp_weights(time_grid, T)
+        else:
+            ident = jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32)[None], (N, T)
+            )
+            t0i = t1i = ident
+            tw0 = jnp.ones((N, T), jnp.float32)
+            tw1 = jnp.zeros((N, T), jnp.float32)
+        tmask_v = jnp.zeros((N, T), jnp.float32)
+        if t_0 is not None and t is not None:
+            tr = jnp.arange(T)[None, :, None]
+            tmask_v = (
+                ((tr >= t_0[:, None]) & (tr < (t_0 + t)[:, None]))
+                .any(2)
+                .astype(jnp.float32)
+            )
+        fmask_v = jnp.zeros((N, F), jnp.float32)
+        if f_0 is not None and f is not None:
+            fr = jnp.arange(F)[None, :, None]
+            fmask_v = (
+                ((fr >= f_0[:, None]) & (fr < (f_0 + f)[:, None]))
+                .any(2)
+                .astype(jnp.float32)
+            )
+        return spec_augment_apply_kernel(
+            new_feats, t0i, t1i, tw0, tw1, tmask_v, fmask_v
+        ).astype(feats.dtype)
     if time_grid is not None or freq_grid is not None:
         # SpecAugment's warp grids are separable (per-axis 1-D grids), so the
         # 2-D grid_sample (pointwise gathers, slow on TPU) reduces to a row

@@ -165,3 +165,69 @@ def edit_distance_kernel(
         hyp_lens[None].astype(jnp.int32),
     )
     return out[0, :N]
+
+
+def _sa_kernel(x_ref, t0_ref, t1_ref, w0_ref, w1_ref, tm_ref, fm_ref, o_ref):
+    """Fused SpecAugment apply for one utterance: time-warp as an in-VMEM
+    one-hot interpolation matmul (MXU) + time/freq zero-masks, one HBM read
+    and one write of the feature block."""
+    _, T, F = x_ref.shape
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    t0 = t0_ref[0, 0, :]  # (T,)
+    t1 = t1_ref[0, 0, :]
+    w0 = w0_ref[0, 0, :]
+    w1 = w1_ref[0, 0, :]
+    W = w0[:, None] * (s_ids == t0[:, None]) + w1[:, None] * (
+        s_ids == t1[:, None]
+    )
+    warped = jax.lax.dot(
+        W, x_ref[0],
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    keep = (1.0 - tm_ref[0, 0, :])[:, None] * (1.0 - fm_ref[0, 0, :])[None, :]
+    o_ref[0] = warped * keep
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spec_augment_apply_kernel(
+    feats: jax.Array,
+    t0: jax.Array,
+    t1: jax.Array,
+    w0: jax.Array,
+    w1: jax.Array,
+    tmask: jax.Array,
+    fmask: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused SpecAugment apply: ``out[n, t] = keep[n, t] * (w0[n, t] *
+    feats[n, t0[n, t]] + w1[n, t] * feats[n, t1[n, t]])`` with time/freq
+    masks, one kernel launch per batch (grid over N)."""
+    N, T, F = feats.shape
+    out = pl.pallas_call(
+        _sa_kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, T, F), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, F), lambda n: (n, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, T, F), jnp.float32),
+        interpret=interpret,
+    )(
+        feats.astype(jnp.float32),
+        t0.astype(jnp.int32)[:, None],
+        t1.astype(jnp.int32)[:, None],
+        w0.astype(jnp.float32)[:, None],
+        w1.astype(jnp.float32)[:, None],
+        tmask.astype(jnp.float32)[:, None],
+        fmask.astype(jnp.float32)[:, None],
+    )
+    return out

@@ -253,3 +253,79 @@ def test_deprecated_v03_functional_interface(seeded, key):
         bb = E.to_b(zb, "bern")
         gb = E.reinforce(bb, bb, logits[:, 0], "bern")
         assert gb.shape == logits[:, 0].shape
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DO_MC_BENCHMARK"),
+    reason="opt-in benchmark (set DO_MC_BENCHMARK=1)",
+)
+def test_benchmark(seeded, key, capsys):
+    """Opt-in estimator-convergence benchmark, mirroring the reference's
+    ``tests/test_mc.py:290-404``: optimize 10 Bernoulli params to a target
+    with each estimator; report iterations and wall time to convergence."""
+    import time
+
+    import optax
+
+    from pydrobert_tpu.estimators import RelaxEstimator
+    from pydrobert_tpu.modules import LogisticBernoulliRebarControlVariate
+
+    target = jnp.asarray(np.random.randint(0, 2, (10,)), jnp.float32)
+
+    def func(b):
+        return -((b - target) ** 2)
+
+    class Bern:
+        def __init__(self, logits):
+            self._d = LogisticBernoulli(logits=logits)
+
+        def sample(self, key, shape=()):
+            return self._d.threshold(self._d.rsample(key, shape))
+
+        def log_prob(self, b):
+            return self._d.tlog_prob(b)
+
+    def direct_loss(logits, k):
+        return -DirectEstimator(Bern(logits), func, 32)(k).sum()
+
+    def st_loss(logits, k):
+        return -StraightThroughEstimator(
+            LogisticBernoulli(logits=logits), func, 32
+        )(k).sum()
+
+    cv_mod = LogisticBernoulliRebarControlVariate(func=func)
+    cv_params = cv_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))
+
+    def rebar_loss(logits, k):
+        est = RelaxEstimator(
+            LogisticBernoulli(logits=logits), func, 32,
+            cv=lambda z: cv_mod.apply(cv_params, z),
+        )
+        return -est(k).sum()
+
+    report = []
+    for name, loss in [
+        ("direct", direct_loss), ("st", st_loss), ("rebar", rebar_loss),
+    ]:
+        logits = jnp.zeros(10)
+        opt = optax.adam(0.1)
+        state = opt.init(logits)
+        gfn = jax.jit(jax.grad(loss))
+        t0 = time.perf_counter()
+        iters = 0
+        for i in range(2000):
+            g = gfn(logits, jax.random.fold_in(key, i))
+            upd, state = opt.update(g, state)
+            logits = optax.apply_updates(logits, upd)
+            iters = i + 1
+            probs = np.asarray(jax.nn.sigmoid(logits))
+            if ((probs > 0.5) == np.asarray(target, bool)).all() and (
+                np.abs(probs - np.asarray(target)) < 0.2
+            ).all():
+                break
+        dt = time.perf_counter() - t0
+        report.append((name, iters, dt))
+        assert iters < 2000, name
+    with capsys.disabled():
+        for name, iters, dt in report:
+            print(f"\n{name}: converged in {iters} iters, {dt:.1f}s", end="")
