@@ -701,11 +701,19 @@ def _ctc_advance_tail(
     p = jnp.clip(y_next_lens - 1, 0, None)  # (N, K)
     q = y_next_prefix_lens  # (N, K)
     K_new = next_src.shape[1]
-    n3 = jnp.arange(N)[:, None, None]
     if tm1:
-        old_val = y_prev[
-            jnp.clip(p, None, tm1 - 1)[:, :, None], n3, next_src[:, None, :]
-        ]  # (N, K, K')
+        # out[n,k,k'] = y_prev[p_k, n, src_k'] via a streaming column gather
+        # followed by a flat row take: a single two-axis gather with (N,K,K)
+        # arbitrary indices lowers to serialized scalar loads on TPU
+        # (~6x slower than these two single-axis forms, measured)
+        cols = jnp.take_along_axis(y_prev, next_src[None], axis=2)
+        rows_idx = (
+            jnp.clip(p, None, tm1 - 1) * N
+            + jnp.arange(N, dtype=p.dtype)[:, None]
+        )  # (N, K)
+        old_val = jnp.take(
+            cols.reshape(tm1 * N, K_new), rows_idx, axis=0
+        )  # (N, K, K')
         old_val = jnp.where((p >= tm1)[:, :, None], 0, old_val)
     else:
         old_val = jnp.zeros((N, K_new, K_new), y_prev.dtype)
@@ -765,11 +773,10 @@ def _apply_advance_to_buffer(y_buf, prefix_lens, next_src, next_ext, valid):
     )
     y_buf = jnp.take_along_axis(y_buf, src_eff[None], axis=2)
     pos = jnp.where(valid, prefix_lens, T)  # T -> dropped
-    n_sc = jnp.arange(N)[:, None]
-    k_sc = jnp.arange(W)[None, :]
-    return y_buf.at[pos, n_sc, k_sc].set(
-        next_ext.astype(y_buf.dtype), mode="drop"
-    )
+    # row-mask select instead of a 3-axis scatter: fuses with the gather
+    # into one streaming pass (the scatter lowers to serialized stores)
+    mask = jnp.arange(T, dtype=pos.dtype)[:, None, None] == pos[None]
+    return jnp.where(mask, next_ext[None].astype(y_buf.dtype), y_buf)
 
 
 class CTCPrefixSearch:
