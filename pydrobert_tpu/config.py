@@ -37,6 +37,7 @@ __all__ = [
     "TINY",
     "USE_JIT",
     "USE_PALLAS",
+    "USE_PALLAS_BEAM",
 ]
 
 INDEX_PAD_VALUE = -100
@@ -63,6 +64,16 @@ USE_PALLAS = os.environ.get("PYDROBERT_TPU_PALLAS", "1") != "0"
 
 When off (``PYDROBERT_TPU_PALLAS=0``) the pure-XLA fallbacks run instead.
 Automatically off on non-TPU backends.
+"""
+
+USE_PALLAS_BEAM = os.environ.get("PYDROBERT_TPU_PALLAS_BEAM", "0") == "1"
+"""Route :class:`pydrobert_tpu.ops.decoding.CTCPrefixSearch` (no-LM path)
+through the whole-loop Pallas beam-search kernel.
+
+Off by default: the kernel is at parity with the pure-XLA path on the
+current dev chip (fixed per-op overhead dominates both) but is designed to
+win on production TPUs, where its VMEM-resident beam state and path buffer
+remove the scan's per-step HBM traffic and op-dispatch cost entirely.
 """
 
 EPS_NINF = math.log(1.1754943508222875e-38) / 2

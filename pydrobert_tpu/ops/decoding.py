@@ -840,6 +840,25 @@ class CTCPrefixSearch:
         blank_probs = probs[..., V]  # (T, N)
         nonext_probs = probs[..., :V]  # (T, N, V)
 
+        # opt-in whole-loop Pallas kernel (state + path buffer resident in
+        # VMEM across frames); identical results to the XLA scan below up to
+        # f32 reduction order
+        from .. import config
+        from .pallas import (
+            ctc_beam_search_pallas, ctc_beam_search_vmem_ok, tpu_available,
+        )
+
+        if (
+            not use_lm
+            and initial_state is None
+            and config.USE_PALLAS_BEAM
+            and tpu_available()
+            and T >= 2
+            and 1 < W <= min(32, V)
+            and ctc_beam_search_vmem_ok(T, N, V, W)
+        ):
+            return ctc_beam_search_pallas(nonext_probs, blank_probs, lens, W)
+
         if lm is not None:
             prev = lm.update_input(prev, jnp.zeros((0, N), jnp.int32))
 

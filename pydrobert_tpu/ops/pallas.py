@@ -13,6 +13,13 @@ Current kernels:
   instead of a ``lax.scan`` materializing ``(R+1, N)`` carries through HBM
   every step. The in-row deletion relaxation uses a log-step doubling
   min-plus scan.
+- :func:`spec_augment_apply_kernel`: fused SpecAugment apply (time-warp
+  interpolation as an in-VMEM one-hot matmul + time/freq masks), one HBM
+  read and one write of the feature block.
+- :func:`ctc_beam_search_pallas`: the ENTIRE no-LM CTC prefix beam search
+  loop as one kernel (grid over frames, beam state + path buffer resident
+  in VMEM); see the section comment below. Opt-in via
+  ``config.USE_PALLAS_BEAM``.
 """
 
 import functools
@@ -231,3 +238,449 @@ def spec_augment_apply_kernel(
         fmask.astype(jnp.float32)[:, None],
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# CTC prefix beam search: whole-decode-loop kernel
+# ---------------------------------------------------------------------------
+#
+# The no-LM factored advance (``ops/decoding.ctc_prefix_search_advance_
+# factored``, parity with reference ``_decoding.py:636-934``) runs one step
+# per frame in a ``lax.scan``; on TPU the per-step cost is dominated by fixed
+# per-HLO-op overhead (~60 small ops/step) and path-buffer traffic. This
+# kernel runs the ENTIRE decode loop as one ``pallas_call`` with grid ``(T,)``:
+# beam state and the ``(N, W, T)`` path buffer stay resident in VMEM across
+# all frames, per-frame inputs (frame probabilities + hoisted top-M) stream
+# in one block per grid step, and outputs flush once at the final step.
+#
+# The step math is written once in :func:`_ctc_beam_step_math` using only
+# Mosaic-lowerable ops (one-hot compare/select/reduce instead of
+# gather/scatter, statically unrolled W-loops, iterative argmax instead of
+# ``lax.top_k``, no rank-1 intermediates, no lane-collapsing reshapes, no
+# transposes) and is shared verbatim by a pure-XLA simulator
+# (:func:`ctc_beam_search_reference`) used for CPU parity tests.
+#
+# t = 0 runs through the same step as every other frame: beam 0 is the empty
+# prefix (nb=0, b=1) and beams 1..W-1 are finite ``_DUMMY``-mass placeholders
+# marked mutually non-prefix, whose candidate scores are always below any
+# real candidate's (real scores are products of probabilities, >= 0) and
+# never produce NaN (finite dummy mass, unlike -inf * 0).
+
+_DUMMY = -1.0e30
+_NEG_INF_F = -float("inf")
+
+
+def _ctc_beam_select(carry, xs, *, W, M):
+    """Candidate scoring + top-W selection + source gathers (no path
+    buffer). carry: nb, b (N, W) f32; lens, last (N, W) i32; ip (N, W, W)
+    i32 (0/1; bool-valued selects don't lower). xs: tv (N, M) f32, ti
+    (N, M) i32, nonext (N, V) f32, blank (N, 1) f32, valid (N, 1) bool
+    (nonext and blank stay separate so each input block keeps a
+    lane-aligned trailing dim; a fused (N, V+1) block relayouts per step).
+    Matches ``ctc_prefix_search_advance_factored`` (same op order and
+    tie-breaking). Returns the post-selection quantities the buffer update
+    and :func:`_ctc_beam_apply` need.
+    """
+    nb, b, lens, last, ip = carry
+    tv, ti, nonext, blank, valid = xs
+    N = nb.shape[0]
+    V = nonext.shape[1]
+    S = M + 2
+
+    tot = nb + b
+    # p_last[n, k] = nonext[n, last[n, k]]: exact one-hot reduction (the sum
+    # has exactly one nonzero term)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (N, V), 1)
+    p_last_cols = []
+    for k in range(W):
+        sel = jnp.where(iota_v == last[:, k : k + 1], nonext, 0.0)
+        p_last_cols.append(jnp.sum(sel, 1, keepdims=True))
+    p_last = jnp.concatenate(p_last_cols, 1)  # (N, W)
+
+    shared_is_last = ti[:, None, :] == last[:, :, None]  # (N, W, M)
+    coeff = jnp.where(shared_is_last, b[:, :, None], tot[:, :, None])
+    shared_scores = coeff * tv[:, None, :]  # (N, W, M)
+    last_scores = jnp.where(
+        jnp.max(shared_is_last.astype(jnp.int32), 2) > 0,
+        _NEG_INF_F,
+        b * p_last,
+    )  # (N, W)
+
+    b_ne = tot * blank  # (N, W)
+    nb_ne = nb * p_last
+
+    ip_b = ip > 0
+    exact = ((lens + 1)[:, :, None] == lens[:, None, :]) & ip_b  # (N, W, W)
+    tm_coeff = jnp.where(
+        last[:, None, :] == last[:, :, None], b[:, :, None], tot[:, :, None]
+    )
+    absorbed = jnp.sum(
+        jnp.where(exact, tm_coeff * p_last[:, None, :], 0.0), 1
+    )  # (N, W)
+    nb_ne = nb_ne + absorbed
+
+    cand_v = jnp.concatenate(
+        [jnp.broadcast_to(ti[:, None], (N, W, M)), last[:, :, None]], 2
+    )  # (N, W, M + 1)
+    removed = (
+        jnp.max(
+            (
+                exact[:, :, None, :]
+                & (cand_v[:, :, :, None] == last[:, None, None, :])
+            ).astype(jnp.int32),
+            3,
+        )
+        > 0
+    )
+    ext_scores = jnp.concatenate([shared_scores, last_scores[:, :, None]], 2)
+    ext_scores = jnp.where(removed, _NEG_INF_F, ext_scores)
+
+    scores = jnp.concatenate(
+        [ext_scores, (nb_ne + b_ne)[:, :, None]], 2
+    )  # (N, W, S); kept 3-D (Mosaic can't collapse non-lane-aligned dims)
+
+    # iterative top-W with lax.top_k tie semantics (lowest flat index first)
+    iota_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, W, S), 1) * S
+        + jax.lax.broadcasted_iota(jnp.int32, (N, W, S), 2)
+    )
+    vals, inds = [], []
+    for _ in range(W):
+        # nested single-axis keepdims reductions (multi-axis reduces lower
+        # through a rank-1 intermediate that crashes Mosaic layout inference)
+        m3 = jnp.max(
+            jnp.max(scores, 2, keepdims=True), 1, keepdims=True
+        )  # (N, 1, 1)
+        at_max = scores == m3
+        idx3 = jnp.min(
+            jnp.min(jnp.where(at_max, iota_f, W * S), 2, keepdims=True),
+            1,
+            keepdims=True,
+        )
+        vals.append(m3[:, 0, :])  # (N, 1); squeeze the sublane
+        inds.append(idx3[:, 0, :])  # dim (lane squeezes crash Mosaic)
+        scores = jnp.where(iota_f == idx3, _NEG_INF_F, scores)
+    val = jnp.concatenate(vals, 1)  # (N, W)
+    next_ind = jnp.concatenate(inds, 1)  # (N, W)
+
+    slot = next_ind % S
+    src = next_ind // S
+    is_nonext = slot == (S - 1)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (N, W, M), 2)
+    shared_tok = jnp.sum(
+        jnp.where(
+            iota_m == jnp.clip(slot, None, M - 1)[:, :, None], ti[:, None], 0
+        ),
+        2,
+    )
+    oh_src = (
+        src[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (N, W, W), 2)
+    )  # (N, W, W')
+    oh_src_i = oh_src.astype(jnp.int32)
+    oh_src_f = oh_src.astype(nb.dtype)
+    last_src = jnp.sum(oh_src_i * last[:, None, :], 2)
+    next_ext = jnp.where(slot < M, shared_tok, last_src)
+
+    lens_src = jnp.sum(oh_src_i * lens[:, None, :], 2)  # (N, W) = q
+    nb_ne_src = jnp.sum(oh_src_f * nb_ne[:, None, :], 2)
+    b_ne_src = jnp.sum(oh_src_f * b_ne[:, None, :], 2)
+
+    nb_n = jnp.where(is_nonext, nb_ne_src, val)
+    b_n = jnp.where(is_nonext, b_ne_src, 0.0)
+    lens_n = lens_src + (~is_nonext)
+    last_n = jnp.where(is_nonext, last_src, next_ext)
+
+    # ip2[n, k, j] = ip[n, src_k, src_j] via two one-hot contractions
+    tmp = (
+        jnp.sum(oh_src_i[:, :, :, None] * ip[:, None], 2) > 0
+    )  # (N, W, W'')
+    ip2 = (
+        jnp.sum(
+            oh_src_i[:, None, :, :] * tmp.astype(jnp.int32)[:, :, None], 3
+        )
+        > 0
+    )
+
+    q = lens_src
+    p = jnp.maximum(lens_n - 1, 0)  # (N, W)
+    iota_w2 = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
+    src_eff = jnp.where(valid, src, iota_w2)
+    pos_eff = jnp.where(valid & (~is_nonext), q, -1)
+
+    return dict(
+        nb_n=nb_n, b_n=b_n, lens_n=lens_n, last_n=last_n, ip2=ip2,
+        is_nonext=is_nonext, next_ext=next_ext, p=p, q=q,
+        src_eff=src_eff, pos_eff=pos_eff,
+    )
+
+
+def _ctc_beam_apply(carry, sel, old_val, valid):
+    """Prefix-matrix completion + freezing; shared by kernel and simulator.
+
+    ``old_val[n, k, j]`` is the updated buffer's token at ``[n, j, p[n,k]]``.
+    """
+    nb, b, lens, last, ip = carry
+    len_leq = sel["lens_n"][:, :, None] <= sel["lens_n"][:, None, :]
+    to_match = jnp.where(
+        sel["p"][:, :, None] == sel["q"][:, None, :],
+        sel["next_ext"][:, None, :],
+        old_val,
+    )
+    ext_matches = to_match == sel["next_ext"][:, :, None]
+    # minor-dim insertion on bools is unsupported; go through int32
+    is_nonext3 = sel["is_nonext"].astype(jnp.int32)[:, :, None] > 0
+    ip_n = sel["ip2"] & len_leq & (is_nonext3 | ext_matches)
+
+    # freeze rows past their length
+    nb = jnp.where(valid, sel["nb_n"], nb)
+    b = jnp.where(valid, sel["b_n"], b)
+    lens = jnp.where(valid, sel["lens_n"], lens)
+    last = jnp.where(valid, sel["last_n"], last)
+    ip = jnp.where(
+        valid.astype(jnp.int32)[:, :, None] > 0, ip_n.astype(jnp.int32), ip
+    )
+    return nb, b, lens, last, ip
+
+
+def _ctc_beam_step_math(carry, xs, *, W, M, T):
+    """Simulator step: :func:`_ctc_beam_select` + a value-based path-buffer
+    update + :func:`_ctc_beam_apply`. ybuf is (N, W, T) i32."""
+    nb, b, lens, last, ip, ybuf = carry
+    valid = xs[4]
+    N = nb.shape[0]
+    sel = _ctc_beam_select((nb, b, lens, last, ip), xs, W=W, M=M)
+
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
+    new_cols = []
+    for j in range(W):
+        col = jnp.zeros((N, T), jnp.int32)
+        for jp in range(W):
+            col = col + ybuf[:, jp, :] * (
+                sel["src_eff"][:, j : j + 1] == jp
+            ).astype(jnp.int32)
+        col = jnp.where(
+            iota_t == sel["pos_eff"][:, j : j + 1],
+            sel["next_ext"][:, j : j + 1],
+            col,
+        )
+        new_cols.append(col[:, None, :])
+    ybuf_n = jnp.concatenate(new_cols, 1)  # (N, W, T)
+
+    rows = []
+    for k in range(W):
+        mask = (iota_t == sel["p"][:, k : k + 1]).astype(jnp.int32)  # (N, T)
+        rows.append(jnp.sum(ybuf_n * mask[:, None, :], 2)[:, None, :])
+    old_val = jnp.concatenate(rows, 1)  # (N, K, W')
+
+    out = _ctc_beam_apply((nb, b, lens, last, ip), sel, old_val, valid)
+    return (*out, ybuf_n)
+
+
+def _ctc_beam_init(N, W):
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (N, W), 1)
+    nb = jnp.where(iota_w == 0, 0.0, _DUMMY)
+    b = jnp.where(iota_w == 0, 1.0, _DUMMY)
+    lens = jnp.zeros((N, W), jnp.int32)
+    last = jnp.zeros((N, W), jnp.int32)
+    ip = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, W, W), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (N, W, W), 2)
+    ).astype(jnp.int32)
+    return nb, b, lens, last, ip
+
+
+def _ctc_beam_finish(nb, b, lens_o, y, lens, W):
+    """Shared post-processing on the (T, N, W) buffer: restore frozen-at-0
+    row outputs (dummy masses -> -inf, as the pure-XLA path pads them)."""
+    y_probs = nb + b
+    frozen0 = (lens == 0)[:, None]
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, y_probs.shape, 1) > 0
+    y_probs = jnp.where(frozen0 & k_pos, _NEG_INF_F, y_probs)
+    return y, lens_o, y_probs
+
+
+def ctc_beam_search_reference(nonext_probs, blank_probs, lens, width):
+    """Pure-XLA scan over :func:`_ctc_beam_step_math` (the kernel simulator).
+
+    Same inputs/outputs as :func:`ctc_beam_search_pallas`; used for CPU
+    parity testing of the kernel math against ``CTCPrefixSearch``.
+    """
+    T, N, V = nonext_probs.shape
+    W = width
+    M = min(V, 2 * W)
+    tv, ti = jax.lax.top_k(nonext_probs, M)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, N, 1), 0) < lens[None, :, None]
+    )
+
+    def step(carry, xs):
+        return _ctc_beam_step_math(carry, xs, W=W, M=M, T=T), None
+
+    init = (*_ctc_beam_init(N, W), jnp.zeros((N, W, T), jnp.int32))
+    carry, _ = jax.lax.scan(
+        step, init, (tv, ti, nonext_probs, blank_probs[:, :, None], valid)
+    )
+    nb, b, lens_o, last, ip, ybuf = carry
+    y = jnp.transpose(ybuf, (2, 0, 1))  # (N, W, T) -> (T, N, W)
+    return _ctc_beam_finish(nb, b, lens_o, y, lens, W)
+
+
+def _ctc_beam_buf_step(src_ref, dst_ref, old_sc, sel, W, T):
+    """Ref-based path-buffer update in (W, N, T) layout: leading-dim loads/
+    stores avoid the sublane relayouts a (N, W, T) value layout incurs.
+    Writes the permuted+extended buffer into ``dst_ref`` and the
+    ``old_val`` interrogation matrix into ``old_sc``."""
+    N = sel["p"].shape[0]
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
+    old_cols = [src_ref[jp] for jp in range(W)]  # W x (N, T)
+    masks_k = [
+        iota_t == sel["p"][:, k : k + 1] for k in range(W)
+    ]  # W x (N, T)
+    ov_js = []
+    for j in range(W):
+        col = jnp.zeros((N, T), jnp.int32)
+        for jp in range(W):
+            col = col + old_cols[jp] * (
+                sel["src_eff"][:, j : j + 1] == jp
+            ).astype(jnp.int32)
+        col = jnp.where(
+            iota_t == sel["pos_eff"][:, j : j + 1],
+            sel["next_ext"][:, j : j + 1],
+            col,
+        )
+        dst_ref[j] = col
+        # old_val[:, :, j]: token of (new) beam j at each p_k
+        parts = [
+            jnp.sum(col * m.astype(jnp.int32), 1, keepdims=True)
+            for m in masks_k
+        ]
+        ov_js.append(jnp.concatenate(parts, 1)[:, :, None])  # (N, K, 1)
+    old_sc[...] = jnp.concatenate(ov_js, 2)  # (N, K, W')
+
+
+def _ctc_beam_kernel(
+    tv_ref, ti_ref, nonext_ref, blank_ref, valid_ref,
+    nb_ref, b_ref, lens_ref, y_ref,
+    nb_sc, b_sc, lens_sc, last_sc, ip_sc, old_sc, ybuf_a, ybuf_b,
+    *, W, M, T,
+):
+    t = pl.program_id(0)
+    N = nb_sc.shape[0]
+
+    @pl.when(t == 0)
+    def _():
+        nb0, b0, lens0, last0, ip0 = _ctc_beam_init(N, W)
+        nb_sc[...] = nb0
+        b_sc[...] = b0
+        lens_sc[...] = lens0
+        last_sc[...] = last0
+        ip_sc[...] = ip0
+        ybuf_a[...] = jnp.zeros((W, N, T), jnp.int32)
+
+    carry = (nb_sc[...], b_sc[...], lens_sc[...], last_sc[...], ip_sc[...])
+    valid = valid_ref[0] != 0
+    xs = (tv_ref[0], ti_ref[0], nonext_ref[0], blank_ref[0], valid)
+    sel = _ctc_beam_select(carry, xs, W=W, M=M)
+
+    # ping-pong buffers: read from a on even steps, from b on odd
+    @pl.when(t % 2 == 0)
+    def _():
+        _ctc_beam_buf_step(ybuf_a, ybuf_b, old_sc, sel, W, T)
+
+    @pl.when(t % 2 == 1)
+    def _():
+        _ctc_beam_buf_step(ybuf_b, ybuf_a, old_sc, sel, W, T)
+
+    nb, b, lens, last, ip = _ctc_beam_apply(
+        carry, sel, old_sc[...], valid
+    )
+    nb_sc[...] = nb
+    b_sc[...] = b
+    lens_sc[...] = lens
+    last_sc[...] = last
+    ip_sc[...] = ip
+
+    @pl.when(t == T - 1)
+    def _():
+        nb_ref[...] = nb_sc[...]
+        b_ref[...] = b_sc[...]
+        lens_ref[...] = lens_sc[...]
+
+        @pl.when(t % 2 == 0)
+        def _():
+            y_ref[...] = ybuf_b[...]
+
+        @pl.when(t % 2 == 1)
+        def _():
+            y_ref[...] = ybuf_a[...]
+
+
+def ctc_beam_search_pallas(nonext_probs, blank_probs, lens, width):
+    """Whole-loop CTC prefix beam search kernel (no-LM factored path).
+
+    ``nonext_probs`` (T, N, V) f32, ``blank_probs`` (T, N) f32, ``lens``
+    (N,) i32, static ``width``. Returns ``(y (T, N, W) i32, y_lens (N, W)
+    i32, y_probs (N, W) f32)`` identical to ``CTCPrefixSearch.__call__``'s
+    outputs on the same inputs (token paths semantically equal up to each
+    returned length).
+    """
+    T, N, V = nonext_probs.shape
+    W = width
+    M = min(V, 2 * W)
+    tv, ti = jax.lax.top_k(nonext_probs, M)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, N, 1), 0)
+        < lens[None, :, None]
+    ).astype(jnp.int32)
+
+    kern = functools.partial(_ctc_beam_kernel, W=W, M=M, T=T)
+    nb, b, lens_o, y = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, M), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, N, M), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, N, V), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, N, 1), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, N, 1), lambda t: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, W), lambda t: (0, 0)),
+            pl.BlockSpec((N, W), lambda t: (0, 0)),
+            pl.BlockSpec((N, W), lambda t: (0, 0)),
+            pl.BlockSpec((W, N, T), lambda t: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, W), jnp.float32),
+            jax.ShapeDtypeStruct((N, W), jnp.float32),
+            jax.ShapeDtypeStruct((N, W), jnp.int32),
+            jax.ShapeDtypeStruct((W, N, T), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, W), jnp.float32),
+            pltpu.VMEM((N, W), jnp.float32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W), jnp.int32),
+            pltpu.VMEM((N, W, W), jnp.int32),
+            pltpu.VMEM((N, W, W), jnp.int32),
+            pltpu.VMEM((W, N, T), jnp.int32),
+            pltpu.VMEM((W, N, T), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(tv, ti, nonext_probs, blank_probs[:, :, None], valid)
+    y = jnp.transpose(y, (2, 1, 0))  # (W, N, T) -> (T, N, W)
+    return _ctc_beam_finish(nb, b, lens_o, y, lens, W)
+
+
+def ctc_beam_search_vmem_ok(T, N, V, width) -> bool:
+    """Whether the kernel's VMEM residents fit comfortably."""
+    buf = 3 * width * N * T * 4  # 2 ping-pong scratch + y output block
+    frame = N * (V + 2) * 4 * 2
+    state = N * width * (width + 8) * 4
+    return buf + frame + state <= 24 * 1024 * 1024
+
+
+__all__ += ["ctc_beam_search_pallas", "ctc_beam_search_reference"]

@@ -386,3 +386,31 @@ def test_ctc_prefix_search_tiny_vocab_wide_beam(ref_torch, seeded, jit_fn):
             np.testing.assert_array_equal(
                 y_a[:L, n, k], y_e[:L, n, k], err_msg=f"n={n} k={k}"
             )
+
+
+@pytest.mark.parametrize("shape", [(12, 4, 16, 4), (20, 3, 32, 8), (15, 5, 8, 4)])
+def test_ctc_beam_kernel_simulator_matches_search(shape):
+    """The Pallas whole-loop beam kernel's step math (pure-XLA simulator)
+    matches CTCPrefixSearch bitwise, including frozen/zero-length rows."""
+    from pydrobert_tpu.ops.pallas import ctc_beam_search_reference
+
+    T, N, V, W = shape
+    rng = np.random.RandomState(T + N + V)
+    logits = jnp.asarray(rng.randn(T, N, V + 1) * 2, jnp.float32)
+    lens = jnp.asarray(rng.randint(0, T + 1, (N,)), jnp.int32)
+    lens = lens.at[0].set(T)
+    probs = jax.nn.softmax(logits, 2)
+    y1, l1, p1 = ctc_beam_search_reference(
+        probs[..., :V], probs[..., V], lens, W
+    )
+    y0, l0, p0 = D.CTCPrefixSearch(W)(logits, lens)
+    y0, l0, p0, y1, l1, p1 = map(np.asarray, (y0, l0, p0, y1, l1, p1))
+    assert (l0 == l1).all()
+    assert (np.isfinite(p0) == np.isfinite(p1)).all()
+    fin = np.isfinite(p0)
+    assert (np.where(fin, p0 - p1, 0) == 0).all()
+    assert all(
+        (y0[: l0[n, w], n, w] == y1[: l0[n, w], n, w]).all()
+        for n in range(N)
+        for w in range(W)
+    )

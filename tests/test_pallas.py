@@ -59,3 +59,60 @@ def test_public_error_rate_uses_kernel_and_matches(seeded, monkeypatch):
     monkeypatch.setattr(config, "USE_PALLAS", False)
     slow = error_rate(ref, hyp, norm=True)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=1e-6)
+
+
+def _beam_outputs_equal(a, b):
+    """Semantic equality of (y, y_lens, y_probs) triples: lengths exact,
+    probs within a relative tolerance (f32 reduction order differs between
+    the kernel's one-hot sums and XLA's gathers, compounding over T steps),
+    token paths exact up to each returned length."""
+    y0, l0, p0 = (np.asarray(x) for x in a)
+    y1, l1, p1 = (np.asarray(x) for x in b)
+    if not (l0 == l1).all():
+        return False
+    if not (np.isfinite(p0) == np.isfinite(p1)).all():
+        return False
+    fin = np.isfinite(p0)
+    if not np.allclose(
+        np.where(fin, p0, 0), np.where(fin, p1, 0), rtol=1e-4, atol=1e-12
+    ):
+        return False
+    N, W = l0.shape
+    return all(
+        (y0[: l0[n, w], n, w] == y1[: l0[n, w], n, w]).all()
+        for n in range(N)
+        for w in range(W)
+    )
+
+
+@pytest.mark.parametrize("shape", [(64, 8, 128, 8), (32, 4, 64, 4)])
+def test_ctc_beam_search_kernel_matches_search(seeded, shape):
+    from pydrobert_tpu.ops.decoding import CTCPrefixSearch
+    from pydrobert_tpu.ops.pallas import ctc_beam_search_pallas
+
+    T, N, V, W = shape
+    logits = jnp.asarray(np.random.randn(T, N, V + 1) * 2, jnp.float32)
+    lens = jnp.asarray(np.random.randint(0, T + 1, (N,)), jnp.int32)
+    lens = lens.at[0].set(T)
+    probs = jax.nn.softmax(logits, 2)
+    got = jax.jit(ctc_beam_search_pallas, static_argnums=3)(
+        probs[..., :V], probs[..., V], lens, W
+    )
+    want = jax.jit(lambda l, ln: CTCPrefixSearch(W)(l, ln))(logits, lens)
+    assert _beam_outputs_equal(want, got)
+
+
+def test_ctc_prefix_search_beam_gate(seeded, monkeypatch):
+    """CTCPrefixSearch with USE_PALLAS_BEAM routes through the kernel and
+    matches the pure-XLA scan."""
+    from pydrobert_tpu import config
+    from pydrobert_tpu.ops import decoding as D
+
+    T, N, V, W = 48, 4, 128, 8
+    logits = jnp.asarray(np.random.randn(T, N, V + 1) * 2, jnp.float32)
+    lens = jnp.asarray(np.random.randint(1, T + 1, (N,)), jnp.int32)
+    search = D.CTCPrefixSearch(W)
+    base = jax.jit(lambda l, ln: search(l, ln))(logits, lens)
+    monkeypatch.setattr(config, "USE_PALLAS_BEAM", True)
+    gated = jax.jit(lambda l, ln: search(l, ln))(logits, lens)
+    assert _beam_outputs_equal(base, gated)
