@@ -352,10 +352,15 @@ class _CtxTable:
             h = _FNV_BASIS
             for tok in key:
                 h = _fnv_mix_np(h, np.uint32(np.int64(tok)))
-            slot = int(_fnv_fin_np(h) & mask)
+            h = _fnv_fin_np(h)
+            # double hashing: an odd, hash-derived stride breaks the
+            # clustering linear probing suffers under FNV (max_probe 8 -> ~3
+            # at the same load factor), and probe count = device gather count
+            step = int((h >> np.uint32(16)) | np.uint32(1))
             probe = 1
+            slot = int(h & mask)
             while keys[slot, 0] != _EMPTY_KEY:
-                slot = (slot + 1) % size
+                slot = (slot + step) & int(mask)
                 probe += 1
             keys[slot] = key
             fvals[slot] = logb
@@ -366,27 +371,50 @@ class _CtxTable:
         self.child_tok = child_tok
         self.child_logp = child_logp
         self.max_children = int(max_children)
+        self._pack()
+
+    def _pack(self):
+        """Fuse per-slot data into single rows so each probe (and each child
+        read) is ONE device gather: ``packed (size, n + 3)`` int32 =
+        ``[key tokens..., logb bits, row_start, row_len]``; ``child (rows,
+        2)`` int32 = ``[token, logp bits]``. Gathers on TPU carry a fixed
+        per-op cost, so 1 wide gather beats 3 narrow ones."""
+        self.packed = np.concatenate(
+            [
+                self.keys,
+                self.fvals[:, None].view(np.int32),
+                self.ivals,
+            ],
+            1,
+        )
+        ct = self.child_tok if len(self.child_tok) else np.zeros(1, np.int32)
+        cl = (
+            self.child_logp
+            if len(self.child_logp)
+            else np.zeros(1, np.float32)
+        )
+        self.child_packed = np.stack([ct, cl.view(np.int32)], 1)
 
     def lookup_ctx(self, qkeys: jax.Array):
         """(found, logb, start, length) for query contexts ``(B, n)``."""
-        keys = jnp.asarray(self.keys)
-        fvals = jnp.asarray(self.fvals)
-        ivals = jnp.asarray(self.ivals)
+        n = self.n
+        packed = jnp.asarray(self.packed)
         h = jnp.full(qkeys.shape[:-1], int(_FNV_BASIS), jnp.uint32)
-        for j in range(self.n):
+        for j in range(n):
             h = _fnv_mix_jnp(h, qkeys[..., j])
         h = _fnv_fin_jnp(h)
         mask = jnp.uint32(self.size - 1)
+        step = (h >> jnp.uint32(16)) | jnp.uint32(1)
         found = jnp.zeros(h.shape, bool)
-        logb = jnp.zeros(h.shape, jnp.float32)
-        span = jnp.zeros(h.shape + (2,), jnp.int32)
+        row = jnp.zeros(h.shape + (3,), jnp.int32)
         for d in range(self.max_probe):
-            slot = ((h + jnp.uint32(d)) & mask).astype(jnp.int32)
-            match = jnp.all(keys[slot] == qkeys, -1) & ~found
-            logb = jnp.where(match, fvals[slot], logb)
-            span = jnp.where(match[..., None], ivals[slot], span)
+            slot = ((h + jnp.uint32(d) * step) & mask).astype(jnp.int32)
+            r = packed[slot]  # (B, n + 3): one gather per probe
+            match = jnp.all(r[..., :n] == qkeys, -1) & ~found
+            row = jnp.where(match[..., None], r[..., n:], row)
             found = found | match
-        return found, logb, span[..., 0], span[..., 1]
+        logb = jax.lax.bitcast_convert_type(row[..., 0], jnp.float32)
+        return found, logb, row[..., 1], row[..., 2]
 
     def extend_scores(self, qkeys: jax.Array, base: jax.Array) -> jax.Array:
         """Scores over all V extensions of contexts ``(B, n)``: children's
@@ -397,21 +425,22 @@ class _CtxTable:
         S = self.max_children
         if S == 0:
             return out
-        rows = max(len(self.child_tok), 1)
-        tok_arr = jnp.asarray(
-            self.child_tok if len(self.child_tok) else np.zeros(1, np.int32)
-        )
-        logp_arr = jnp.asarray(
-            self.child_logp if len(self.child_logp) else np.zeros(1, np.float32)
-        )
+        rows = self.child_packed.shape[0]
+        child = jnp.asarray(self.child_packed)
         pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # (B, S)
         valid = (jnp.arange(S)[None] < length[:, None]) & found[:, None]
         pos = jnp.clip(pos, 0, rows - 1)
-        toks = jnp.where(valid, tok_arr[pos], V)  # V -> dropped by scatter
-        lps = logp_arr[pos]
-        return out.at[
-            jnp.arange(B)[:, None], toks
-        ].set(lps, mode="drop")
+        got = child[pos]  # (B, S, 2): one gather for both token and logp
+        toks = jnp.where(valid, got[..., 0], V)  # V -> never selected
+        lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
+        # statically unrolled compare/select instead of a scatter (scatters
+        # serialize on TPU); (ctx, token) pairs are unique so order is moot
+        iota_v = jnp.arange(V, dtype=jnp.int32)[None]
+        for s in range(S):
+            out = jnp.where(
+                iota_v == toks[:, s : s + 1], lps[:, s : s + 1], out
+            )
+        return out
 
 
 class LookupLanguageModel(MixableSequentialLanguageModel):
@@ -621,6 +650,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             t.size, t.n = t.keys.shape
             t.max_probe = int(d[f"ctx{i}_meta"][0])
             t.max_children = int(d[f"ctx{i}_meta"][1])
+            t._pack()
             return t
 
         self._ctx_tables = [load(i) for i in range(self.max_ngram - 1)]
