@@ -456,13 +456,19 @@ def ctc_prefix_search_advance(
         0.0,
     ).sum(1)
     nb_nonext_probs_cand = nb_nonext_probs_cand + absorbed
-    # scatter-max instead of a (N, Kp, Kp, V) one-hot blowup
-    n_idx = jnp.arange(N)[:, None, None]
-    k_idx = jnp.arange(Kp)[None, :, None]
+    # has_match[n, k, v] = any_j exact[n, k, j] & (last[n, j] == v); since
+    # to_match[n, k, j] = last[n, j] is k-independent this is a matmul-shaped
+    # contraction over j — contract it (batched dot) instead of a 3-axis
+    # scatter-max (TPU scatters serialize) or an (N, Kp, Kp, V) blowup
+    oh_last = jax.nn.one_hot(y_prev_last, V, dtype=jnp.float32)  # (N, j, V)
     has_match = (
-        jnp.zeros((N, Kp, V), bool)
-        .at[n_idx, k_idx, to_match]
-        .max(ext_is_exact)
+        jnp.einsum(
+            "nkj,njv->nkv",
+            ext_is_exact.astype(jnp.float32),
+            oh_last,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        > 0
     )
     nb_ext_probs_cand = jnp.where(has_match, NEG_INF, nb_ext_probs_cand)
 
