@@ -722,6 +722,17 @@ def textgrids_to_torch_token_data_dir(args: Optional[Sequence[str]] = None):
     return 0
 
 
+def _tg_item_worker(item, *fixed):
+    """Pool-picklable adapter: per-utterance names ride in `item`, shared
+    options in `fixed` (multiprocessing pickles the worker)."""
+    utt_id, in_name, out_name = item
+    ref_dir, id2tok, feat_dir, tg_dir = fixed[:4]
+    return _token_dir_to_textgrids_do_work(
+        utt_id, ref_dir, id2tok, feat_dir, tg_dir, in_name, out_name,
+        *fixed[4:],
+    )
+
+
 def _token_dir_to_textgrids_do_work(
     utt_id,
     ref_dir,
@@ -875,25 +886,32 @@ def torch_token_data_dir_to_textgrids(args: Optional[Sequence[str]] = None):
     )
     os.makedirs(options.tg_dir, exist_ok=True)
 
-    def items():
-        for utt_id in utt_ids:
-            yield utt_id
-
-    for utt_id in items():
-        _token_dir_to_textgrids_do_work(
+    # fan out over utterances with the shared worker-pool pattern; the
+    # (in_name, out_name) pair varies per utterance so it rides in the item
+    items = (
+        (
             utt_id,
-            options.ref_dir,
-            id2token,
-            options.feat_dir,
-            options.tg_dir,
             options.file_prefix + utt_id + options.file_suffix,
             options.file_prefix + utt_id + options.textgrid_suffix,
-            options.frame_shift_ms,
-            options.tier_name,
-            options.precision,
-            options.quiet,
-            options.force_method,
         )
+        for utt_id in utt_ids
+    )
+
+    for _ in _multiprocessor_pattern_generator(
+        items,
+        options,
+        _tg_item_worker,
+        options.ref_dir,
+        id2token,
+        options.feat_dir,
+        options.tg_dir,
+        options.frame_shift_ms,
+        options.tier_name,
+        options.precision,
+        options.quiet,
+        options.force_method,
+    ):
+        pass
     return 0
 
 

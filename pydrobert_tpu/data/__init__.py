@@ -12,6 +12,7 @@ from .datasets import (  # noqa: F401
     ContextWindowDataSet,
     LangDataSet,
     SpectDataSet,
+    SpectTarDataSet,
     extract_window,
     validate_spect_data_set,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "SpectDataLoaderParams",
     "SpectDataParams",
     "SpectDataSet",
+    "SpectTarDataSet",
     "context_window_seq_to_batch",
     "extract_window",
     "lang_seq_to_batch",

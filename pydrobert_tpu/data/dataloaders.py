@@ -553,7 +553,7 @@ class LangDataLoader(_BaseDataLoader):
         **ds_kwargs,
     ):
         params = LangDataLoaderParams() if params is None else params
-        if isinstance(data, LangDataSet):
+        if not isinstance(data, str):  # any dataset-protocol object
             dataset = data
         else:
             dataset = LangDataSet(
@@ -597,7 +597,7 @@ class SpectDataLoader(_BaseDataLoader):
         **ds_kwargs,
     ):
         params = SpectDataLoaderParams() if params is None else params
-        if isinstance(data, SpectDataSet):
+        if not isinstance(data, str):  # any dataset-protocol object
             dataset = data
         else:
             dataset = SpectDataSet(
@@ -642,7 +642,7 @@ class ContextWindowDataLoader(_BaseDataLoader):
         **ds_kwargs,
     ):
         params = ContextWindowDataLoaderParams() if params is None else params
-        if isinstance(data, ContextWindowDataSet):
+        if not isinstance(data, str):  # any dataset-protocol object
             dataset = data
         else:
             dataset = ContextWindowDataSet(

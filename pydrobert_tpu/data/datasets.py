@@ -9,7 +9,7 @@ Byte-compatible with the reference's data-directory convention
 
 import os
 import warnings
-from typing import Optional, Sequence, Set, Tuple, Union
+from typing import Any, Dict, Optional, Sequence, Set, Tuple, Union
 
 import numpy as np
 
@@ -21,6 +21,7 @@ __all__ = [
     "ContextWindowDataSet",
     "LangDataSet",
     "SpectDataSet",
+    "SpectTarDataSet",
     "extract_window",
     "validate_spect_data_set",
 ]
@@ -44,7 +45,12 @@ def _load_ref(
     Parity: reference ``_load_ref`` (``_datasets.py:64-85``): 2-D refs get
     the marker token with ``(-1, -1)`` segment bounds.
     """
-    ref = load_tensor(pth)
+    return _postprocess_ref(load_tensor(pth), tokens_only, sos, eos)
+
+
+def _postprocess_ref(
+    ref: np.ndarray, tokens_only: bool, sos: Optional[int], eos: Optional[int]
+) -> np.ndarray:
     D = ref.ndim
     if tokens_only and D == 2:
         ref, D = ref[..., 0], 1
@@ -608,3 +614,181 @@ class ContextWindowDataSet(SpectDataSet):
         if self.suppress_uttids:
             return windows, ali
         return windows, ali, utt_id
+
+
+def _load_tensor_member(tf_handle, member) -> np.ndarray:
+    """Load a ``.pt``-format tensor from a tar member."""
+    import io
+    import tempfile
+
+    f = tf_handle.extractfile(member)
+    data = f.read()
+    try:
+        from ..utils.serial import _torch
+
+        if _torch is not None:
+            t = _torch.load(io.BytesIO(data), map_location="cpu")
+            return t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+    except Exception:
+        pass
+    with tempfile.NamedTemporaryFile(suffix=".pt") as tmp:
+        tmp.write(data)
+        tmp.flush()
+        return load_tensor(tmp.name)
+
+
+class SpectTarDataSet:
+    """WebDataset-style tar-backed :class:`SpectDataSet` reader.
+
+    Reads archives written by the ``torch-spect-data-dir-to-wds`` command
+    (members ``<utt>.feat.pth`` plus optional ``.ali.pth``/``.ref.pth``).
+    `tar_paths` may be one path, a list of shard paths, or a glob pattern;
+    shards are indexed once up front and members are then read on demand.
+    Indexing (``ds[i]``), ``len()``, ``utt_ids``, and the `params`-driven
+    MVN/delta/sos/eos handling all match :class:`SpectDataSet`, so the
+    epoch samplers and loaders accept it unchanged. Iterating yields
+    utterances in archive order (one sequential pass per shard — the
+    WebDataset streaming access pattern, also correct for compressed
+    shards).
+
+    The reference has no tar-backed reader; this rounds out its WebDataset
+    *export* (reference ``command_line.py::torch-spect-data-dir-to-wds``).
+    """
+
+    _KINDS = ("feat", "ali", "ref")
+
+    def __init__(
+        self,
+        tar_paths: Union[str, Sequence[str]],
+        params: Optional[SpectDataParams] = None,
+        feat_mean: Optional[np.ndarray] = None,
+        feat_std: Optional[np.ndarray] = None,
+        suppress_alis: bool = True,
+        suppress_uttids: bool = True,
+        tokens_only: bool = True,
+        subset_ids: Optional[Set[str]] = None,
+    ):
+        import glob as _glob
+        import tarfile
+
+        if isinstance(tar_paths, str):
+            if any(c in tar_paths for c in "*?["):
+                tar_paths = sorted(_glob.glob(tar_paths))
+            else:
+                tar_paths = [tar_paths]
+        else:
+            tar_paths = list(tar_paths)
+        if not tar_paths:
+            raise ValueError("no tar shards matched tar_paths")
+        self.tar_paths = tuple(tar_paths)
+        self.params = SpectDataParams() if params is None else params
+        self.suppress_alis = suppress_alis
+        self.suppress_uttids = suppress_uttids
+        self.tokens_only = tokens_only
+        self.sos, self.eos = self.params.sos, self.params.eos
+        self._tars = [tarfile.open(p, "r:*") for p in tar_paths]
+        self._index: Dict[str, Dict[str, Tuple[int, Any]]] = {}
+        order = []
+        for si, tf_handle in enumerate(self._tars):
+            for member in tf_handle.getmembers():
+                name = member.name
+                if not name.endswith(".pth"):
+                    continue
+                stem = name[: -len(".pth")]
+                utt_id, dot, kind = stem.rpartition(".")
+                if not dot or kind not in self._KINDS:
+                    continue
+                entry = self._index.setdefault(utt_id, {})
+                if kind == "feat" and "feat" not in entry:
+                    order.append(utt_id)
+                entry[kind] = (si, member)
+        if subset_ids is None:
+            subset_ids = set(self.params.subset_ids)
+        keep = [u for u in order if "feat" in self._index[u]]
+        if subset_ids:
+            keep = [u for u in keep if u in subset_ids]
+        self._archive_order = tuple(keep)
+        self.utt_ids = tuple(sorted(keep))
+        self.has_ali = all("ali" in self._index[u] for u in keep) and bool(keep)
+        self.has_ref = all("ref" in self._index[u] for u in keep) and bool(keep)
+        self._mvn = self._deltas = None
+        if self.params.do_mvn:
+            from ..modules import MeanVarianceNormalization
+
+            self._mvn = MeanVarianceNormalization(mean=feat_mean, std=feat_std)
+        if self.params.delta_order:
+            from ..modules import FeatureDeltas
+
+            self._deltas = FeatureDeltas(order=self.params.delta_order)
+
+    def __len__(self) -> int:
+        return len(self.utt_ids)
+
+    def _transform(self, feat: np.ndarray) -> np.ndarray:
+        if self._mvn is not None:
+            feat = np.asarray(self._mvn(feat))
+        if self._deltas is not None:
+            feat = np.asarray(self._deltas(feat))
+        return feat
+
+    def _assemble(self, utt_id: str, got: Dict[str, np.ndarray]) -> Tuple:
+        feat = got["feat"]
+        if self._mvn is not None or self._deltas is not None:
+            feat = self._transform(feat)
+        ali = got.get("ali")
+        ref = got.get("ref")
+        if ref is not None:
+            ref = _postprocess_ref(ref, self.tokens_only, self.sos, self.eos)
+        out = (feat, ref) if self.suppress_alis else (feat, ali, ref)
+        return out if self.suppress_uttids else out + (utt_id,)
+
+    def get_utterance_tuple(self, idx: int) -> Tuple:
+        utt_id = self.utt_ids[idx]
+        entry = self._index[utt_id]
+        got = {}
+        got["feat"] = _load_tensor_member(*(
+            self._tars[entry["feat"][0]], entry["feat"][1]
+        ))
+        if self.has_ali:
+            got["ali"] = _load_tensor_member(
+                self._tars[entry["ali"][0]], entry["ali"][1]
+            )
+        if self.has_ref:
+            got["ref"] = _load_tensor_member(
+                self._tars[entry["ref"][0]], entry["ref"][1]
+            )
+        return self._assemble(utt_id, got)
+
+    def __getitem__(self, idx: int):
+        return self.get_utterance_tuple(idx)
+
+    def __iter__(self):
+        """Stream utterances in archive order (sequential tar reads)."""
+        import tarfile
+
+        wanted = set(self._archive_order)
+        for path in self.tar_paths:
+            pending_id = None
+            got: Dict[str, np.ndarray] = {}
+            with tarfile.open(path, "r:*") as tf_handle:
+                for member in tf_handle:
+                    name = member.name
+                    if not name.endswith(".pth"):
+                        continue
+                    stem = name[: -len(".pth")]
+                    utt_id, dot, kind = stem.rpartition(".")
+                    if not dot or kind not in self._KINDS:
+                        continue
+                    if utt_id not in wanted:
+                        continue
+                    if pending_id is not None and utt_id != pending_id:
+                        yield self._assemble(pending_id, got)
+                        got = {}
+                    pending_id = utt_id
+                    got[kind] = _load_tensor_member(tf_handle, member)
+            if pending_id is not None:
+                yield self._assemble(pending_id, got)
+
+    def close(self) -> None:
+        for tf_handle in self._tars:
+            tf_handle.close()

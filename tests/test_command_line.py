@@ -192,6 +192,31 @@ def test_mvn_stats(populate_data_dir, tmp_path):
     np.testing.assert_allclose(stats["std"], all_feats.std(0), atol=1e-4)
 
 
+def test_textgrids_num_workers(populate_data_dir, tmp_path):
+    """--num-workers fans textgrid writing out over a process pool with
+    identical outputs to the serial path."""
+    root, feats, alis, refs, utt_ids = populate_data_dir(num_utts=6)
+    id2token = tmp_path / "id2token.txt"
+    toks = sorted(set(int(x) for r in refs for x in np.asarray(r)[..., 0].flatten()))
+    id2token.write_text("".join(f"tok{t} {t}\n".replace("tok", "w") for t in toks))
+    ser_dir, par_dir = str(tmp_path / "tg_ser"), str(tmp_path / "tg_par")
+    ref_dir = os.path.join(root, "ref")
+    base = [ref_dir, str(id2token), "--swap", "--infer"]
+    assert not command_line.torch_token_data_dir_to_textgrids(
+        base[:2] + [ser_dir] + base[2:]
+    )
+    assert not command_line.torch_token_data_dir_to_textgrids(
+        base[:2] + [par_dir] + base[2:] + ["--num-workers", "2"]
+    )
+    ser = sorted(os.listdir(ser_dir))
+    assert ser == sorted(os.listdir(par_dir)) and len(ser) == 6
+    for name in ser:
+        assert (
+            open(os.path.join(ser_dir, name)).read()
+            == open(os.path.join(par_dir, name)).read()
+        )
+
+
 def test_wds_export(populate_data_dir, tmp_path):
     root, feats, alis, refs, utt_ids = populate_data_dir(num_utts=7)
     tar = str(tmp_path / "out.tar")

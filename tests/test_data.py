@@ -289,3 +289,78 @@ def test_loader_sharding_emits_jax_arrays(populate_data_dir, seeded):
     feats_b = batch[0]
     assert isinstance(feats_b, jax.Array)
     assert feats_b.sharding.is_equivalent_to(sharding, feats_b.ndim)
+
+
+def test_spect_tar_data_set_round_trip(populate_data_dir, tmp_path):
+    """torch-spect-data-dir-to-wds export reads back identically through
+    SpectTarDataSet (random access, iteration, sharding + glob)."""
+    from pydrobert_tpu import command_line
+    from pydrobert_tpu.data import SpectDataSet, SpectTarDataSet
+
+    root, feats, alis, refs, utt_ids = populate_data_dir(num_utts=7)
+    tar = str(tmp_path / "out.tar")
+    assert not command_line.torch_spect_data_dir_to_wds([root, tar])
+    disk = SpectDataSet(
+        root, suppress_alis=False, suppress_uttids=False, tokens_only=False
+    )
+    tds = SpectTarDataSet(
+        tar, suppress_alis=False, suppress_uttids=False, tokens_only=False
+    )
+    assert tds.utt_ids == disk.utt_ids
+    assert tds.has_ali and tds.has_ref
+    for i in range(len(disk)):
+        f0, a0, r0, u0 = disk[i]
+        f1, a1, r1, u1 = tds[i]
+        assert u0 == u1
+        np.testing.assert_array_equal(f0, f1)
+        np.testing.assert_array_equal(a0, a1)
+        np.testing.assert_array_equal(r0, r1)
+    # iteration streams every utterance exactly once
+    seen = sorted(t[-1] for t in tds)
+    assert seen == sorted(utt_ids)
+    tds.close()
+
+    # sharded export + glob pattern
+    assert not command_line.torch_spect_data_dir_to_wds(
+        [root, tar, "--shard", "--max-samples-per-shard", "3"]
+    )
+    sharded = SpectTarDataSet(tar + ".*", suppress_uttids=False)
+    assert sharded.utt_ids == disk.utt_ids
+    f1, r1, u1 = sharded[2]
+    f0, _, r0, u0 = disk[2]
+    assert u0 == u1
+    np.testing.assert_array_equal(f0, f1)
+    sharded.close()
+
+
+def test_spect_tar_data_set_params_and_loader(populate_data_dir, tmp_path):
+    """params handling (sos/eos, subset_ids) matches SpectDataSet, and the
+    tar dataset plugs into the standard loader unchanged."""
+    from pydrobert_tpu import command_line
+    from pydrobert_tpu.data import (
+        SpectDataLoader,
+        SpectDataParams,
+        SpectDataSet,
+        SpectTarDataSet,
+    )
+
+    root, feats, alis, refs, utt_ids = populate_data_dir(num_utts=6)
+    tar = str(tmp_path / "p.tar")
+    assert not command_line.torch_spect_data_dir_to_wds([root, tar])
+    params = SpectDataParams(sos=1, eos=2)
+    disk = SpectDataSet(root, params=params)
+    tds = SpectTarDataSet(tar, params=params)
+    for i in range(len(disk)):
+        f0, r0 = disk[i]
+        f1, r1 = tds[i]
+        np.testing.assert_array_equal(f0, f1)
+        np.testing.assert_array_equal(r0, r1)
+    sub = SpectTarDataSet(tar, subset_ids={utt_ids[0], utt_ids[3]})
+    assert len(sub) == 2
+    from pydrobert_tpu.data import SpectDataLoaderParams
+
+    lp = SpectDataLoaderParams(batch_size=3)
+    loader = SpectDataLoader(tds, params=lp, shuffle=False)
+    batch = next(iter(loader))
+    assert batch[0].shape[0] == 3
+    tds.close()
