@@ -414,3 +414,107 @@ def test_ctc_beam_kernel_simulator_matches_search(shape):
         for n in range(N)
         for w in range(W)
     )
+
+
+def _advance_both(probs, W, state):
+    """Run the general and factored advances on identical inputs/state."""
+    nonext, blank = probs
+    N, V = nonext.shape
+    ext = jnp.broadcast_to(nonext[:, None], (N,) + state["last"].shape[1:] + (V,))
+    Kp = state["last"].shape[1]
+    ext = jnp.broadcast_to(nonext[:, None], (N, Kp, V))
+    gen = D.ctc_prefix_search_advance(
+        (ext, nonext, blank), W, (state["nb"], state["b"]),
+        state["y"], state["last"], state["lens"], state["ip"],
+    )
+    M = min(V, 2 * W)
+    tv, ti = jax.lax.top_k(nonext, M)
+    fac = D.ctc_prefix_search_advance_factored(
+        (tv, ti), nonext, blank, W, (state["nb"], state["b"]),
+        state["y"], state["last"], state["lens"], state["ip"],
+    )
+    return gen, fac
+
+
+def _state_from(out, prev_y):
+    y, last, lens, (nb, b), ip, src, is_nonext = out
+    return dict(y=y, last=last, lens=lens, nb=nb, b=b, ip=ip)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_factored_advance_fuzz_continuous(trial):
+    """With continuous random probabilities (no ties), the factored advance
+    equals the general advance exactly at every step."""
+    rng = np.random.RandomState(1000 + trial)
+    N, V, W, T = 3, 24, 6, 8
+    state = dict(
+        y=jnp.zeros((0, N, 1), jnp.int32),
+        last=jnp.zeros((N, 1), jnp.int32),
+        lens=jnp.zeros((N, 1), jnp.int32),
+        nb=jnp.zeros((N, 1)),
+        b=jnp.ones((N, 1)),
+        ip=jnp.ones((N, 1, 1), bool),
+    )
+    for t in range(T):
+        p = jax.nn.softmax(jnp.asarray(rng.randn(N, V + 1) * 2), -1)
+        gen, fac = _advance_both((p[:, :V], p[:, V]), W, state)
+        for g, f, name in zip(gen, fac, ("y", "last", "lens", "probs", "ip", "src", "nonext")):
+            if name == "probs":
+                np.testing.assert_allclose(
+                    np.asarray(g[0]), np.asarray(f[0]), rtol=1e-6, atol=1e-30,
+                    err_msg=f"t={t} nb",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(g[1]), np.asarray(f[1]), rtol=1e-6, atol=1e-30,
+                    err_msg=f"t={t} b",
+                )
+            elif name == "y":
+                # buffer rows past each beam's length are scratch (the two
+                # paths write different placeholder tokens there); compare
+                # the semantic region only
+                yl = np.asarray(gen[2])
+                yg, yf = np.asarray(g), np.asarray(f)
+                for n in range(yl.shape[0]):
+                    for w in range(yl.shape[1]):
+                        np.testing.assert_array_equal(
+                            yg[: yl[n, w], n, w],
+                            yf[: yl[n, w], n, w],
+                            err_msg=f"t={t} y[{n},{w}]",
+                        )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(f), err_msg=f"t={t} {name}"
+                )
+        state = _state_from(gen, state["y"])
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_factored_advance_fuzz_ties(trial):
+    """Under adversarial ties (probabilities quantized to a handful of
+    values), both advances must select the same multiset of candidate
+    scores, even if tie-breaking picks different equal-scoring prefixes."""
+    rng = np.random.RandomState(2000 + trial)
+    N, V, W, T = 3, 16, 6, 6
+    state = dict(
+        y=jnp.zeros((0, N, 1), jnp.int32),
+        last=jnp.zeros((N, 1), jnp.int32),
+        lens=jnp.zeros((N, 1), jnp.int32),
+        nb=jnp.zeros((N, 1)),
+        b=jnp.ones((N, 1)),
+        ip=jnp.ones((N, 1, 1), bool),
+    )
+    # warm up two continuous steps so the beam is full, then a tied step
+    for t in range(2):
+        p = jax.nn.softmax(jnp.asarray(rng.randn(N, V + 1) * 2), -1)
+        gen, _ = _advance_both((p[:, :V], p[:, V]), W, state)
+        state = _state_from(gen, state["y"])
+    # heavy ties: only 3 distinct probability values across the vocab
+    q = rng.choice([0.2, 0.3, 0.5], size=(N, V + 1))
+    q = jnp.asarray(q / q.sum(-1, keepdims=True))
+    gen, fac = _advance_both((q[:, :V], q[:, V]), W, state)
+    tot_g = np.sort(np.asarray(gen[3][0] + gen[3][1]), -1)
+    tot_f = np.sort(np.asarray(fac[3][0] + fac[3][1]), -1)
+    np.testing.assert_allclose(tot_g, tot_f, rtol=1e-6, atol=1e-30)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(gen[2]), -1), np.sort(np.asarray(fac[2]), -1)
+    )
