@@ -289,13 +289,12 @@ def _ctc_beam_select(carry, xs, *, W, M):
 
     tot = nb + b
     # p_last[n, k] = nonext[n, last[n, k]]: exact one-hot reduction (the sum
-    # has exactly one nonzero term)
-    iota_v = jax.lax.broadcasted_iota(jnp.int32, (N, V), 1)
-    p_last_cols = []
-    for k in range(W):
-        sel = jnp.where(iota_v == last[:, k : k + 1], nonext, 0.0)
-        p_last_cols.append(jnp.sum(sel, 1, keepdims=True))
-    p_last = jnp.concatenate(p_last_cols, 1)  # (N, W)
+    # has exactly one nonzero term); one (N, W, V) op instead of W (N, V)
+    # ones — per-op overhead dominates small in-kernel ops
+    iota_v3 = jax.lax.broadcasted_iota(jnp.int32, (N, W, V), 2)
+    p_last = jnp.sum(
+        jnp.where(iota_v3 == last[:, :, None], nonext[:, None, :], 0.0), 2
+    )  # (N, W)
 
     shared_is_last = ti[:, None, :] == last[:, :, None]  # (N, W, M)
     coeff = jnp.where(shared_is_last, b[:, :, None], tot[:, :, None])
@@ -527,36 +526,30 @@ def ctc_beam_search_reference(nonext_probs, blank_probs, lens, width):
 
 
 def _ctc_beam_buf_step(src_ref, dst_ref, old_sc, sel, W, T):
-    """Ref-based path-buffer update in (W, N, T) layout: leading-dim loads/
-    stores avoid the sublane relayouts a (N, W, T) value layout incurs.
-    Writes the permuted+extended buffer into ``dst_ref`` and the
-    ``old_val`` interrogation matrix into ``old_sc``."""
+    """Ref-based path-buffer update in (W, N, T) layout: the beam permute is
+    W whole-buffer FMAs against transposed one-hot masks (W ops on (W, N, T)
+    tensors instead of W^2 per-column ones — per-op overhead dominates), and
+    the token write is one masked select. Writes the permuted+extended
+    buffer into ``dst_ref`` and the ``old_val`` interrogation matrix
+    (``old_val[n, k, j]`` = new beam j's token at position ``p[n, k]``) into
+    ``old_sc``."""
     N = sel["p"].shape[0]
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
-    old_cols = [src_ref[jp] for jp in range(W)]  # W x (N, T)
-    masks_k = [
-        iota_t == sel["p"][:, k : k + 1] for k in range(W)
-    ]  # W x (N, T)
-    ov_js = []
-    for j in range(W):
-        col = jnp.zeros((N, T), jnp.int32)
-        for jp in range(W):
-            col = col + old_cols[jp] * (
-                sel["src_eff"][:, j : j + 1] == jp
-            ).astype(jnp.int32)
-        col = jnp.where(
-            iota_t == sel["pos_eff"][:, j : j + 1],
-            sel["next_ext"][:, j : j + 1],
-            col,
-        )
-        dst_ref[j] = col
-        # old_val[:, :, j]: token of (new) beam j at each p_k
-        parts = [
-            jnp.sum(col * m.astype(jnp.int32), 1, keepdims=True)
-            for m in masks_k
-        ]
-        ov_js.append(jnp.concatenate(parts, 1)[:, :, None])  # (N, K, 1)
-    old_sc[...] = jnp.concatenate(ov_js, 2)  # (N, K, W')
+    src_T = jnp.transpose(sel["src_eff"])  # (W, N) int32 (i1 won't lower)
+    pos_T = jnp.transpose(sel["pos_eff"])[:, :, None]  # (W, N, 1)
+    ext_T = jnp.transpose(sel["next_ext"])[:, :, None]
+    old = src_ref[...]  # (W, N, T)
+    acc = jnp.zeros((W, N, T), jnp.int32)
+    for jp in range(W):
+        acc = acc + (src_T == jp).astype(jnp.int32)[:, :, None] * old[jp][None]
+    acc = jnp.where(iota_t[None] == pos_T, ext_T, acc)
+    dst_ref[...] = acc
+    ovs = []
+    for k in range(W):
+        mask = (iota_t == sel["p"][:, k : k + 1]).astype(jnp.int32)
+        red = jnp.sum(acc * mask[None], 2)  # (W', N)
+        ovs.append(jnp.transpose(red)[:, None, :])  # (N, 1, W')
+    old_sc[...] = jnp.concatenate(ovs, 1)  # (N, K, W')
 
 
 def _ctc_beam_kernel(
