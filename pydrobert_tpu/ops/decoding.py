@@ -581,9 +581,9 @@ def ctc_prefix_search_advance_factored(
     to_match, ext_is_exact = _ctc_match_info(
         y_prev_last, y_prev_lens, prev_is_prefix
     )
-    p_tm = jnp.take_along_axis(
-        nonext_probs_t, to_match.reshape(N, -1), axis=1
-    ).reshape(N, Kp, Kp)
+    # to_match[n, k, j] = y_prev_last[n, j], so the matched-token probability
+    # is just p_last broadcast over k -- no extra gather
+    p_tm = jnp.broadcast_to(p_last[:, None, :], (N, Kp, Kp))
     tm_coeff = jnp.where(
         to_match == y_prev_last[:, :, None],
         b_probs_prev[:, :, None],
@@ -673,22 +673,39 @@ def _ctc_advance_tail(
     width-padded.
     """
     tm1, N, Kp = y_prev.shape
-    y_next_prefix_lens = jnp.take_along_axis(y_prev_lens, next_src, axis=1)
+    # four per-beam source gathers share the same indices: pack them into one
+    # (N, Kp, 4) int32 row (float values as bits) so XLA issues a single
+    # gather kernel instead of four (gathers break elementwise fusion)
+    packed_src = jnp.stack(
+        [
+            y_prev_lens.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(
+                nb_nonext_probs_cand.astype(jnp.float32), jnp.int32
+            ),
+            jax.lax.bitcast_convert_type(
+                b_nonext_probs_cand.astype(jnp.float32), jnp.int32
+            ),
+            y_prev_last.astype(jnp.int32),
+        ],
+        2,
+    )
+    picked = jnp.take_along_axis(packed_src, next_src[:, :, None], axis=1)
+    y_next_prefix_lens = picked[..., 0]
     y_next_lens = y_next_prefix_lens + (~next_is_nonext)
 
-    nb_nonext_probs_next = jnp.take_along_axis(
-        nb_nonext_probs_cand, next_src, axis=1
+    nb_nonext_probs_next = jax.lax.bitcast_convert_type(
+        picked[..., 1], jnp.float32
     )
     nb_probs_next = jnp.where(
         next_is_nonext, nb_nonext_probs_next, nb_ext_sel
     )
     b_probs_next = (
-        jnp.take_along_axis(b_nonext_probs_cand, next_src, axis=1)
+        jax.lax.bitcast_convert_type(picked[..., 2], jnp.float32)
         * next_is_nonext
     )
-    y_next_last = jnp.take_along_axis(
-        y_prev_last, next_src, axis=1
-    ) * next_is_nonext + next_ext * (~next_is_nonext)
+    y_next_last = picked[..., 3] * next_is_nonext + next_ext * (
+        ~next_is_nonext
+    )
 
     next_prefix_is_prefix = jnp.take_along_axis(
         jnp.take_along_axis(
