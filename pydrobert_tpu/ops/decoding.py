@@ -479,16 +479,14 @@ def ctc_prefix_search_advance(
         ],
         1,
     )
-    _, next_ind = jax.lax.top_k(tot_probs_cand, K)  # (N, K)
+    sel_vals, next_ind = jax.lax.top_k(tot_probs_cand, K)  # (N, K)
 
     next_is_nonext = next_ind >= Kp * V
     next_src = jnp.where(next_is_nonext, next_ind - Kp * V, next_ind // V)
     next_ext = next_ind % V
-    nb_ext_sel = jnp.take_along_axis(
-        nb_ext_probs_cand.reshape(N, Kp * V),
-        jnp.clip(next_ind, None, Kp * V - 1),
-        axis=1,
-    )
+    # the selected extension mass IS the candidate score top_k already
+    # returned (nonext slots are masked by next_is_nonext downstream)
+    nb_ext_sel = sel_vals
     core = _ctc_advance_tail(
         y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
         next_src, next_ext, next_is_nonext, nb_ext_sel,
@@ -612,17 +610,19 @@ def ctc_prefix_search_advance_factored(
         [ext_scores, (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None]],
         2,
     ).reshape(N, Kp * S)
-    _, next_ind = jax.lax.top_k(tot_probs_cand, K)
+    sel_vals, next_ind = jax.lax.top_k(tot_probs_cand, K)
 
     slot = next_ind % S
     next_src = next_ind // S
     next_is_nonext = slot == (S - 1)
-    shared_tok = jnp.take_along_axis(
-        top_inds, jnp.clip(slot, None, M - 1), axis=1
-    )
-    last_tok = jnp.take_along_axis(y_prev_last, next_src, axis=1)
-    next_ext = jnp.where(slot < M, shared_tok, last_tok)
-    nb_ext_sel = jnp.take_along_axis(tot_probs_cand, next_ind, axis=1)
+    # one gather from the concatenated (shared tokens | last tokens) row
+    # instead of two (gathers break XLA fusion)
+    ext_src_cat = jnp.concatenate([top_inds, y_prev_last], 1)  # (N, M + Kp)
+    ext_idx = jnp.where(slot < M, slot, M + next_src)
+    next_ext = jnp.take_along_axis(ext_src_cat, ext_idx, axis=1)
+    # the selected extension mass IS the candidate score top_k already
+    # returned (nonext slots are masked by next_is_nonext downstream)
+    nb_ext_sel = sel_vals
 
     core = _ctc_advance_tail(
         y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
@@ -639,13 +639,10 @@ def _finish_with_buffer(y_prev, core):
     core outputs, for the public step-function API."""
     (
         prefix_lens, y_last, y_lens, probs, is_prefix, src, ext, is_nonext,
+        y_gathered,
     ) = core
     tm1, N, _ = y_prev.shape
     K = src.shape[1]
-    if tm1:
-        y_gathered = jnp.take_along_axis(y_prev, src[None], axis=2)
-    else:
-        y_gathered = jnp.zeros((0, N, K), y_prev.dtype)
     y_next = jnp.concatenate(
         [y_gathered, jnp.zeros((1, N, K), y_prev.dtype)], 0
     )
@@ -728,7 +725,9 @@ def _ctc_advance_tail(
         # out[n,k,k'] = y_prev[p_k, n, src_k'] via a streaming column gather
         # followed by a flat row take: a single two-axis gather with (N,K,K)
         # arbitrary indices lowers to serialized scalar loads on TPU
-        # (~6x slower than these two single-axis forms, measured)
+        # (~6x slower than these two single-axis forms, measured); ``cols``
+        # is also returned so callers maintaining the path buffer reuse it
+        # instead of re-gathering the full buffer
         cols = jnp.take_along_axis(y_prev, next_src[None], axis=2)
         rows_idx = (
             jnp.clip(p, None, tm1 - 1) * N
@@ -739,6 +738,7 @@ def _ctc_advance_tail(
         )  # (N, K, K')
         old_val = jnp.where((p >= tm1)[:, :, None], 0, old_val)
     else:
+        cols = jnp.zeros((0, N, K_new), y_prev.dtype)
         old_val = jnp.zeros((N, K_new, K_new), y_prev.dtype)
     next_to_match = jnp.where(
         p[:, :, None] == q[:, None, :], next_ext[:, None, :], old_val
@@ -773,6 +773,11 @@ def _ctc_advance_tail(
         )
         next_src = jnp.concatenate([next_src, zeros_i], 1)
         next_ext = jnp.concatenate([next_ext.astype(jnp.int32), zeros_i], 1)
+        if cols.shape[0]:
+            cols = jnp.concatenate(
+                [cols, jnp.broadcast_to(cols[:, :, :1], cols.shape[:2] + (rem,))],
+                2,
+            )
 
     return (
         y_next_prefix_lens.astype(jnp.int32),
@@ -783,18 +788,27 @@ def _ctc_advance_tail(
         next_src.astype(jnp.int32),
         next_ext.astype(jnp.int32),
         next_is_nonext,
+        cols,
     )
 
 
-def _apply_advance_to_buffer(y_buf, prefix_lens, next_src, next_ext, valid):
+def _apply_advance_to_buffer(
+    y_buf, prefix_lens, next_src, next_ext, valid, cols=None
+):
     """Caller-side path-buffer maintenance: reorder columns by `next_src`
     (identity where `valid` is False, freezing those batch rows) and write
-    each path's new token at its prefix length (dropped where frozen)."""
+    each path's new token at its prefix length (dropped where frozen).
+    When the advance core already gathered the buffer columns by
+    ``next_src`` (its ``cols`` output over the full buffer), pass them to
+    replace this gather with a select."""
     T, N, W = y_buf.shape
-    src_eff = jnp.where(
-        valid, next_src, jnp.arange(W, dtype=jnp.int32)[None]
-    )
-    y_buf = jnp.take_along_axis(y_buf, src_eff[None], axis=2)
+    if cols is not None and cols.shape == y_buf.shape:
+        y_buf = jnp.where(valid[None], cols, y_buf)
+    else:
+        src_eff = jnp.where(
+            valid, next_src, jnp.arange(W, dtype=jnp.int32)[None]
+        )
+        y_buf = jnp.take_along_axis(y_buf, src_eff[None], axis=2)
     pos = jnp.where(valid, prefix_lens, T)  # T -> dropped
     # row-mask select instead of a 3-axis scatter: fuses with the gather
     # into one streaming pass (the scatter lowers to serialized stores)
@@ -980,6 +994,7 @@ class CTCPrefixSearch:
             next_src,
             next_ext0,
             next_is_nonext,
+            _cols0,
         ) = advanced0
         state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
         y_buf = _apply_advance_to_buffer(
@@ -1047,6 +1062,7 @@ class CTCPrefixSearch:
                     next_src,
                     next_ext,
                     next_is_nonext,
+                    cols,
                 ) = advanced
                 state_next = fuse_state(
                     state, in_next, next_src, next_is_nonext, W
@@ -1054,7 +1070,8 @@ class CTCPrefixSearch:
                 # reorder/extend the path buffer in place (identity for
                 # frozen batch rows) instead of rewriting it wholesale
                 y_buf = _apply_advance_to_buffer(
-                    y_buf, prefix_lens, next_src, next_ext, valid_mask
+                    y_buf, prefix_lens, next_src, next_ext, valid_mask,
+                    cols=cols,
                 )
                 y_lens = jnp.where(valid_mask, y_next_lens, y_lens)
                 nb = jnp.where(valid_mask, nb_next, nb)
