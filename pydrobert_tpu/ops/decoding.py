@@ -673,16 +673,22 @@ def _ctc_advance_tail(
     # four per-beam source gathers share the same indices: pack them into one
     # (N, Kp, 4) int32 row (float values as bits) so XLA issues a single
     # gather kernel instead of four (gathers break elementwise fusion)
-    packed_src = jnp.stack(
+    packed_src = jnp.concatenate(
         [
-            y_prev_lens.astype(jnp.int32),
-            jax.lax.bitcast_convert_type(
-                nb_nonext_probs_cand.astype(jnp.float32), jnp.int32
+            jnp.stack(
+                [
+                    y_prev_lens.astype(jnp.int32),
+                    jax.lax.bitcast_convert_type(
+                        nb_nonext_probs_cand.astype(jnp.float32), jnp.int32
+                    ),
+                    jax.lax.bitcast_convert_type(
+                        b_nonext_probs_cand.astype(jnp.float32), jnp.int32
+                    ),
+                    y_prev_last.astype(jnp.int32),
+                ],
+                2,
             ),
-            jax.lax.bitcast_convert_type(
-                b_nonext_probs_cand.astype(jnp.float32), jnp.int32
-            ),
-            y_prev_last.astype(jnp.int32),
+            prev_is_prefix.astype(jnp.int32),  # rides the same gather
         ],
         2,
     )
@@ -704,12 +710,11 @@ def _ctc_advance_tail(
         ~next_is_nonext
     )
 
+    # row gather ip[n, src_k, :] came packed with the source gather above;
+    # only the column gather by src_j remains
+    ip_rows = picked[..., 4:] != 0  # (N, K, Kp)
     next_prefix_is_prefix = jnp.take_along_axis(
-        jnp.take_along_axis(
-            prev_is_prefix, next_src[:, :, None], axis=1
-        ),
-        next_src[:, None, :],
-        axis=2,
+        ip_rows, next_src[:, None, :], axis=2
     )
     next_len_leq = y_next_lens[:, :, None] <= y_next_lens[:, None, :]
     # next_to_match[n,k,k'] = (new) y[p_k, n, k'], p_k = lens_next_k - 1.

@@ -141,7 +141,9 @@ def test_seq2seq_beam_search_and_mer(key):
     # LM protocol: normalized distributions, state threading
     lp, state2 = lm(jnp.zeros((0, 3), jnp.int32), dict(state), idx=0)
     assert lp.shape == (3, 8)
-    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=1e-5)
+    # TPU f32 exp/sum accumulates ~4e-5 error over the vocab; CPU is ~1e-7
+    rtol = 1e-4 if jax.devices()[0].platform == "tpu" else 1e-5
+    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=rtol)
     # beam search end-to-end (jitted)
     search = BeamSearch(lm, width=4, eos=0)
     y, y_lens, y_probs = jax.jit(
