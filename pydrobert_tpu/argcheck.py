@@ -12,7 +12,7 @@ this package is array-library agnostic at the validation layer.
 """
 
 import os
-from typing import Any, Collection, Optional, Sequence, Type, TypeVar, Union
+from typing import Any, Collection, Optional, Type, TypeVar
 
 import numpy as np
 

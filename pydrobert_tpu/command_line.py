@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from . import argcheck, config
+from . import config
 from . import data
 from .data.datasets import _info_and_validate
 from .utils.serial import load_tensor, save_tensor

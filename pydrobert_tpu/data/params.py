@@ -10,7 +10,7 @@ validated on assignment, and ini/yaml round-trips are handled by
 """
 
 import dataclasses
-from typing import Any, Container, Dict, List, Optional, Set, Tuple
+from typing import Any, Container, Dict, List, Optional, Set
 
 __all__ = [
     "ContextWindowDataParams",

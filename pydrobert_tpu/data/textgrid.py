@@ -9,7 +9,7 @@ makes the parser robust to indentation and blank lines.
 """
 
 import re
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple, Union
 
 __all__ = ["INTERVALTIER", "TEXTTIER", "TextGrid", "Tier"]
 

@@ -268,59 +268,6 @@ def _fnv_fin_jnp(h: jax.Array) -> jax.Array:
     return h ^ (h >> jnp.uint32(13))
 
 
-class _HashTable:
-    """Host-built open-addressing (linear probe) table of int32 id-tuples.
-
-    Keys are n-token id sequences, earliest token first; values are
-    ``(logp, logb)`` float32 pairs. Lookup on device is `max_probe`
-    vectorized gathers + exact key comparison, so collisions cannot corrupt
-    results (full keys are stored and compared).
-    """
-
-    def __init__(self, entries: Dict[Tuple[int, ...], Tuple[float, float]], n: int):
-        count = len(entries)
-        # 4x load headroom keeps linear-probe chains (and thus the number of
-        # device-side gather rounds) short
-        size = 1 << max(1, (max(4 * count, 2) - 1).bit_length())
-        keys = np.full((size, n), _EMPTY_KEY, np.int32)
-        vals = np.zeros((size, 2), np.float32)
-        mask = np.uint32(size - 1)
-        max_probe = 0
-        for key, val in entries.items():
-            h = _FNV_BASIS
-            for tok in key:
-                h = _fnv_mix_np(h, np.uint32(np.int64(tok)))
-            slot = int(_fnv_fin_np(h) & mask)
-            probe = 1
-            while keys[slot, 0] != _EMPTY_KEY:
-                slot = (slot + 1) % size
-                probe += 1
-            keys[slot] = key
-            vals[slot] = val
-            max_probe = max(max_probe, probe)
-        self.n, self.size, self.max_probe = n, size, max_probe
-        self.keys, self.vals = keys, vals
-
-    def lookup(self, qkeys: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """(found, (logp, logb)) for query keys ``(..., n)`` int32."""
-        keys = jnp.asarray(self.keys)
-        vals = jnp.asarray(self.vals)
-        h = jnp.full(qkeys.shape[:-1], int(_FNV_BASIS), jnp.uint32)
-        for j in range(self.n):
-            h = _fnv_mix_jnp(h, qkeys[..., j])
-        h = _fnv_fin_jnp(h)
-        mask = jnp.uint32(self.size - 1)
-        found = jnp.zeros(h.shape, bool)
-        val = jnp.zeros(h.shape + (2,), jnp.float32)
-        for d in range(self.max_probe):
-            slot = ((h + jnp.uint32(d)) & mask).astype(jnp.int32)
-            k = keys[slot]
-            match = jnp.all(k == qkeys, -1) & ~found
-            val = jnp.where(match[..., None], vals[slot], val)
-            found = found | match
-        return found, val
-
-
 class _CtxTable:
     """Hash table over contexts: ``ctx (n ids) -> (logb, row_start,
     row_len)`` plus CSR children arrays ``(tok, logp)`` grouped by context.

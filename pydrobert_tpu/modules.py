@@ -10,7 +10,6 @@ an explicit leading PRNG key instead of consulting a ``training`` mode flag
 implicitly.
 """
 
-from typing import Optional
 
 import numpy as np
 

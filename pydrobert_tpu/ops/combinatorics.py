@@ -12,7 +12,7 @@ Bernoullis with explicit PRNG keys.
 """
 
 from functools import partial
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ TPU-first design differences:
 
 import abc
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

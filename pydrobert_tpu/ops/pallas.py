@@ -23,7 +23,6 @@ Current kernels:
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

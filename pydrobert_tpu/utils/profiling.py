@@ -7,7 +7,7 @@ trace viewable in TensorBoard/Perfetto and annotating named regions.
 """
 
 import contextlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 

@@ -17,7 +17,6 @@ import os
 import pickle
 import struct
 import zipfile
-from typing import Optional
 
 import numpy as np
 
