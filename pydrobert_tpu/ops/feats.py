@@ -126,6 +126,7 @@ def _feat_deltas(x, filters, dim, time_dim, concatenate, order, width, pad_mode,
         filters[:, None, :].astype(x.dtype),  # (order+1, 1, K)
         window_strides=(1,),
         padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,  # exact f32 delta filters
     )  # (B, order+1, T)
     out = out.reshape(shape[:-1] + (order + 1, T))
     out = jnp.swapaxes(out, -2, -1)  # (..., T, order+1)

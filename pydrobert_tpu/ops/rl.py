@@ -18,11 +18,16 @@ def _tdr(r, gamma, batch_first):
     T = r.shape[1] if batch_first else r.shape[0]
     exp = jnp.arange(T, dtype=r.dtype)
     discount = jnp.power(jnp.asarray(gamma, r.dtype), exp)
+    # full-precision MXU accumulation: returns are a numerical-fidelity
+    # quantity and the discount matmul is tiny
+    hp = jax.lax.Precision.HIGHEST
     if batch_first:
         mat = jnp.tril(discount[:, None] / discount[None, :])
-        return jnp.matmul(r, mat, preferred_element_type=r.dtype)
+        return jnp.matmul(
+            r, mat, preferred_element_type=r.dtype, precision=hp
+        )
     mat = jnp.triu(discount[None, :] / discount[:, None])
-    return jnp.matmul(mat, r, preferred_element_type=r.dtype)
+    return jnp.matmul(mat, r, preferred_element_type=r.dtype, precision=hp)
 
 
 def time_distributed_return(
