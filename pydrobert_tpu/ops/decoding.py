@@ -515,7 +515,7 @@ def _ctc_match_info(y_prev_last, y_prev_lens, prev_is_prefix):
 
 def ctc_prefix_search_advance_factored(
     top_probs_t: Tuple[jax.Array, jax.Array],
-    nonext_probs_t: jax.Array,
+    nonext_probs_t: Optional[jax.Array],
     blank_probs_t: jax.Array,
     width: int,
     probs_prev: Tuple[jax.Array, jax.Array],
@@ -524,6 +524,9 @@ def ctc_prefix_search_advance_factored(
     y_prev_lens: jax.Array,
     prev_is_prefix: jax.Array,
     return_core: bool = False,
+    *,
+    p_last: Optional[jax.Array] = None,
+    vocab_size: Optional[int] = None,
 ):
     """One frame of CTC prefix search when extension probabilities factor as
     ``ext[n, k, v] = nonext_probs_t[n, v]`` (no per-beam LM fusion).
@@ -542,13 +545,26 @@ def ctc_prefix_search_advance_factored(
     ``nonext_probs_t`` tokens, ``M >= width + Kp``.
     """
     top_vals, top_inds = (jnp.asarray(p) for p in top_probs_t)
-    nonext_probs_t = jnp.asarray(nonext_probs_t)
     blank_probs_t = jnp.asarray(blank_probs_t)
     nb_probs_prev, b_probs_prev = (jnp.asarray(p) for p in probs_prev)
     y_prev = jnp.asarray(y_prev)
     y_prev_lens = jnp.asarray(y_prev_lens)
     prev_is_prefix = jnp.asarray(prev_is_prefix)
-    N, V = nonext_probs_t.shape
+    if nonext_probs_t is None:
+        # caller supplies the per-beam last-token probabilities directly
+        # (e.g. gathered from raw logits; avoids materializing the (N, V)
+        # probability row at all)
+        if p_last is None or vocab_size is None:
+            raise ValueError(
+                "p_last and vocab_size are required when nonext_probs_t is "
+                "None"
+            )
+        V = vocab_size
+        N = nb_probs_prev.shape[0]
+        p_last = jnp.asarray(p_last)
+    else:
+        nonext_probs_t = jnp.asarray(nonext_probs_t)
+        N, V = nonext_probs_t.shape
     Kp = nb_probs_prev.shape[1]
     M = top_inds.shape[1]
     if M < min(width + Kp, V):
@@ -558,7 +574,8 @@ def ctc_prefix_search_advance_factored(
 
     tot_probs_prev = nb_probs_prev + b_probs_prev
     y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
-    p_last = jnp.take_along_axis(nonext_probs_t, y_prev_last, axis=1)
+    if nonext_probs_t is not None:
+        p_last = jnp.take_along_axis(nonext_probs_t, y_prev_last, axis=1)
 
     # shared-token extension scores; the beam's own last token only carries
     # the blank mass (CTC repeat rule)
@@ -878,9 +895,20 @@ class CTCPrefixSearch:
                 )
         prev = {} if initial_state is None else initial_state
 
-        probs = jax.nn.softmax(logits, axis=2)
-        blank_probs = probs[..., V]  # (T, N)
-        nonext_probs = probs[..., :V]  # (T, N, V)
+        if use_lm:
+            probs = jax.nn.softmax(logits, axis=2)
+            blank_probs = probs[..., V]  # (T, N)
+            nonext_probs = probs[..., :V]  # (T, N, V)
+        else:
+            # probability-space values are only ever needed at the hoisted
+            # top-M tokens, the blank, and per-step last-token gathers:
+            # normalize those on the fly from raw logits instead of
+            # materializing the (T, N, V) softmax (saves a full write+read
+            # of the biggest tensor in the decode). exp(x - max) / denom is
+            # softmax's own op sequence, so the values bit-match it.
+            sm_max = logits.max(2)  # (T, N)
+            sm_den = jnp.exp(logits - sm_max[..., None]).sum(2)  # (T, N)
+            blank_probs = jnp.exp(logits[..., V] - sm_max) / sm_den
 
         # opt-in whole-loop Pallas kernel (state + path buffer resident in
         # VMEM across frames); identical results to the XLA scan below up to
@@ -899,6 +927,10 @@ class CTCPrefixSearch:
             and 1 < W <= min(32, V)
             and ctc_beam_search_vmem_ok(T, N, V, W)
         ):
+            nonext_probs = (
+                jnp.exp(logits[..., :V] - sm_max[..., None])
+                / sm_den[..., None]
+            )
             return ctc_beam_search_pallas(nonext_probs, blank_probs, lens, W)
 
         if lm is not None:
@@ -948,10 +980,25 @@ class CTCPrefixSearch:
 
         # without fusion, extension probabilities factor over beams: hoist a
         # single top-M over the vocabulary out of the decode loop and run the
-        # O(N K (W + K)) factored advance per step
+        # O(N K (W + K)) factored advance per step. top_k runs on raw logits
+        # (monotone => same tokens) with exp-normalization applied to the M
+        # selected values only.
         M = min(V, 2 * W) if not use_lm else 0
         if not use_lm:
-            top_vals, top_inds = jax.lax.top_k(nonext_probs, M)  # (T, N, M)
+            top_lgts, top_inds = jax.lax.top_k(logits[..., :V], M)
+            top_vals = (
+                jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
+            )  # (T, N, M)
+
+            def p_last_at(t, y_last):
+                """Last-token probabilities (N, Kp) from raw logits."""
+                row = jax.lax.dynamic_slice_in_dim(logits, t, 1, 0)[0]
+                mx_t = jax.lax.dynamic_slice_in_dim(sm_max, t, 1, 0)[0]
+                den_t = jax.lax.dynamic_slice_in_dim(sm_den, t, 1, 0)[0]
+                gath = jnp.take_along_axis(row, jnp.clip(y_last, 0, V - 1), 1)
+                return jnp.exp(gath - mx_t[:, None]) / den_t[:, None]
+
+        buf_dtype = jnp.int32  # int16 measured neutral-to-slower (relayouts)
 
         # ---- t = 0 (prefix width 1 -> W) ----
         y_buf0 = jnp.zeros((T, N, 1), jnp.int32)
@@ -980,7 +1027,7 @@ class CTCPrefixSearch:
             in_next0 = prev
             advanced0 = ctc_prefix_search_advance_factored(
                 (top_vals[0], top_inds[0]),
-                nonext_probs[0],
+                None,
                 blank_probs[0],
                 W,
                 (nb0, b0),
@@ -989,6 +1036,8 @@ class CTCPrefixSearch:
                 lens0,
                 is_prefix0,
                 return_core=True,
+                p_last=p_last_at(jnp.asarray(0, jnp.int32), last0),
+                vocab_size=V,
             )
         (
             prefix_lens0,
@@ -1003,7 +1052,7 @@ class CTCPrefixSearch:
         ) = advanced0
         state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
         y_buf = _apply_advance_to_buffer(
-            jnp.zeros((T, N, W), jnp.int32),
+            jnp.zeros((T, N, W), buf_dtype),
             prefix_lens0,
             next_src,
             next_ext0,
@@ -1028,7 +1077,7 @@ class CTCPrefixSearch:
                 if use_lm:
                     nonext_t, blank_t, t = xs
                 else:
-                    nonext_t, blank_t, t, top_vals_t, top_inds_t = xs
+                    blank_t, t, top_vals_t, top_inds_t = xs
                 valid_mask = (t < lens)[:, None]  # (N, 1)
                 if use_lm:
                     ext_t, in_next = lm_ext_probs(
@@ -1048,7 +1097,7 @@ class CTCPrefixSearch:
                     in_next = state
                     advanced = ctc_prefix_search_advance_factored(
                         (top_vals_t, top_inds_t),
-                        nonext_t,
+                        None,
                         blank_t,
                         W,
                         (nb, b),
@@ -1057,6 +1106,8 @@ class CTCPrefixSearch:
                         y_lens,
                         is_prefix,
                         return_core=True,
+                        p_last=p_last_at(t, y_last),
+                        vocab_size=V,
                     )
                 (
                     prefix_lens,
@@ -1101,19 +1152,25 @@ class CTCPrefixSearch:
                 return (y_buf, y_lens, y_last, nb, b, is_prefix, state), None
 
             carry = (y_buf, y_lens, y_last, nb, b, is_prefix, state)
-            xs = (
-                nonext_probs[1:],
-                blank_probs[1:],
-                jnp.arange(1, T, dtype=jnp.int32),
-            )
-            if not use_lm:
-                xs = xs + (top_vals[1:], top_inds[1:])
+            if use_lm:
+                xs = (
+                    nonext_probs[1:],
+                    blank_probs[1:],
+                    jnp.arange(1, T, dtype=jnp.int32),
+                )
+            else:
+                xs = (
+                    blank_probs[1:],
+                    jnp.arange(1, T, dtype=jnp.int32),
+                    top_vals[1:],
+                    top_inds[1:],
+                )
             (y_buf, y_lens, y_last, nb, b, is_prefix, state), _ = jax.lax.scan(
                 step, carry, xs
             )
 
         y_probs = nb + b
-        return y_buf, y_lens, y_probs
+        return y_buf.astype(jnp.int32), y_lens, y_probs
 
 
 class CTCGreedySearch:
