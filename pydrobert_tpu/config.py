@@ -34,6 +34,7 @@ __all__ = [
     "EPS_INF",
     "EPS_NINF",
     "INDEX_PAD_VALUE",
+    "SPARSE_FUSION_MAX_CORRECTIONS",
     "TINY",
     "USE_JIT",
     "USE_PALLAS",
@@ -74,6 +75,19 @@ Off by default: the kernel is at parity with the pure-XLA path on the
 current dev chip (fixed per-op overhead dominates both) but is designed to
 win on production TPUs, where its VMEM-resident beam state and path buffer
 remove the scan's per-step HBM traffic and op-dispatch cost entirely.
+"""
+
+SPARSE_FUSION_MAX_CORRECTIONS = int(
+    os.environ.get("PYDROBERT_TPU_SPARSE_FUSION_MAX_C", "128")
+)
+"""Largest per-context correction count for the sparse-slot fused decode.
+
+:class:`pydrobert_tpu.ops.decoding.CTCPrefixSearch` with a
+:class:`pydrobert_tpu.lm.LookupLanguageModel` scores only candidate slots
+(shared top-M + per-beam stored n-gram corrections) instead of all ``V``
+extensions per beam, provided the LM's ``max_corrections`` (the summed
+per-order maximum children count) does not exceed this bound; larger LMs
+fall back to the dense advance.
 """
 
 EPS_NINF = math.log(1.1754943508222875e-38) / 2

@@ -268,15 +268,24 @@ def _fnv_fin_jnp(h: jax.Array) -> jax.Array:
     return h ^ (h >> jnp.uint32(13))
 
 
+_DENSE_CTX_MAX_ROWS = 1 << 21
+"""Largest ``(base)**n`` for which a context table stores a directly
+indexed dense row array instead of (only) the probing hash table. A dense
+lookup is ONE gather; a hash lookup is ``max_probe`` gathers plus key
+compares — on TPU, where each gather is a fixed-overhead kernel, the dense
+form is much cheaper inside decode loops."""
+
+
 class _CtxTable:
     """Hash table over contexts: ``ctx (n ids) -> (logb, row_start,
     row_len)`` plus CSR children arrays ``(tok, logp)`` grouped by context.
 
     The KenLM-trie-style layout reorganized for batched device queries: one
-    context lookup (a few small probe gathers) fetches the backoff AND the
-    span of that context's continuations; scoring all ``V`` extensions is a
-    gather of at most `max_children` (token, logp) pairs plus a scatter —
-    no per-(context, token) probing.
+    context lookup (a few small probe gathers — or a single direct-indexed
+    gather when ``base**n`` is small, see ``_DENSE_CTX_MAX_ROWS``) fetches
+    the backoff AND the span of that context's continuations; scoring all
+    ``V`` extensions is a gather of at most `max_children` (token, logp)
+    pairs plus a scatter — no per-(context, token) probing.
     """
 
     def __init__(
@@ -286,7 +295,10 @@ class _CtxTable:
         child_logp: np.ndarray,
         n: int,
         max_children: int,
+        base: int = 0,
+        uni: Optional[np.ndarray] = None,
     ):
+        self.uni = uni
         count = len(entries)
         # 4x load headroom keeps linear-probe chains short
         size = 1 << max(1, (max(4 * count, 2) - 1).bit_length())
@@ -318,6 +330,7 @@ class _CtxTable:
         self.child_tok = child_tok
         self.child_logp = child_logp
         self.max_children = int(max_children)
+        self.base = int(base)
         self._pack()
 
     def _pack(self):
@@ -325,7 +338,10 @@ class _CtxTable:
         read) is ONE device gather: ``packed (size, n + 3)`` int32 =
         ``[key tokens..., logb bits, row_start, row_len]``; ``child (rows,
         2)`` int32 = ``[token, logp bits]``. Gathers on TPU carry a fixed
-        per-op cost, so 1 wide gather beats 3 narrow ones."""
+        per-op cost, so 1 wide gather beats 3 narrow ones. When ``base**n``
+        is small, additionally store ``dense_packed (base**n, 3)`` =
+        ``[logb bits, row_start, row_len]`` directly indexed by the flat
+        context id (one gather, no probing)."""
         self.packed = np.concatenate(
             [
                 self.keys,
@@ -340,11 +356,45 @@ class _CtxTable:
             if len(self.child_logp)
             else np.zeros(1, np.float32)
         )
-        self.child_packed = np.stack([ct, cl.view(np.int32)], 1)
+        cols = [ct, cl.view(np.int32)]
+        if getattr(self, "uni", None) is not None:
+            # bake each child token's unigram log-prob into its row: the
+            # normalizer computation then needs no separate uni gather
+            cu = self.uni[np.clip(ct, 0, len(self.uni) - 1)].astype(
+                np.float32
+            )
+            cols.append(cu.view(np.int32))
+        self.child_packed = np.stack(cols, 1)
+        self.dense_packed = None
+        if 0 < self.base and self.base ** self.n <= _DENSE_CTX_MAX_ROWS:
+            rows = self.base ** self.n
+            dense = np.zeros((rows, 3), np.int32)
+            occupied = self.keys[:, 0] != _EMPTY_KEY
+            flat = np.zeros((occupied.sum(),), np.int64)
+            kk = self.keys[occupied].astype(np.int64)
+            for j in range(self.n):
+                flat = flat * self.base + kk[:, j]
+            dense[flat, 0] = self.fvals[occupied].view(np.int32)
+            dense[flat, 1:] = self.ivals[occupied]
+            # a found flag is unnecessary: the default row (logb = +0.0 bits,
+            # len = 0) behaves exactly like an absent context
+            self.dense_packed = dense
 
     def lookup_ctx(self, qkeys: jax.Array):
         """(found, logb, start, length) for query contexts ``(B, n)``."""
         n = self.n
+        if self.dense_packed is not None:
+            dense = jnp.asarray(self.dense_packed)
+            flat = jnp.zeros(qkeys.shape[:-1], jnp.int32)
+            for j in range(n):
+                flat = flat * self.base + jnp.clip(
+                    qkeys[..., j], 0, self.base - 1
+                )
+            row = dense[flat]  # (B, 3): ONE gather, no probing
+            length = row[..., 2]
+            logb = jax.lax.bitcast_convert_type(row[..., 0], jnp.float32)
+            found = (length > 0) | (logb != 0.0)
+            return found, logb, row[..., 1], length
         packed = jnp.asarray(self.packed)
         h = jnp.full(qkeys.shape[:-1], int(_FNV_BASIS), jnp.uint32)
         for j in range(n):
@@ -362,6 +412,40 @@ class _CtxTable:
             found = found | match
         logb = jax.lax.bitcast_convert_type(row[..., 0], jnp.float32)
         return found, logb, row[..., 1], row[..., 2]
+
+    def probe_children(self, qkeys: jax.Array):
+        """Per-context children as padded lists: ``(found, logb, toks (B, S),
+        logps (B, S), valid (B, S), unis (B, S))`` for query contexts
+        ``(B, n)``; ``S = max_children``. ``unis`` are the children's
+        unigram log-probs (baked into the rows at build time) or None."""
+        found, logb, start, length = self.lookup_ctx(qkeys)
+        B = qkeys.shape[0]
+        S = self.max_children
+        has_uni = self.child_packed.shape[1] > 2
+        if S == 0:
+            z = jnp.zeros((B, 0), jnp.float32)
+            return (
+                found,
+                logb,
+                jnp.zeros((B, 0), jnp.int32),
+                z,
+                jnp.zeros((B, 0), bool),
+                z if has_uni else None,
+            )
+        rows = self.child_packed.shape[0]
+        child = jnp.asarray(self.child_packed)
+        pos = start[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+        valid = (jnp.arange(S)[None] < length[:, None]) & found[:, None]
+        pos = jnp.clip(pos, 0, rows - 1)
+        got = child[pos]  # (B, S, 2 or 3)
+        toks = got[..., 0]
+        lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
+        unis = (
+            jax.lax.bitcast_convert_type(got[..., 2], jnp.float32)
+            if has_uni
+            else None
+        )
+        return found, logb, toks, lps, valid, unis
 
     def extend_scores(self, qkeys: jax.Array, base: jax.Array) -> jax.Array:
         """Scores over all V extensions of contexts ``(B, n)``: children's
@@ -476,6 +560,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             if 0 <= w < V:
                 uni[w] = logp
         self._uni_logp = uni
+        self._sum_u = float(np.exp(uni[np.isfinite(uni)]).sum())
         # one table per context order n (1..N-1): backoff + CSR span over
         # the order-(n+1) continuations of that context
         self._ctx_tables: List[_CtxTable] = []
@@ -518,6 +603,8 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     np.asarray(logp_rows, np.float32),
                     n + 1,
                     max_children,
+                    base=(max(V, sos) + 1) if sos >= 0 else 0,
+                    uni=uni,
                 )
             )
 
@@ -566,6 +653,84 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
 
         return jax.vmap(step)(jnp.arange(S + 1, dtype=jnp.int32))
 
+    # -- sparse structure for slot-based decoding ---------------------------
+    @property
+    def max_corrections(self) -> int:
+        """Static bound on per-context non-unigram token corrections."""
+        return sum(t.max_children for t in self._ctx_tables)
+
+    def sparse_corrections(self, ctx: jax.Array):
+        """Backoff-LM log-probs as ``uni[v] + base`` plus sparse overrides.
+
+        For query contexts ``ctx`` (``(N - 1, B)`` token ids, most recent
+        first, as produced by the history gather), the conditional log-prob
+        of every token ``v`` decomposes as::
+
+            lm(v | ctx) = uni[v] + base          if v matches no stored
+                                                  higher-order n-gram
+                        = vals[c]                if toks[c] == v (highest
+                                                  matching order wins)
+
+        where ``base`` is the summed backoff of all found context orders.
+        Returns ``(base (B,), toks (B, C), vals (B, C), valid (B, C),
+        logZ (B,))`` with static ``C = max_corrections``; ``logZ`` is the
+        exact log-normalizer of this context's full distribution (what
+        ``log_softmax`` over :func:`calc_idx_log_probs` would subtract).
+
+        This is the structure that lets beam searches score only candidate
+        tokens instead of all ``V`` extensions (KenLM-style probing, but
+        batched: one probe chain per context order, children fetched as
+        padded spans).
+        """
+        N = self.max_ngram
+        if N == 1:
+            raise RuntimeError("sparse_corrections requires max_ngram > 1")
+        B = ctx.shape[1]
+        uni = jnp.asarray(self._uni_logp)
+        founds, logbs, tokss, lpss, valids, uniss = [], [], [], [], [], []
+        for n in range(2, N + 1):
+            ctx_n = ctx[: n - 1][::-1].T  # (B, n-1), earliest-first
+            f, lb, tk, lp, vd, un = self._ctx_tables[n - 2].probe_children(
+                ctx_n
+            )
+            founds.append(f)
+            logbs.append(jnp.where(f, lb, 0.0))
+            tokss.append(tk)
+            lpss.append(lp)
+            valids.append(vd)
+            uniss.append(un)
+        base = sum(logbs)
+        # value of an order-n match = stored logp + backoffs of all HIGHER
+        # orders that will be escaped through; higher-order matches override
+        # lower ones (dedup below)
+        vals = []
+        for i in range(len(lpss)):
+            pen = sum(logbs[i + 1:]) if i + 1 < len(logbs) else 0.0
+            vals.append(lpss[i] + (pen[:, None] if i + 1 < len(logbs) else 0.0))
+        for i in range(len(tokss)):
+            for j in range(i + 1, len(tokss)):
+                dup = (
+                    (tokss[i][:, :, None] == tokss[j][:, None, :])
+                    & valids[j][:, None, :]
+                ).any(2)
+                valids[i] = valids[i] & ~dup
+        toks = jnp.concatenate(tokss, 1)
+        val = jnp.concatenate(vals, 1)
+        valid = jnp.concatenate(valids, 1)
+        # exact normalizer: start from the all-backoff mass, swap corrected
+        # tokens' unigram mass for their stored mass (children's unigram
+        # log-probs ride along in the child rows — no extra gather)
+        if all(u is not None for u in uniss):
+            uni_at = jnp.concatenate(uniss, 1)
+        else:
+            uni_at = jnp.take(
+                uni, jnp.clip(toks, 0, self.vocab_size - 1), axis=0
+            )
+        covered = jnp.where(valid, jnp.exp(uni_at), 0.0).sum(1)
+        zb = jnp.maximum(self._sum_u - covered, 0.0) * jnp.exp(base)
+        z = zb + jnp.where(valid, jnp.exp(val), 0.0).sum(1)
+        return base, toks, val, valid, jnp.log(z)
+
     # -- persistence (reference analogue: custom state dict, _lm.py:850-904)
     def state_dict(self) -> Dict[str, np.ndarray]:
         d = {
@@ -586,6 +751,9 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             int(x) for x in d["meta"]
         )
         self._uni_logp = np.asarray(d["uni_logp"], np.float32)
+        self._sum_u = float(
+            np.exp(self._uni_logp[np.isfinite(self._uni_logp)]).sum()
+        )
 
         def load(i):
             t = _CtxTable.__new__(_CtxTable)
@@ -597,6 +765,10 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             t.size, t.n = t.keys.shape
             t.max_probe = int(d[f"ctx{i}_meta"][0])
             t.max_children = int(d[f"ctx{i}_meta"][1])
+            t.base = (
+                (max(self.vocab_size, self.sos) + 1) if self.sos >= 0 else 0
+            )
+            t.uni = self._uni_logp
             t._pack()
             return t
 

@@ -651,6 +651,167 @@ def ctc_prefix_search_advance_factored(
     return _finish_with_buffer(y_prev, core)
 
 
+def _ctc_prefix_search_advance_sparse(
+    top_g: Tuple[jax.Array, jax.Array],
+    am_at,
+    uni: jax.Array,
+    blank_probs_t: jax.Array,
+    beta: float,
+    sparse: Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array],
+    width: int,
+    probs_prev: Tuple[jax.Array, jax.Array],
+    y_prev: jax.Array,
+    y_prev_last: jax.Array,
+    y_prev_lens: jax.Array,
+    prev_is_prefix: jax.Array,
+):
+    """One frame of CTC prefix search with a backoff n-gram LM shallow-fused
+    (``lm_probs**beta * am``), scoring only candidate slots.
+
+    The backoff LM's conditional decomposes per beam ``k`` as ``lm(v|ctx_k)
+    = uni[v] + base_k`` except on a sparse set of stored n-gram tokens
+    (:func:`pydrobert_tpu.lm.LookupLanguageModel.sparse_corrections`). The
+    per-beam additive scalars (``base_k`` and the ``log_softmax``
+    normalizer) don't change the within-beam candidate order, so each
+    beam's true top-``width`` extensions must come from: the frame's shared
+    top-``M`` tokens of ``g[v] = am[v] * exp(beta * uni[v])`` (hoisted out
+    of the decode loop; ``M >= 2 * width + C``), the beam's ``C`` corrected
+    tokens, its last token, and the non-extension candidate — ``O(N K (M +
+    C))`` per frame instead of the dense advance's ``O(N K V)`` LM scoring
+    (reference semantics: ``_decoding.py:636-934`` with fusion
+    ``_decoding.py:1113-1135``). Exact up to ties.
+
+    `top_g` is ``(values, indices)`` of top-M ``g``; `am_at` maps token ids
+    ``(N, Q)`` to plain acoustic probabilities; `sparse` is
+    ``sparse_corrections`` output reshaped to ``(N, Kp, ...)`` leading dims.
+    """
+    top_vals, top_inds = top_g
+    nb_probs_prev, b_probs_prev = (jnp.asarray(p) for p in probs_prev)
+    N, Kp = nb_probs_prev.shape
+    M = top_inds.shape[1]
+    V = uni.shape[0]
+    base, ctoks, cvals, cvalid, logZ = sparse  # (N,Kp),(N,Kp,C)x3,(N,Kp)
+    C = ctoks.shape[2]
+    K = min(width, Kp * (V + 1))
+    L = M + C + 1  # ext slots per beam; +1 nonext slot below
+
+    tot_probs_prev = nb_probs_prev + b_probs_prev
+    y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
+    scal = jnp.exp(beta * (base - logZ))  # (N, Kp)
+
+    # LM value of each beam's own last token (corrected or base+uni)
+    last_in_corr = (ctoks == y_prev_last[:, :, None]) & cvalid  # (N,Kp,C)
+    lm_last = jnp.where(last_in_corr, cvals, 0.0).sum(2) + jnp.where(
+        last_in_corr.any(2),
+        0.0,
+        base + jnp.take(uni, y_prev_last.reshape(-1), axis=0).reshape(N, Kp),
+    )
+    # one acoustic gather for correction tokens AND last tokens (gathers
+    # carry fixed per-op cost)
+    am_all = am_at(
+        jnp.concatenate([ctoks.reshape(N, Kp * C), y_prev_last], 1)
+    )
+    am_corr = am_all[:, : Kp * C].reshape(N, Kp, C)
+    am_last = am_all[:, Kp * C:]  # (N, Kp) plain acoustic prob
+    p_last_ext = am_last * jnp.exp(beta * (lm_last - logZ))  # fused ext prob
+
+    # shared slots
+    shared_is_last = top_inds[:, None, :] == y_prev_last[:, :, None]
+    coeff_sh = jnp.where(
+        shared_is_last, b_probs_prev[:, :, None], tot_probs_prev[:, :, None]
+    )
+    shared_scores = coeff_sh * scal[:, :, None] * top_vals[:, None, :]
+    shared_in_corr = (
+        (top_inds[:, None, :, None] == ctoks[:, :, None, :])
+        & cvalid[:, :, None, :]
+    ).any(3)  # (N, Kp, M)
+    shared_scores = jnp.where(shared_in_corr, NEG_INF, shared_scores)
+
+    # correction slots
+    corr_is_last = ctoks == y_prev_last[:, :, None]
+    coeff_c = jnp.where(
+        corr_is_last, b_probs_prev[:, :, None], tot_probs_prev[:, :, None]
+    )
+    corr_scores = (
+        coeff_c * am_corr * jnp.exp(beta * (cvals - logZ[:, :, None]))
+    )
+    corr_scores = jnp.where(cvalid, corr_scores, NEG_INF)
+
+    # dedicated last-token slot (disabled when covered by shared or corr)
+    last_scores = jnp.where(
+        shared_is_last.any(2) | last_in_corr.any(2),
+        NEG_INF,
+        b_probs_prev * p_last_ext,
+    )
+
+    # non-extension masses; absorption needs the fused ext prob of every
+    # OTHER beam's last token under THIS beam's LM context
+    b_nonext_probs_cand = tot_probs_prev * blank_probs_t[:, None]
+    to_match, ext_is_exact = _ctc_match_info(
+        y_prev_last, y_prev_lens, prev_is_prefix
+    )
+    tm_corr = (
+        ctoks[:, :, None, :] == y_prev_last[:, None, :, None]
+    ) & cvalid[:, :, None, :]  # (N, Kp, j, C)
+    lm_tm = jnp.where(tm_corr, cvals[:, :, None, :], 0.0).sum(3) + jnp.where(
+        tm_corr.any(3),
+        0.0,
+        base[:, :, None]
+        + jnp.take(uni, y_prev_last.reshape(-1), axis=0).reshape(N, Kp)[
+            :, None, :
+        ],
+    )  # (N, Kp, j): lm value of last_j under ctx_k
+    p_tm = am_last[:, None, :] * jnp.exp(
+        beta * (lm_tm - logZ[:, :, None])
+    )
+    tm_coeff = jnp.where(
+        y_prev_last[:, None, :] == y_prev_last[:, :, None],
+        b_probs_prev[:, :, None],
+        tot_probs_prev[:, :, None],
+    )
+    absorbed = jnp.where(ext_is_exact, tm_coeff * p_tm, 0.0).sum(1)
+    nb_nonext_probs_cand = nb_probs_prev * am_last + absorbed
+
+    # absorption removal across all ext slots
+    slot_toks = jnp.concatenate(
+        [
+            jnp.broadcast_to(top_inds[:, None], (N, Kp, M)),
+            ctoks,
+            y_prev_last[:, :, None],
+        ],
+        2,
+    )  # (N, Kp, L)
+    removed = (
+        ext_is_exact[:, :, None, :]
+        & (slot_toks[:, :, :, None] == to_match[:, :, None, :])
+    ).any(3)
+    ext_scores = jnp.concatenate(
+        [shared_scores, corr_scores, last_scores[:, :, None]], 2
+    )
+    ext_scores = jnp.where(removed, NEG_INF, ext_scores)
+
+    S = L + 1
+    tot_probs_cand = jnp.concatenate(
+        [ext_scores, (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None]],
+        2,
+    ).reshape(N, Kp * S)
+    sel_vals, next_ind = jax.lax.top_k(tot_probs_cand, K)
+
+    slot = next_ind % S
+    next_src = next_ind // S
+    next_is_nonext = slot == (S - 1)
+    ext_idx = next_src * L + jnp.minimum(slot, L - 1)
+    next_ext = jnp.take_along_axis(
+        slot_toks.reshape(N, Kp * L), ext_idx, axis=1
+    )
+
+    return _ctc_advance_tail(
+        y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
+        next_src, next_ext, next_is_nonext, sel_vals,
+        nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+    )
+
+
 def _finish_with_buffer(y_prev, core):
     """Reconstruct the reference-shaped ``y_next`` (``tm1 + 1`` rows) from
     core outputs, for the public step-function API."""
@@ -895,7 +1056,19 @@ class CTCPrefixSearch:
                 )
         prev = {} if initial_state is None else initial_state
 
-        if use_lm:
+        from ..lm import LookupLanguageModel
+
+        # backoff n-gram LMs expose their sparse structure: score only
+        # candidate slots per beam instead of all V fused extensions
+        use_sparse = (
+            use_lm
+            and not self.valid_mixture
+            and isinstance(lm, LookupLanguageModel)
+            and lm.max_ngram >= 2
+            and lm.max_corrections <= config.SPARSE_FUSION_MAX_CORRECTIONS
+        )
+
+        if use_lm and not use_sparse:
             probs = jax.nn.softmax(logits, axis=2)
             blank_probs = probs[..., V]  # (T, N)
             nonext_probs = probs[..., :V]  # (T, N, V)
@@ -913,7 +1086,6 @@ class CTCPrefixSearch:
         # opt-in whole-loop Pallas kernel (state + path buffer resident in
         # VMEM across frames); identical results to the XLA scan below up to
         # f32 reduction order
-        from .. import config
         from .pallas import (
             ctc_beam_search_pallas, ctc_beam_search_vmem_ok, tpu_available,
         )
@@ -978,25 +1150,56 @@ class CTCPrefixSearch:
                 prev_state, in_next, next_is_nonext.reshape(-1)
             )
 
-        # without fusion, extension probabilities factor over beams: hoist a
-        # single top-M over the vocabulary out of the decode loop and run the
-        # O(N K (W + K)) factored advance per step. top_k runs on raw logits
-        # (monotone => same tokens) with exp-normalization applied to the M
-        # selected values only.
-        M = min(V, 2 * W) if not use_lm else 0
-        if not use_lm:
-            top_lgts, top_inds = jax.lax.top_k(logits[..., :V], M)
+        # without per-beam-dense fusion, each beam's top-width extensions
+        # come from a hoisted shared top-M plus per-beam slots: one top-M
+        # over the vocabulary outside the decode loop, O(N K (M + C)) per
+        # step. top_k runs on raw logits (monotone => same tokens) with
+        # exp-normalization applied to the M selected values only.
+        if not (use_lm and not use_sparse):
+
+            def am_at_t(t, toks):
+                """Acoustic probabilities of `toks` (N, Q) from raw logits."""
+                row = jax.lax.dynamic_slice_in_dim(logits, t, 1, 0)[0]
+                mx_t = jax.lax.dynamic_slice_in_dim(sm_max, t, 1, 0)[0]
+                den_t = jax.lax.dynamic_slice_in_dim(sm_den, t, 1, 0)[0]
+                gath = jnp.take_along_axis(row, jnp.clip(toks, 0, V - 1), 1)
+                return jnp.exp(gath - mx_t[:, None]) / den_t[:, None]
+
+            p_last_at = am_at_t
+
+        if use_sparse:
+            Csp = lm.max_corrections
+            Ng = lm.max_ngram
+            M = min(V, 2 * W + Csp)
+            uni_dev = jnp.asarray(lm._uni_logp)
+            # g = am * exp(beta * uni); per-(t, n) softmax constants don't
+            # change the order, so top-M runs on logits + beta * uni
+            g_lgts = logits[..., :V] + beta * uni_dev[None, None]
+            top_lgts, top_inds = jax.lax.top_k(g_lgts, M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
             )  # (T, N, M)
 
-            def p_last_at(t, y_last):
-                """Last-token probabilities (N, Kp) from raw logits."""
-                row = jax.lax.dynamic_slice_in_dim(logits, t, 1, 0)[0]
-                mx_t = jax.lax.dynamic_slice_in_dim(sm_max, t, 1, 0)[0]
-                den_t = jax.lax.dynamic_slice_in_dim(sm_den, t, 1, 0)[0]
-                gath = jnp.take_along_axis(row, jnp.clip(y_last, 0, V - 1), 1)
-                return jnp.exp(gath - mx_t[:, None]) / den_t[:, None]
+            def sparse_at(ctx, Kp):
+                """LM sparse structure for contexts (N, Kp, Ng-1), reshaped
+                to (N, Kp, ...) leading dims."""
+                ctx_in = jnp.moveaxis(ctx.reshape(N * Kp, Ng - 1), 0, 1)
+                base, tk, vl, vd, lz = lm.sparse_corrections(ctx_in)
+                Cc = tk.shape[1]
+                return (
+                    base.reshape(N, Kp),
+                    tk.reshape(N, Kp, Cc),
+                    vl.reshape(N, Kp, Cc),
+                    vd.reshape(N, Kp, Cc),
+                    lz.reshape(N, Kp),
+                )
+
+        elif not use_lm:
+            M = min(V, 2 * W)
+            top_lgts, top_inds = jax.lax.top_k(logits[..., :V], M)
+            top_vals = (
+                jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
+            )  # (T, N, M)
 
         buf_dtype = jnp.int32  # int16 measured neutral-to-slower (relayouts)
 
@@ -1008,7 +1211,24 @@ class CTCPrefixSearch:
         last0 = jnp.zeros((N, 1), jnp.int32)
         is_prefix0 = jnp.ones((N, 1, 1), bool)
 
-        if use_lm:
+        if use_sparse:
+            ctx = jnp.full((N, 1, Ng - 1), lm.sos, jnp.int32)
+            in_next0 = prev
+            advanced0 = _ctc_prefix_search_advance_sparse(
+                (top_vals[0], top_inds[0]),
+                partial(am_at_t, jnp.asarray(0, jnp.int32)),
+                uni_dev,
+                blank_probs[0],
+                beta,
+                sparse_at(ctx, 1),
+                W,
+                (nb0, b0),
+                jnp.zeros((0, N, 1), jnp.int32),
+                last0,
+                lens0,
+                is_prefix0,
+            )
+        elif use_lm:
             ext0, in_next0 = lm_ext_probs(
                 y_buf0, lens0.reshape(-1), prev, nonext_probs[0],
                 blank_probs[0], 1,
@@ -1071,15 +1291,53 @@ class CTCPrefixSearch:
         nb = jnp.where(valid0, nb, nb_init)
         b = jnp.where(valid0, b, b_init)
 
+        if use_sparse:
+            # beam contexts (most recent token first) are maintained
+            # incrementally instead of gathered from the path buffer
+            ctx_src = jnp.take_along_axis(
+                ctx,
+                jnp.broadcast_to(next_src[:, :, None], (N, W, Ng - 1)),
+                axis=1,
+            )
+            ctx_new = jnp.where(
+                next_is_nonext[:, :, None],
+                ctx_src,
+                jnp.concatenate(
+                    [next_ext0[:, :, None].astype(jnp.int32), ctx_src[:, :, :-1]],
+                    2,
+                ),
+            )
+            ctx = jnp.where(
+                valid0[:, :, None], ctx_new, jnp.full_like(ctx_new, lm.sos)
+            )
+        else:
+            ctx = jnp.zeros((0,), jnp.int32)
+
         if T > 1:
             def step(carry, xs):
-                y_buf, y_lens, y_last, nb, b, is_prefix, state = carry
-                if use_lm:
+                y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx = carry
+                if use_lm and not use_sparse:
                     nonext_t, blank_t, t = xs
                 else:
                     blank_t, t, top_vals_t, top_inds_t = xs
                 valid_mask = (t < lens)[:, None]  # (N, 1)
-                if use_lm:
+                if use_sparse:
+                    in_next = state
+                    advanced = _ctc_prefix_search_advance_sparse(
+                        (top_vals_t, top_inds_t),
+                        partial(am_at_t, t),
+                        uni_dev,
+                        blank_t,
+                        beta,
+                        sparse_at(ctx, W),
+                        W,
+                        (nb, b),
+                        y_buf,
+                        y_last,
+                        y_lens,
+                        is_prefix,
+                    )
+                elif use_lm:
                     ext_t, in_next = lm_ext_probs(
                         y_buf, y_lens.reshape(-1), state, nonext_t, blank_t, W
                     )
@@ -1132,7 +1390,26 @@ class CTCPrefixSearch:
                 y_lens = jnp.where(valid_mask, y_next_lens, y_lens)
                 nb = jnp.where(valid_mask, nb_next, nb)
                 b = jnp.where(valid_mask, b_next, b)
-                if use_lm:
+                if use_sparse:
+                    ctx_src = jnp.take_along_axis(
+                        ctx,
+                        jnp.broadcast_to(next_src[:, :, None], (N, W, Ng - 1)),
+                        axis=1,
+                    )
+                    ctx_new = jnp.where(
+                        next_is_nonext[:, :, None],
+                        ctx_src,
+                        jnp.concatenate(
+                            [
+                                next_ext[:, :, None].astype(jnp.int32),
+                                ctx_src[:, :, :-1],
+                            ],
+                            2,
+                        ),
+                    )
+                    ctx = jnp.where(valid_mask[:, :, None], ctx_new, ctx)
+                    state = state_next
+                elif use_lm:
                     vm = jnp.repeat(valid_mask[:, 0], W)
                     state = jax.tree.map(
                         lambda new, old: jnp.where(
@@ -1149,10 +1426,12 @@ class CTCPrefixSearch:
                     state = state_next
                 y_last = y_next_last
                 is_prefix = next_is_prefix
-                return (y_buf, y_lens, y_last, nb, b, is_prefix, state), None
+                return (
+                    y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
+                ), None
 
-            carry = (y_buf, y_lens, y_last, nb, b, is_prefix, state)
-            if use_lm:
+            carry = (y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx)
+            if use_lm and not use_sparse:
                 xs = (
                     nonext_probs[1:],
                     blank_probs[1:],
@@ -1165,9 +1444,9 @@ class CTCPrefixSearch:
                     top_vals[1:],
                     top_inds[1:],
                 )
-            (y_buf, y_lens, y_last, nb, b, is_prefix, state), _ = jax.lax.scan(
-                step, carry, xs
-            )
+            (
+                y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
+            ), _ = jax.lax.scan(step, carry, xs)
 
         y_probs = nb + b
         return y_buf.astype(jnp.int32), y_lens, y_probs

@@ -518,3 +518,70 @@ def test_factored_advance_fuzz_ties(trial):
     np.testing.assert_array_equal(
         np.sort(np.asarray(gen[2]), -1), np.sort(np.asarray(fac[2]), -1)
     )
+
+
+def _random_fused_lm(V, Ngram, seed, density=60):
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    rng = np.random.RandomState(seed)
+    sos = V
+    uni = {
+        w: (float(-rng.rand() * 5 - 0.1), float(-rng.rand())) for w in range(V)
+    }
+    uni[sos] = (float("-inf"), float(-rng.rand()))
+    dicts = [uni]
+    ctx_pool = list(range(V)) + [sos]
+    for n in range(2, Ngram + 1):
+        d = {}
+        for _ in range(density):
+            key = tuple(
+                int(rng.choice(ctx_pool)) for _ in range(n - 1)
+            ) + (int(rng.randint(V)),)
+            val = float(-rng.rand() * 5 - 0.1)
+            d[key] = val if n == Ngram else (val, float(-rng.rand()))
+        dicts.append(d)
+    return LookupLanguageModel(V, sos=sos, prob_dicts=dicts)
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_ctc_fused_sparse_matches_dense_advance(trial):
+    """The sparse-slot fused advance (shared top-M + per-beam n-gram
+    corrections) returns the same hypotheses and probabilities as the dense
+    per-beam-V fused advance, up to ties."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(4000 + trial)
+    V = int(rng.randint(4, 40))
+    Ngram = int(rng.randint(2, 5))
+    W = int(rng.randint(1, 9))
+    T = int(rng.randint(1, 12))
+    N = int(rng.randint(1, 4))
+    lm = _random_fused_lm(V, Ngram, 5000 + trial, density=int(rng.randint(1, 200)))
+    beta = float(rng.rand() * 2)
+    logits = jnp.asarray(rng.randn(T, N, V + 1), np.float32)
+    lens = jnp.asarray(rng.randint(0, T + 1, (N,)).astype(np.int32))
+    old = tpu_config.SPARSE_FUSION_MAX_CORRECTIONS
+    try:
+        tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = -1
+        dy, dlens, dprobs = D.CTCPrefixSearch(W, beta=beta, lm=lm)(logits, lens)
+        tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = 10**9
+        sy, slens, sprobs = D.CTCPrefixSearch(W, beta=beta, lm=lm)(logits, lens)
+    finally:
+        tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = old
+    dy, dlens, dprobs = (np.asarray(x) for x in (dy, dlens, dprobs))
+    sy, slens, sprobs = (np.asarray(x) for x in (sy, slens, sprobs))
+    np.testing.assert_allclose(
+        np.sort(dprobs, -1), np.sort(sprobs, -1), rtol=3e-5, atol=1e-7
+    )
+    for n in range(N):
+        for k in range(W):
+            if np.isinf(dprobs[n, k]):
+                continue  # padding beam: token content unconstrained
+            L = dlens[n, k]
+            ok = any(
+                slens[n, kk] == L and (sy[:L, n, kk] == dy[:L, n, k]).all()
+                for kk in range(W)
+                if abs(sprobs[n, kk] - dprobs[n, k])
+                < 1e-4 * max(1, abs(dprobs[n, k]))
+            )
+            assert ok, (trial, n, k, dy[:L, n, k], dprobs[n, k], sprobs[n])

@@ -212,3 +212,58 @@ def test_lookup_lm_shallow_fusion_in_ctc_search(seeded):
     nofuse = CTCPrefixSearch(W)
     y0, _, _ = nofuse(logits, lens)
     assert not np.array_equal(np.asarray(y), np.asarray(y0))
+
+
+@pytest.mark.parametrize("N", [2, 3, 4])
+def test_sparse_corrections_reconstructs_dense(seeded, N):
+    """`sparse_corrections` (base + sparse overrides + logZ) reconstructs
+    `calc_idx_log_probs` exactly, including its log_softmax normalizer."""
+    V = 4 + seeded % 17
+    sos = V
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos)
+    lm = LookupLanguageModel(V, sos=sos, prob_dicts=prob_dicts)
+    rng = np.random.RandomState(seeded % 2**31)
+    B, S = 5, 6
+    hist = jnp.asarray(rng.randint(0, V, (S, B)), jnp.int32)
+    idx = jnp.asarray(rng.randint(0, S + 1, (B,)), jnp.int32)
+    dense, _ = lm.calc_idx_log_probs(hist, {}, idx)
+    base, toks, vals, valid, logZ = lm.sparse_corrections(
+        lm._context(hist, idx)
+    )
+    recon = np.asarray(base)[:, None] + np.asarray(lm._uni_logp)[None, :]
+    toks_n, vals_n, valid_n = (np.asarray(x) for x in (toks, vals, valid))
+    for b in range(B):
+        for c in range(toks_n.shape[1]):
+            if valid_n[b, c]:
+                recon[b, toks_n[b, c]] = vals_n[b, c]
+    dense_n = np.asarray(dense)
+    np.testing.assert_allclose(recon, dense_n, atol=1e-5)
+    lse = np.log(np.exp(dense_n).sum(1))
+    np.testing.assert_allclose(np.asarray(logZ), lse, atol=1e-5)
+
+
+def test_dense_ctx_table_matches_hash(seeded):
+    """Dense direct-indexed context tables agree with the probing path."""
+    from pydrobert_tpu.lm import _DENSE_CTX_MAX_ROWS
+    import pydrobert_tpu.lm as lm_mod
+
+    V, N, sos = 9, 3, 9
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos)
+    lm_dense = LookupLanguageModel(
+        V, sos=sos, prob_dicts=[d.copy() for d in prob_dicts]
+    )
+    assert all(t.dense_packed is not None for t in lm_dense._ctx_tables)
+    old = lm_mod._DENSE_CTX_MAX_ROWS
+    try:
+        lm_mod._DENSE_CTX_MAX_ROWS = 0
+        lm_hash = LookupLanguageModel(
+            V, sos=sos, prob_dicts=[d.copy() for d in prob_dicts]
+        )
+    finally:
+        lm_mod._DENSE_CTX_MAX_ROWS = old
+    assert all(t.dense_packed is None for t in lm_hash._ctx_tables)
+    rng = np.random.RandomState(3)
+    hist = jnp.asarray(rng.randint(0, V, (7, 4)), jnp.int32)
+    a = lm_dense(hist)
+    b = lm_hash(hist)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
