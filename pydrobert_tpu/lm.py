@@ -659,6 +659,37 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         """Static bound on per-context non-unigram token corrections."""
         return sum(t.max_children for t in self._ctx_tables)
 
+    def _combined_tables(self):
+        """Stack all orders' dense context rows (and child rows) into single
+        arrays so one gather answers every order at once (gathers carry a
+        fixed per-op cost on TPU). None when any order lacks a dense table."""
+        if self.max_ngram == 1:
+            return None
+        if any(
+            t.dense_packed is None or t.child_packed.shape[1] != 3
+            for t in self._ctx_tables
+        ):
+            return None
+        cached = getattr(self, "_combined_cache", None)
+        if cached is None:
+            row_offs, parts, child_offs, cparts = [], [], [], []
+            off = coff = 0
+            for t in self._ctx_tables:
+                row_offs.append(off)
+                parts.append(t.dense_packed)
+                off += t.dense_packed.shape[0]
+                child_offs.append(coff)
+                cparts.append(t.child_packed)
+                coff += t.child_packed.shape[0]
+            cached = self._combined_cache = (
+                np.concatenate(parts, 0),
+                np.concatenate(cparts, 0),
+                row_offs,
+                child_offs,
+                [t.max_children for t in self._ctx_tables],
+            )
+        return cached
+
     def sparse_corrections(self, ctx: jax.Array):
         """Backoff-LM log-probs as ``uni[v] + base`` plus sparse overrides.
 
@@ -687,18 +718,69 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             raise RuntimeError("sparse_corrections requires max_ngram > 1")
         B = ctx.shape[1]
         uni = jnp.asarray(self._uni_logp)
-        founds, logbs, tokss, lpss, valids, uniss = [], [], [], [], [], []
-        for n in range(2, N + 1):
-            ctx_n = ctx[: n - 1][::-1].T  # (B, n-1), earliest-first
-            f, lb, tk, lp, vd, un = self._ctx_tables[n - 2].probe_children(
-                ctx_n
-            )
-            founds.append(f)
-            logbs.append(jnp.where(f, lb, 0.0))
-            tokss.append(tk)
-            lpss.append(lp)
-            valids.append(vd)
-            uniss.append(un)
+        combined = self._combined_tables()
+        if combined is not None:
+            # all orders answered with TWO gathers total: one row per
+            # (context, order) from the stacked dense tables, one padded
+            # children read from the stacked child rows
+            dense_all, child_all, row_offs, child_offs, s_list = combined
+            dense_all = jnp.asarray(dense_all)
+            child_all = jnp.asarray(child_all)
+            base_ix = self._ctx_tables[0].base
+            flats = []
+            for n in range(2, N + 1):
+                ctx_n = ctx[: n - 1][::-1]  # (n-1, B) earliest-first
+                flat = jnp.zeros((B,), jnp.int32)
+                for j in range(n - 1):
+                    flat = flat * base_ix + jnp.clip(ctx_n[j], 0, base_ix - 1)
+                flats.append(flat + row_offs[n - 2])
+            rows = dense_all[jnp.stack(flats, 1)]  # (B, N-1, 3): ONE gather
+            lengths = rows[..., 2]
+            logb_all = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
+            founds = [
+                (lengths[:, i] > 0) | (logb_all[:, i] != 0.0)
+                for i in range(N - 1)
+            ]
+            logbs = [logb_all[:, i] for i in range(N - 1)]
+            pos_parts, valid_parts = [], []
+            for i in range(N - 1):
+                S_i = s_list[i]
+                ar = jnp.arange(S_i, dtype=jnp.int32)[None]
+                pos_parts.append(
+                    jnp.clip(
+                        rows[:, i, 1:2] + ar + child_offs[i],
+                        0,
+                        child_all.shape[0] - 1,
+                    )
+                )
+                valid_parts.append(ar < lengths[:, i : i + 1])
+            got = child_all[jnp.concatenate(pos_parts, 1)]  # ONE gather
+            valid_cat = jnp.concatenate(valid_parts, 1)
+            toks_cat = got[..., 0]
+            lps_cat = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
+            unis_cat = jax.lax.bitcast_convert_type(got[..., 2], jnp.float32)
+            bounds = np.concatenate([[0], np.cumsum(s_list)])
+            tokss = [toks_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)]
+            lpss = [lps_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)]
+            valids = [
+                valid_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)
+            ]
+            uniss = [
+                unis_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)
+            ]
+        else:
+            founds, logbs, tokss, lpss, valids, uniss = [], [], [], [], [], []
+            for n in range(2, N + 1):
+                ctx_n = ctx[: n - 1][::-1].T  # (B, n-1), earliest-first
+                f, lb, tk, lp, vd, un = self._ctx_tables[
+                    n - 2
+                ].probe_children(ctx_n)
+                founds.append(f)
+                logbs.append(jnp.where(f, lb, 0.0))
+                tokss.append(tk)
+                lpss.append(lp)
+                valids.append(vd)
+                uniss.append(un)
         base = sum(logbs)
         # value of an order-n match = stored logp + backoffs of all HIGHER
         # orders that will be escaped through; higher-order matches override
@@ -773,6 +855,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             return t
 
         self._ctx_tables = [load(i) for i in range(self.max_ngram - 1)]
+        self._combined_cache = None
 
     def calc_full_log_probs_chunked(
         self, hist: jax.Array, prev: StateDict, chunk_size: int = 32
