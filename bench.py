@@ -71,6 +71,27 @@ def bench_spec_augment(inner=16):
     return B / dt
 
 
+def bench_ctc_beam16_bs256(inner=1):
+    """Throughput at serving batch size: the decode scan's per-step op count
+    is batch-size-independent, so larger batches amortize it."""
+    B, T, V, W = 256, 500, 1024, 16
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(T, B, V + 1), jnp.float32)
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
+    search = CTCPrefixSearch(W)
+
+    @jax.jit
+    def run(logits, lens):
+        def step(carry, _):
+            y, y_lens, y_probs = search(carry, lens)
+            return carry + y_probs.sum() * 1e-9, y_lens
+        out, y_lens = jax.lax.scan(step, logits, None, length=inner)
+        return out, y_lens
+
+    dt = _time(run, logits, lens, reps=2) / inner
+    return B / dt
+
+
 def bench_ctc_beam16(inner=2):
     B, T, V, W = 32, 500, 1024, 16
     rng = np.random.RandomState(1)
@@ -142,6 +163,7 @@ def main():
     sa = _guard(bench_spec_augment, 0.0)
     dec, per_utt = _guard(bench_ctc_beam16, (0.0, float("inf")))
     fused = _guard(bench_ctc_beam16_fused, 0.0)
+    dec256 = _guard(bench_ctc_beam16_bs256, 0.0)
     print(
         json.dumps(
             {
@@ -152,6 +174,7 @@ def main():
                 "specaugment_utt_per_sec": round(sa, 1),
                 "specaugment_vs_baseline": round(sa / SPECAUG_TARGET, 3),
                 "fused_ngram_decode_utt_per_sec": round(fused, 1),
+                "decode_bs256_utt_per_sec": round(dec256, 1),
                 "decode_p50_latency_ms_per_utt": round(per_utt * 1e3, 3),
                 "device": jax.devices()[0].platform,
             }

@@ -234,20 +234,121 @@ class BeamSearch:
             eos_vec = jax.nn.one_hot(eos, V, dtype=bool)
             return jnp.where(eos_mask[..., None] & eos_vec, 0.0, lp)
 
+        # Backoff n-gram LMs are scored per-beam on candidate slots only:
+        # ``lm(v|ctx) = uni[v] + base_k`` except on C stored corrections, and
+        # the per-beam additive scalars don't change within-beam order, so
+        # the true top-W extensions come from a STATIC top-M of the unigram
+        # vector plus the beam's corrections (and eos). O(N W (M + C)) per
+        # step instead of O(N W V) dense LM scoring.
+        from ..lm import LookupLanguageModel
+
+        use_sparse = (
+            isinstance(lm, LookupLanguageModel)
+            and lm.max_ngram >= 2
+            and lm.max_corrections <= config.SPARSE_FUSION_MAX_CORRECTIONS
+            and type(self).update_log_probs_for_step
+            is BeamSearch.update_log_probs_for_step
+        )
+        if use_sparse:
+            Ng = lm.max_ngram
+            Csp = lm.max_corrections
+            M = min(V, W + Csp + 1)
+            uni_np = np.asarray(lm._uni_logp)
+            order = np.argsort(-uni_np, kind="stable")[:M]
+            top_toks = jnp.asarray(order.astype(np.int32))  # (M,) static
+            stop_vals = jnp.asarray(uni_np[order].astype(np.float32))
+            uni_eos = float(uni_np[eos]) if eos is not None else 0.0
+
+            def sparse_at(ctx, Kp):
+                ctx_in = jnp.moveaxis(ctx.reshape(N * Kp, Ng - 1), 0, 1)
+                base, tk, vl, vd, lz = lm.sparse_corrections(ctx_in)
+                Cc = tk.shape[1]
+                return (
+                    base.reshape(N, Kp),
+                    tk.reshape(N, Kp, Cc),
+                    vl.reshape(N, Kp, Cc),
+                    vd.reshape(N, Kp, Cc),
+                    lz.reshape(N, Kp),
+                )
+
+            def select_sparse(lp_prev, ctx, eos_mask, Kp, K):
+                """(lp_next, next_src, y_tok): top-K over per-beam slots."""
+                base, ctoks, cvals, cvalid, logZ = sparse_at(ctx, Kp)
+                lp3 = lp_prev[:, :, None]
+                shared = lp3 + (base - logZ)[:, :, None] + stop_vals
+                dup = (
+                    (top_toks[None, None, :, None] == ctoks[:, :, None, :])
+                    & cvalid[:, :, None, :]
+                ).any(3)
+                if eos is not None:
+                    dup = dup | (top_toks == eos)[None, None, :]
+                shared = jnp.where(dup, NEG_INF, shared)
+                corr = lp3 + cvals - logZ[:, :, None]
+                corr_bad = ~cvalid
+                if eos is not None:
+                    corr_bad = corr_bad | (ctoks == eos)
+                corr = jnp.where(corr_bad, NEG_INF, corr)
+                slots = [shared, corr]
+                slot_toks = [
+                    jnp.broadcast_to(top_toks[None, None], (N, Kp, M)),
+                    ctoks,
+                ]
+                if eos is not None:
+                    em3 = eos_mask[:, :, None]
+                    slots = [
+                        jnp.where(em3, NEG_INF, shared),
+                        jnp.where(em3, NEG_INF, corr),
+                    ]
+                    eos_in_corr = (ctoks == eos) & cvalid
+                    lm_eos = jnp.where(eos_in_corr, cvals, 0.0).sum(
+                        2
+                    ) + jnp.where(eos_in_corr.any(2), 0.0, base + uni_eos)
+                    eos_score = lp_prev + lm_eos - logZ
+                    # finished beams continue only via eos, at log-prob 0
+                    eos_score = jnp.where(eos_mask, lp_prev, eos_score)
+                    slots.append(eos_score[:, :, None])
+                    slot_toks.append(jnp.full((N, Kp, 1), eos, jnp.int32))
+                cand = jnp.concatenate(slots, 2)  # (N, Kp, Ssl)
+                toks = jnp.concatenate(slot_toks, 2)
+                Ssl = cand.shape[2]
+                lp_next, ind = jax.lax.top_k(cand.reshape(N, Kp * Ssl), K)
+                next_src = ind // Ssl
+                y_tok = jnp.take_along_axis(
+                    toks.reshape(N, Kp * Ssl), ind, axis=1
+                ).astype(jnp.int32)
+                return lp_next, next_src, y_tok
+
+            ctx = jnp.full((N, 1, Ng - 1), lm.sos, jnp.int32)
+        else:
+            ctx = jnp.zeros((0,), jnp.int32)
+
         # ---- step 0 (beam width 1 -> W) ----
         t0 = jnp.asarray(0, jnp.int32)
         lp_prev0 = jnp.zeros((N, 1))
         lens0 = jnp.zeros((N, 1), jnp.int32)
         eos_mask0 = jnp.zeros((N, 1), bool)
-        log_probs_t, in_next = lm_step(y_buf, state, t0, 1)
-        lp_prev0, log_probs_t = self.update_log_probs_for_step(
-            lp_prev0, log_probs_t, y_buf, lens0, eos_mask0
-        )
-        log_probs_t = mask_eos(log_probs_t, eos_mask0)
         K = min(W, V)
-        cand = (lp_prev0[..., None] + log_probs_t).reshape(N, V)
-        log_probs, next_ind = jax.lax.top_k(cand, K)
-        y_t = (next_ind % V).astype(jnp.int32)
+        if use_sparse:
+            in_next = state
+            log_probs, _src0, y_t = select_sparse(
+                lp_prev0, ctx, eos_mask0, 1, K
+            )
+        else:
+            log_probs_t, in_next = lm_step(y_buf, state, t0, 1)
+            lp_prev0, log_probs_t = self.update_log_probs_for_step(
+                lp_prev0, log_probs_t, y_buf, lens0, eos_mask0
+            )
+            log_probs_t = mask_eos(log_probs_t, eos_mask0)
+            cand = (lp_prev0[..., None] + log_probs_t).reshape(N, V)
+            log_probs, next_ind = jax.lax.top_k(cand, K)
+            y_t = (next_ind % V).astype(jnp.int32)
+        if use_sparse:
+            ctx_b = jnp.broadcast_to(ctx, (N, K, Ng - 1))
+            ctx = jnp.concatenate([y_t[:, :, None], ctx_b[:, :, :-1]], 2)
+            if K < W:
+                ctx = jnp.concatenate(
+                    [ctx, jnp.full((N, W - K, Ng - 1), lm.sos, jnp.int32)], 1
+                )
         if K < W:
             log_probs = jnp.concatenate(
                 [log_probs, jnp.full((N, W - K), NEG_INF)], 1
@@ -266,7 +367,7 @@ class BeamSearch:
         )
 
         def cond(carry):
-            t, y_buf, y_lens, log_probs, state = carry
+            t, y_buf, y_lens, log_probs, state, ctx = carry
             if eos is None:
                 return t < S
             last = jnp.take_along_axis(
@@ -281,7 +382,7 @@ class BeamSearch:
             return (t < S) & ~done.all()
 
         def body(carry):
-            t, y_buf, y_lens, log_probs, state = carry
+            t, y_buf, y_lens, log_probs, state, ctx = carry
             last = jnp.take_along_axis(
                 jnp.moveaxis(y_buf, 0, 2),
                 jnp.clip(y_lens - 1, 0, None)[..., None],
@@ -298,16 +399,25 @@ class BeamSearch:
                 eos_mask = jnp.zeros((N, W), bool)
                 done_mask = eos_mask[:, :1]
 
-            log_probs_t, in_next = lm_step(y_buf, state, t, W)
-            log_probs_prev, log_probs_t = self.update_log_probs_for_step(
-                log_probs, log_probs_t, y_buf, y_lens, eos_mask
-            )
-            log_probs_t = mask_eos(log_probs_t, eos_mask)
+            if use_sparse:
+                in_next = state
+                lp_next, next_src, y_tok = select_sparse(
+                    log_probs, ctx, eos_mask, W, W
+                )
+                y_t = y_tok[None]  # (1, N, W)
+            else:
+                log_probs_t, in_next = lm_step(y_buf, state, t, W)
+                log_probs_prev, log_probs_t = self.update_log_probs_for_step(
+                    log_probs, log_probs_t, y_buf, y_lens, eos_mask
+                )
+                log_probs_t = mask_eos(log_probs_t, eos_mask)
 
-            cand = (log_probs_prev[..., None] + log_probs_t).reshape(N, W * V)
-            lp_next, next_ind = jax.lax.top_k(cand, W)
-            next_src = next_ind // V
-            y_t = (next_ind % V).astype(jnp.int32)[None]  # (1, N, W)
+                cand = (log_probs_prev[..., None] + log_probs_t).reshape(
+                    N, W * V
+                )
+                lp_next, next_ind = jax.lax.top_k(cand, W)
+                next_src = next_ind // V
+                y_t = (next_ind % V).astype(jnp.int32)[None]  # (1, N, W)
             y_next = jnp.take_along_axis(y_buf, next_src[None], axis=2)
             lens_prefix = jnp.take_along_axis(y_lens, next_src, axis=1)
             y_next = _scatter_token_rows(y_next, lens_prefix, y_t)
@@ -321,11 +431,24 @@ class BeamSearch:
             ).reshape(-1)
             state_next = lm.extract_by_src(in_next, flat_src)
 
+            if use_sparse:
+                ctx_src = jnp.take_along_axis(
+                    ctx,
+                    jnp.broadcast_to(next_src[:, :, None], (N, W, Ng - 1)),
+                    axis=1,
+                )
+                ctx_next = jnp.concatenate(
+                    [y_t[0][:, :, None], ctx_src[:, :, :-1]], 2
+                )
+                ctx_next = jnp.where(done_mask[:, :, None], ctx, ctx_next)
+            else:
+                ctx_next = ctx
+
             # freeze finished batch elements
             y_next = jnp.where(done_mask[None], y_buf, y_next)
             lens_next = jnp.where(done_mask, y_lens, lens_next)
             lp_next = jnp.where(done_mask, log_probs, lp_next)
-            if eos is not None:
+            if eos is not None and not use_sparse:
                 state_next = jax.tree.map(
                     lambda new, old: jnp.where(
                         jnp.repeat(done_mask[:, 0], W).reshape(
@@ -339,10 +462,14 @@ class BeamSearch:
                     state_next,
                     state,
                 )
-            return (t + 1, y_next, lens_next, lp_next, state_next)
+            return (t + 1, y_next, lens_next, lp_next, state_next, ctx_next)
 
-        carry = (jnp.asarray(1, jnp.int32), y_buf, y_lens, log_probs, state)
-        _, y_buf, y_lens, log_probs, _ = jax.lax.while_loop(cond, body, carry)
+        carry = (
+            jnp.asarray(1, jnp.int32), y_buf, y_lens, log_probs, state, ctx,
+        )
+        _, y_buf, y_lens, log_probs, _, _ = jax.lax.while_loop(
+            cond, body, carry
+        )
 
         if batch_size is None:
             return y_buf[:, 0], y_lens[0], log_probs[0]

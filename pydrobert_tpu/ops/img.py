@@ -475,22 +475,36 @@ def spec_augment_draw_parameters(
         lengths = jnp.asarray(lengths, jnp.float32)
     eps = _F32_EPS
     omeps = 1 - eps
-    k_tw, k_fw, k_tm0, k_tm1, k_fm0, k_fm1 = jax.random.split(key, 6)
-    w_0 = w = v_0 = v = t_0 = t = f_0 = f = None
-    if max_time_warp:
-        Wc = jnp.clip(lengths / 2 - eps, 0, max_time_warp)
-        w_0 = jax.random.uniform(k_tw, (N,)) * (lengths - 2 * Wc) + Wc
-        w = jax.random.uniform(jax.random.fold_in(k_tw, 1), (N,)) * (2 * Wc) - Wc
-    if max_freq_warp:
-        V = min(max(F / 2 - eps, 0), max_freq_warp)
-        v_0 = jax.random.uniform(k_fw, (N,)) * (F - 2 * V) + V
-        v = jax.random.uniform(jax.random.fold_in(k_fw, 1), (N,)) * (2 * V) - V
-    if (
+    do_tm = bool(
         max_time_mask
         and max_time_mask_proportion
         and num_time_mask
         and num_time_mask_proportion
-    ):
+    )
+    do_fm = bool(max_freq_mask and num_freq_mask)
+    # ONE PRNG call for every quantity (each jax.random.uniform is several
+    # device kernels; iid uniform columns are distributionally identical to
+    # the per-quantity draws)
+    cols = (
+        (2 if max_time_warp else 0)
+        + (2 if max_freq_warp else 0)
+        + (2 * num_time_mask if do_tm else 0)
+        + (2 * num_freq_mask if do_fm else 0)
+    )
+    u = jax.random.uniform(key, (N, max(cols, 1)))
+    c = 0
+    w_0 = w = v_0 = v = t_0 = t = f_0 = f = None
+    if max_time_warp:
+        Wc = jnp.clip(lengths / 2 - eps, 0, max_time_warp)
+        w_0 = u[:, c] * (lengths - 2 * Wc) + Wc
+        w = u[:, c + 1] * (2 * Wc) - Wc
+        c += 2
+    if max_freq_warp:
+        V = min(max(F / 2 - eps, 0), max_freq_warp)
+        v_0 = u[:, c] * (F - 2 * V) + V
+        v = u[:, c + 1] * (2 * V) - V
+        c += 2
+    if do_tm:
         max_ = jnp.floor(
             jnp.clip(lengths * max_time_mask_proportion, None, max_time_mask)
         )
@@ -498,8 +512,7 @@ def spec_augment_draw_parameters(
             jnp.clip(lengths * num_time_mask_proportion, None, num_time_mask)
         )
         t = (
-            jax.random.uniform(k_tm0, (N, num_time_mask))
-            * (max_ + omeps)[:, None]
+            u[:, c : c + num_time_mask] * (max_ + omeps)[:, None]
         ).astype(jnp.int32)
         t = jnp.where(
             nums_[:, None] <= jnp.arange(num_time_mask, dtype=jnp.float32)[None],
@@ -507,16 +520,15 @@ def spec_augment_draw_parameters(
             t,
         )
         t_0 = (
-            jax.random.uniform(k_tm1, (N, num_time_mask))
+            u[:, c + num_time_mask : c + 2 * num_time_mask]
             * (lengths[:, None] - t + omeps)
         ).astype(jnp.int32)
-    if max_freq_mask and num_freq_mask:
+        c += 2 * num_time_mask
+    if do_fm:
         max_ = min(max_freq_mask, F)
-        f = (
-            jax.random.uniform(k_fm0, (N, num_freq_mask)) * (max_ + omeps)
-        ).astype(jnp.int32)
+        f = (u[:, c : c + num_freq_mask] * (max_ + omeps)).astype(jnp.int32)
         f_0 = (
-            jax.random.uniform(k_fm1, (N, num_freq_mask)) * (F - f + omeps)
+            u[:, c + num_freq_mask : c + 2 * num_freq_mask] * (F - f + omeps)
         ).astype(jnp.int32)
     return w_0, w, v_0, v, t_0, t, f_0, f
 

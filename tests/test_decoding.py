@@ -585,3 +585,50 @@ def test_ctc_fused_sparse_matches_dense_advance(trial):
                 < 1e-4 * max(1, abs(dprobs[n, k]))
             )
             assert ok, (trial, n, k, dy[:L, n, k], dprobs[n, k], sprobs[n])
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_beam_search_sparse_matches_dense(trial):
+    """BeamSearch over a LookupLanguageModel via static-top-M + per-beam
+    correction slots equals the dense V-wide scoring, up to f32-rounding
+    ties at the beam-cut boundary."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(6000 + trial)
+    V = int(rng.randint(4, 30))
+    Ngram = int(rng.randint(2, 5))
+    W = int(rng.randint(1, 7))
+    N = int(rng.randint(1, 4))
+    S = int(rng.randint(1, 10))
+    eos = int(rng.randint(V)) if rng.rand() < 0.7 else None
+    fap = bool(rng.rand() < 0.5)
+    lm = _random_fused_lm(V, Ngram, 7000 + trial, density=int(rng.randint(1, 150)))
+    kw = dict(eos=eos, finish_all_paths=fap) if eos is not None else {}
+    old = tpu_config.SPARSE_FUSION_MAX_CORRECTIONS
+    try:
+        tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = -1
+        d_y, d_lens, d_lp = D.BeamSearch(lm, W, **kw)(batch_size=N, max_iters=S)
+        tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = 10**9
+        s_y, s_lens, s_lp = D.BeamSearch(lm, W, **kw)(batch_size=N, max_iters=S)
+    finally:
+        tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = old
+    d_y, d_lens, d_lp = (np.asarray(x) for x in (d_y, d_lens, d_lp))
+    s_y, s_lens, s_lp = (np.asarray(x) for x in (s_y, s_lens, s_lp))
+    np.testing.assert_allclose(
+        np.sort(d_lp, -1), np.sort(s_lp, -1), rtol=2e-5, atol=1e-4
+    )
+    for n in range(N):
+        cut = d_lp[n, W - 1]
+        for k in range(W):
+            if np.isinf(d_lp[n, k]):
+                continue
+            if d_lp[n, k] <= cut + 1e-4 * max(1, abs(cut)) and k != 0:
+                continue  # rounding can flip membership at the cut boundary
+            L = d_lens[n, k]
+            ok = any(
+                s_lens[n, kk] == L and (s_y[:L, n, kk] == d_y[:L, n, k]).all()
+                for kk in range(W)
+                if abs(s_lp[n, kk] - d_lp[n, k])
+                < 1e-4 * max(1, abs(d_lp[n, k]))
+            )
+            assert ok, (trial, n, k, d_y[:L, n, k], d_lp[n, k], s_lp[n])

@@ -261,3 +261,70 @@ def test_optuna_suggest_params(seeded):
     sampler = optuna.samplers.RandomSampler(seed=5)
     study = optuna.create_study(sampler=sampler)
     study.optimize(objective, n_trials=3)
+
+
+class _FakeTrial:
+    """Duck-typed optuna trial: uniform draws within the given bounds,
+    recording every suggestion (optuna itself is not installed here)."""
+
+    def __init__(self, seed):
+        self.rng = np.random.RandomState(seed)
+        self.suggestions = {}
+
+    def suggest_int(self, name, low, high, step=1, log=False):
+        v = int(self.rng.randint(low, high + 1))
+        self.suggestions[name] = v
+        return v
+
+    def suggest_float(self, name, low, high, step=None, log=False):
+        v = float(self.rng.uniform(low, high))
+        self.suggestions[name] = v
+        return v
+
+    def suggest_categorical(self, name, choices):
+        v = choices[int(self.rng.randint(len(choices)))]
+        self.suggestions[name] = v
+        return v
+
+
+def test_suggest_params_all_classes(seeded):
+    """Every params class's optuna hook draws only within bounds and
+    produces a constructible, validated instance (fake-trial duck typing;
+    mirrors the reference's optuna interface, training.py:149-254)."""
+    from pydrobert_tpu.data.params import (
+        ContextWindowDataParams,
+        SpectDataParams,
+    )
+    from pydrobert_tpu.data.dataloaders import (
+        ContextWindowDataLoaderParams,
+        DataLoaderParams,
+        DynamicLengthDataLoaderParams,
+        SpectDataLoaderParams,
+    )
+
+    for cls in (
+        TrainingStateParams,
+        SpectDataParams,
+        ContextWindowDataParams,
+        DataLoaderParams,
+        DynamicLengthDataLoaderParams,
+        SpectDataLoaderParams,
+        ContextWindowDataLoaderParams,
+    ):
+        tunable = cls.get_tunable()
+        trial = _FakeTrial(seeded % 2**31)
+        params = cls.suggest_params(trial, prefix=f"{cls.__name__}.")
+        assert isinstance(params, cls)
+        if tunable:
+            assert trial.suggestions, cls.__name__
+            for name in trial.suggestions:
+                assert name.startswith(f"{cls.__name__}."), name
+                assert name.split(".", 1)[1] in tunable, name
+        # a second suggestion into an existing base mutates that base
+        base = cls()
+        out = cls.suggest_params(_FakeTrial(1), base=base, only=tunable)
+        assert out is base
+        # restricting `only` to nothing suggests nothing
+        t3 = _FakeTrial(2)
+        cls.suggest_params(t3, only=set())
+        assert not t3.suggestions
