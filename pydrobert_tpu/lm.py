@@ -857,6 +857,45 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         self._ctx_tables = [load(i) for i in range(self.max_ngram - 1)]
         self._combined_cache = None
 
+    def score_sequences(self, hist: jax.Array) -> jax.Array:
+        """Per-token conditional log-probs ``(S, N)`` of given sequences.
+
+        ``out[t, n] = calc_full_log_probs(hist)[t, n, hist[t, n]]`` but
+        computed by probing only the observed next token at each position
+        (one batched sparse query over all ``S * N`` positions) instead of
+        materializing the ``(S + 1, N, V)`` table — the KenLM-style
+        rescoring path (reference users gather from ``calc_full_log_probs``,
+        ``_lm.py:792-848``). Sum over ``t`` (masking positions past each
+        sequence's length) for sentence scores.
+        """
+        hist = jnp.asarray(hist)
+        if hist.ndim != 2:
+            raise RuntimeError("hist must be 2 dimensional")
+        S, N = hist.shape
+        V = self.vocab_size
+        tok = jnp.clip(hist, 0, V - 1).reshape(-1)  # (S*N,)
+        uni_at_tok = jnp.take(jnp.asarray(self._uni_logp), tok, axis=0)
+        if self.max_ngram == 1 or S == 0:
+            return uni_at_tok.reshape(S, N)
+        # contexts for every position at once: ctx[j, t, n] = hist[t-1-j, n]
+        # (sos-padded), flattened to (Ng-1, S*N)
+        Ngm1 = self.max_ngram - 1
+        pos = (
+            jnp.arange(S, dtype=jnp.int32)[None, :]
+            - 1
+            - jnp.arange(Ngm1, dtype=jnp.int32)[:, None]
+        )  # (Ng-1, S)
+        gathered = hist[jnp.clip(pos, 0, S - 1)]  # (Ng-1, S, N)
+        ctx = jnp.where(
+            (pos >= 0)[..., None], gathered.astype(jnp.int32), self.sos
+        ).reshape(Ngm1, S * N)
+        base, ctoks, cvals, cvalid, _ = self.sparse_corrections(ctx)
+        match = (ctoks == tok[:, None]) & cvalid  # (S*N, C)
+        out = jnp.where(match, cvals, 0.0).sum(1) + jnp.where(
+            match.any(1), 0.0, base + uni_at_tok
+        )
+        return out.reshape(S, N)
+
     def calc_full_log_probs_chunked(
         self, hist: jax.Array, prev: StateDict, chunk_size: int = 32
     ) -> jax.Array:

@@ -267,3 +267,22 @@ def test_dense_ctx_table_matches_hash(seeded):
     a = lm_dense(hist)
     b = lm_hash(hist)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("N", [1, 3])
+def test_score_sequences_matches_full(seeded, N):
+    """`score_sequences` (probe only the observed token) equals gathering
+    from `calc_full_log_probs`."""
+    V = 5 + seeded % 13
+    sos = V
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos)
+    lm = LookupLanguageModel(V, sos=sos, prob_dicts=prob_dicts)
+    rng = np.random.RandomState(seeded % 2**31 + 1)
+    S, B = 9, 4
+    hist = jnp.asarray(rng.randint(0, V, (S, B)), jnp.int32)
+    full = lm(hist)  # (S + 1, B, V)
+    exp = np.take_along_axis(
+        np.asarray(full)[:-1], np.asarray(hist)[..., None], axis=2
+    )[..., 0]
+    act = np.asarray(lm.score_sequences(hist))
+    np.testing.assert_allclose(act, exp, atol=1e-5)
