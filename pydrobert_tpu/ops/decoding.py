@@ -653,6 +653,7 @@ def ctc_prefix_search_advance_factored(
     return_core: bool = False,
     *,
     p_last: Optional[jax.Array] = None,
+    p_last_ext: Optional[jax.Array] = None,
     vocab_size: Optional[int] = None,
 ):
     """One frame of CTC prefix search when extension probabilities factor as
@@ -703,6 +704,13 @@ def ctc_prefix_search_advance_factored(
     y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
     if nonext_probs_t is not None:
         p_last = jnp.take_along_axis(nonext_probs_t, y_prev_last, axis=1)
+    if p_last_ext is None:
+        # without fusion, the extension and continuation probabilities of
+        # the last token coincide; with beam-independent fusion (unigram
+        # LMs) the caller passes the LM-weighted value separately
+        p_last_ext = p_last
+    else:
+        p_last_ext = jnp.asarray(p_last_ext)
 
     # shared-token extension scores; the beam's own last token only carries
     # the blank mass (CTC repeat rule)
@@ -714,7 +722,7 @@ def ctc_prefix_search_advance_factored(
     # dedicated last-token slot, disabled when the last token is already in
     # the shared top-M (dedup)
     last_scores = jnp.where(
-        shared_is_last.any(-1), NEG_INF, b_probs_prev * p_last
+        shared_is_last.any(-1), NEG_INF, b_probs_prev * p_last_ext
     )
 
     b_nonext_probs_cand = tot_probs_prev * blank_probs_t[:, None]
@@ -724,8 +732,8 @@ def ctc_prefix_search_advance_factored(
         y_prev_last, y_prev_lens, prev_is_prefix
     )
     # to_match[n, k, j] = y_prev_last[n, j], so the matched-token probability
-    # is just p_last broadcast over k -- no extra gather
-    p_tm = jnp.broadcast_to(p_last[:, None, :], (N, Kp, Kp))
+    # is just p_last_ext broadcast over k -- no extra gather
+    p_tm = jnp.broadcast_to(p_last_ext[:, None, :], (N, Kp, Kp))
     tm_coeff = jnp.where(
         to_match == y_prev_last[:, :, None],
         b_probs_prev[:, :, None],
@@ -1194,8 +1202,17 @@ class CTCPrefixSearch:
             and lm.max_ngram >= 2
             and lm.max_corrections <= config.SPARSE_FUSION_MAX_CORRECTIONS
         )
+        # unigram LMs weight every beam identically: the factored advance
+        # applies with LM-fused shared scores and a fused/plain split of the
+        # last-token probability
+        use_uni = (
+            use_lm
+            and not self.valid_mixture
+            and isinstance(lm, LookupLanguageModel)
+            and lm.max_ngram == 1
+        )
 
-        if use_lm and not use_sparse:
+        if use_lm and not use_sparse and not use_uni:
             probs = jax.nn.softmax(logits, axis=2)
             blank_probs = probs[..., V]  # (T, N)
             nonext_probs = probs[..., :V]  # (T, N, V)
@@ -1282,7 +1299,7 @@ class CTCPrefixSearch:
         # over the vocabulary outside the decode loop, O(N K (M + C)) per
         # step. top_k runs on raw logits (monotone => same tokens) with
         # exp-normalization applied to the M selected values only.
-        if not (use_lm and not use_sparse):
+        if not (use_lm and not use_sparse and not use_uni):
 
             def am_at_t(t, toks):
                 """Acoustic probabilities of `toks` (N, Q) from raw logits."""
@@ -1321,12 +1338,37 @@ class CTCPrefixSearch:
                     lz.reshape(N, Kp),
                 )
 
+        elif use_uni:
+            M = min(V, 2 * W)
+            uni_dev = jnp.asarray(lm._uni_logp)
+            logZ1 = float(np.log(lm._sum_u)) if lm._sum_u > 0 else 0.0
+            g_lgts = logits[..., :V] + beta * uni_dev[None, None]
+            top_lgts, top_inds = jax.lax.top_k(g_lgts, M)
+            top_vals = (
+                jnp.exp(top_lgts - sm_max[..., None])
+                / sm_den[..., None]
+                * float(np.exp(-beta * logZ1))
+            )
+
+            def p_last_kw(t, y_last):
+                pl = am_at_t(t, y_last)
+                u_at = jnp.take(
+                    uni_dev, jnp.clip(y_last, 0, V - 1).reshape(-1), axis=0
+                ).reshape(y_last.shape)
+                return dict(
+                    p_last=pl,
+                    p_last_ext=pl * jnp.exp(beta * (u_at - logZ1)),
+                )
+
         elif not use_lm:
             M = min(V, 2 * W)
             top_lgts, top_inds = jax.lax.top_k(logits[..., :V], M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
             )  # (T, N, M)
+
+            def p_last_kw(t, y_last):
+                return dict(p_last=p_last_at(t, y_last))
 
         buf_dtype = jnp.int32  # int16 measured neutral-to-slower (relayouts)
 
@@ -1355,7 +1397,7 @@ class CTCPrefixSearch:
                 lens0,
                 is_prefix0,
             )
-        elif use_lm:
+        elif use_lm and not use_uni:
             ext0, in_next0 = lm_ext_probs(
                 y_buf0, lens0.reshape(-1), prev, nonext_probs[0],
                 blank_probs[0], 1,
@@ -1383,8 +1425,8 @@ class CTCPrefixSearch:
                 lens0,
                 is_prefix0,
                 return_core=True,
-                p_last=p_last_at(jnp.asarray(0, jnp.int32), last0),
                 vocab_size=V,
+                **p_last_kw(jnp.asarray(0, jnp.int32), last0),
             )
         (
             prefix_lens0,
@@ -1443,7 +1485,7 @@ class CTCPrefixSearch:
         if T > 1:
             def step(carry, xs):
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx = carry
-                if use_lm and not use_sparse:
+                if use_lm and not use_sparse and not use_uni:
                     nonext_t, blank_t, t = xs
                 else:
                     blank_t, t, top_vals_t, top_inds_t = xs
@@ -1464,7 +1506,7 @@ class CTCPrefixSearch:
                         y_lens,
                         is_prefix,
                     )
-                elif use_lm:
+                elif use_lm and not use_uni:
                     ext_t, in_next = lm_ext_probs(
                         y_buf, y_lens.reshape(-1), state, nonext_t, blank_t, W
                     )
@@ -1491,8 +1533,8 @@ class CTCPrefixSearch:
                         y_lens,
                         is_prefix,
                         return_core=True,
-                        p_last=p_last_at(t, y_last),
                         vocab_size=V,
+                        **p_last_kw(t, y_last),
                     )
                 (
                     prefix_lens,
@@ -1558,7 +1600,7 @@ class CTCPrefixSearch:
                 ), None
 
             carry = (y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx)
-            if use_lm and not use_sparse:
+            if use_lm and not use_sparse and not use_uni:
                 xs = (
                     nonext_probs[1:],
                     blank_probs[1:],

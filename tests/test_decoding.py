@@ -632,3 +632,58 @@ def test_beam_search_sparse_matches_dense(trial):
                 < 1e-4 * max(1, abs(d_lp[n, k]))
             )
             assert ok, (trial, n, k, d_y[:L, n, k], d_lp[n, k], s_lp[n])
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_ctc_fused_unigram_matches_dense_advance(trial):
+    """Unigram-LM fusion through the factored advance (beam-independent LM
+    weights; fused/plain last-token split) equals the dense fused advance."""
+    from pydrobert_tpu import config as tpu_config
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    rng = np.random.RandomState(8000 + trial)
+    V = int(rng.randint(4, 30))
+    W = int(rng.randint(1, 8))
+    T = int(rng.randint(1, 12))
+    N = int(rng.randint(1, 4))
+    uni = {w: float(-rng.rand() * 5 - 0.1) for w in range(V)}
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni])
+    beta = float(rng.rand() * 2)
+    logits = jnp.asarray(rng.randn(T, N, V + 1), np.float32)
+    lens = jnp.asarray(rng.randint(0, T + 1, (N,)).astype(np.int32))
+    # dense oracle: hide the LookupLanguageModel behind a plain wrapper so
+    # the isinstance-based fast-path gate does not engage
+    from pydrobert_tpu.lm import MixableSequentialLanguageModel
+
+    class _Wrap(MixableSequentialLanguageModel):
+        def __init__(self, inner):
+            super().__init__(inner.vocab_size)
+            self.inner = inner
+
+        def calc_idx_log_probs(self, hist, prev, idx):
+            return self.inner.calc_idx_log_probs(hist, prev, idx)
+
+    dy, dlens, dprobs = D.CTCPrefixSearch(W, beta=beta, lm=_Wrap(lm))(
+        logits, lens
+    )
+    sy, slens, sprobs = D.CTCPrefixSearch(W, beta=beta, lm=lm)(logits, lens)
+    dy, dlens, dprobs = (np.asarray(x) for x in (dy, dlens, dprobs))
+    sy, slens, sprobs = (np.asarray(x) for x in (sy, slens, sprobs))
+    np.testing.assert_allclose(
+        np.sort(dprobs, -1), np.sort(sprobs, -1), rtol=3e-5, atol=1e-7
+    )
+    for n in range(N):
+        cut = dprobs[n, W - 1]
+        for k in range(W):
+            if np.isinf(dprobs[n, k]):
+                continue
+            if dprobs[n, k] <= cut + 1e-5 * max(1, abs(cut)) and k != 0:
+                continue
+            L = dlens[n, k]
+            ok = any(
+                slens[n, kk] == L and (sy[:L, n, kk] == dy[:L, n, k]).all()
+                for kk in range(W)
+                if abs(sprobs[n, kk] - dprobs[n, k])
+                < 1e-4 * max(1, abs(dprobs[n, k]))
+            )
+            assert ok, (trial, n, k, dy[:L, n, k], dprobs[n, k], sprobs[n])
