@@ -687,3 +687,39 @@ def test_ctc_fused_unigram_matches_dense_advance(trial):
                 < 1e-4 * max(1, abs(dprobs[n, k]))
             )
             assert ok, (trial, n, k, dy[:L, n, k], dprobs[n, k], sprobs[n])
+
+
+def test_ctc_fused_sparse_decode_sharded_matches_local():
+    """The sparse-slot fused decode runs under a data-sharded mesh (gathers
+    from replicated LM tables, per-shard beams) and matches the unsharded
+    result."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from pydrobert_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.RandomState(31)
+    V, W, T = 12, 4, 10
+    N = 2 * len(jax.devices())
+    lm = _random_fused_lm(V, 3, 31, density=80)
+    logits = jnp.asarray(rng.randn(T, N, V + 1), np.float32)
+    lens = jnp.asarray(rng.randint(1, T + 1, (N,)).astype(np.int32))
+    search = D.CTCPrefixSearch(W, beta=0.7, lm=lm)
+    y0, l0, p0 = jax.jit(search)(logits, lens)
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+    logits_s = jax.device_put(logits, sh)
+    lens_s = jax.device_put(lens, NamedSharding(mesh, PartitionSpec("data")))
+    y1, l1, p1 = jax.jit(search)(logits_s, lens_s)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_allclose(
+        np.asarray(p0), np.asarray(p1), rtol=1e-6, atol=1e-7
+    )
+    for n in range(N):
+        for k in range(W):
+            L = int(np.asarray(l0)[n, k])
+            np.testing.assert_array_equal(
+                np.asarray(y0)[:L, n, k], np.asarray(y1)[:L, n, k]
+            )
