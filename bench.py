@@ -148,6 +148,41 @@ def bench_ctc_beam16_fused(inner=1):
     return B / dt
 
 
+def bench_ngram_beam_search(inner=2):
+    """LM-only beam search (width 16) over a 3-gram LookupLanguageModel:
+    the sparse-slot stepping (static top-M of unigrams + per-beam
+    corrections) vs the reference's dense V-wide scoring."""
+    from pydrobert_tpu.ops.decoding import BeamSearch
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    B, V, W, S = 32, 1024, 16, 100
+    rng = np.random.RandomState(4)
+    uni = {w: (float(-rng.rand() * 5 - 0.1), float(-rng.rand())) for w in range(V)}
+    uni[V] = (float("-inf"), float(-rng.rand()))
+    bi, tri = {}, {}
+    ctx = list(range(V)) + [V]
+    for _ in range(10000):
+        bi[(int(rng.choice(ctx)), int(rng.randint(V)))] = (
+            float(-rng.rand() * 5 - 0.1), float(-rng.rand()),
+        )
+    for _ in range(15000):
+        tri[(int(rng.choice(ctx)), int(rng.randint(V)), int(rng.randint(V)))] = (
+            float(-rng.rand() * 5 - 0.1)
+        )
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
+    bs = BeamSearch(lm, W, eos=7)
+
+    @jax.jit
+    def run():
+        def step(c, _):
+            y, lens, lp = bs(batch_size=B, max_iters=S)
+            return c + lp.sum() * 1e-9, lens
+        return jax.lax.scan(step, jnp.zeros(()), None, length=inner)
+
+    dt = _time(run, reps=2) / inner
+    return B / dt
+
+
 def _guard(fn, default):
     """Never let one sub-benchmark take down the whole JSON line."""
     try:
@@ -164,6 +199,7 @@ def main():
     dec, per_utt = _guard(bench_ctc_beam16, (0.0, float("inf")))
     fused = _guard(bench_ctc_beam16_fused, 0.0)
     dec256 = _guard(bench_ctc_beam16_bs256, 0.0)
+    beam = _guard(bench_ngram_beam_search, 0.0)
     print(
         json.dumps(
             {
@@ -175,6 +211,7 @@ def main():
                 "specaugment_vs_baseline": round(sa / SPECAUG_TARGET, 3),
                 "fused_ngram_decode_utt_per_sec": round(fused, 1),
                 "decode_bs256_utt_per_sec": round(dec256, 1),
+                "ngram_beam_search_seq_per_sec": round(beam, 1),
                 "decode_p50_latency_ms_per_utt": round(per_utt * 1e3, 3),
                 "device": jax.devices()[0].platform,
             }
