@@ -31,11 +31,13 @@ from .data.datasets import _info_and_validate
 from .utils.serial import load_tensor, save_tensor
 
 __all__ = [
+    "arpa_lm_to_state_dict",
     "chunk_torch_spect_data_dir",
     "compute_mvn_stats_for_torch_feat_data_dir",
     "compute_torch_token_data_dir_error_rates",
     "ctm_to_torch_token_data_dir",
     "get_torch_spect_data_dir_info",
+    "print_arpa_lm_state_dict_info",
     "print_torch_ali_data_dir_length_moments",
     "print_torch_ref_data_dir_length_moments",
     "subset_torch_spect_data_dir",
@@ -2188,4 +2190,144 @@ def print_torch_ref_data_dir_length_moments(
                 warnings.warn(err_msg)
         s, ss, c = s + s_, ss + ss_, c + c_
     _do_mv_printing(s, ss, c, options)
+    return 0
+
+
+def arpa_lm_to_state_dict(args: Optional[Sequence[str]] = None):
+    """Compile an ARPA file into a LookupLanguageModel state dict
+
+    Builds the device-ready lookup tables (dense/hashed context tables, CSR
+    children) of :class:`pydrobert_tpu.lm.LookupLanguageModel` offline and
+    writes them to a ``.npz`` archive, so decoding jobs restore with
+    ``load_state_dict`` instead of re-parsing the ARPA file. A TPU-native
+    addition beyond the reference's 17 commands (the reference builds its
+    trie in-process each run, ``_lm.py:906-1087``)."""
+    parser = argparse.ArgumentParser(
+        description=arpa_lm_to_state_dict.__doc__.split("\n")[0]
+    )
+    parser.add_argument(
+        "arpa",
+        type=argparse.FileType("r"),
+        help="Path to the ARPA language model file ('-' for stdin)",
+    )
+    parser.add_argument(
+        "token2id",
+        type=argparse.FileType("r"),
+        help="A file mapping tokens to ids: one '<token> <id>' pair per line",
+    )
+    parser.add_argument("out", help="Path to write the .npz state dict to")
+    parser.add_argument(
+        "--sos",
+        default=None,
+        help="Start-of-sequence token: a symbol in token2id or an integer "
+        "id. Defaults to '<s>' if present, else vocab-size",
+    )
+    parser.add_argument(
+        "--vocab-size",
+        type=_as_nat,
+        default=None,
+        help="Number of regular token ids. Defaults to one more than the "
+        "largest non-sos id in token2id",
+    )
+    parser.add_argument(
+        "--keep-base-10",
+        action="store_true",
+        default=False,
+        help="Store base-10 log-probabilities instead of converting to "
+        "base e",
+    )
+    parser.add_argument(
+        "--swap",
+        action="store_true",
+        default=False,
+        help="token2id lines are '<id> <token>' instead",
+    )
+    try:
+        options = parser.parse_args(args)
+    except SystemExit as ex:
+        return ex.code
+    from .lm import LookupLanguageModel
+
+    token2id = _parse_token2id(options.token2id, options.swap, options.swap)
+    if options.sos is None:
+        sos = token2id.get("<s>")
+    elif options.sos in token2id:
+        sos = token2id[options.sos]
+    else:
+        try:
+            sos = int(options.sos)
+        except ValueError:
+            print(
+                f"--sos '{options.sos}' is neither a token in token2id nor "
+                "an integer id",
+                file=sys.stderr,
+            )
+            return 1
+    if options.vocab_size is not None:
+        vocab_size = options.vocab_size
+    else:
+        non_sos = [v for v in token2id.values() if v != sos]
+        if not non_sos:
+            print("token2id contains no non-sos ids", file=sys.stderr)
+            return 1
+        vocab_size = max(non_sos) + 1
+    if sos is None:
+        sos = vocab_size
+    prob_dicts = data.parse_arpa_lm(
+        options.arpa, token2id, to_base_e=not options.keep_base_10
+    )
+    lm = LookupLanguageModel(
+        vocab_size, sos=sos, prob_dicts=prob_dicts, destructive=True
+    )
+    np.savez(options.out, **lm.state_dict())
+    return 0
+
+
+def print_arpa_lm_state_dict_info(args: Optional[Sequence[str]] = None):
+    """Summarize a compiled LookupLanguageModel state dict
+
+    Prints '<key> <value>' lines describing an ``.npz`` state dict written
+    by ``arpa-lm-to-state-dict``."""
+    parser = argparse.ArgumentParser(
+        description=print_arpa_lm_state_dict_info.__doc__.split("\n")[0]
+    )
+    parser.add_argument("state_dict", help="Path to the .npz state dict")
+    parser.add_argument(
+        "out_file",
+        nargs="?",
+        type=argparse.FileType("w"),
+        default=sys.stdout,
+        help="Where to write the info to. Defaults to stdout",
+    )
+    try:
+        options = parser.parse_args(args)
+    except SystemExit as ex:
+        return ex.code
+    from .lm import LookupLanguageModel
+
+    d = dict(np.load(options.state_dict))
+    lm = LookupLanguageModel(1, sos=0)
+    lm.load_state_dict(d)
+    info = OrderedDict()
+    info["vocab_size"] = lm.vocab_size
+    info["sos"] = lm.sos
+    info["max_ngram"] = lm.max_ngram
+    info["max_corrections"] = lm.max_corrections
+    info["num_unigrams"] = int(np.isfinite(lm._uni_logp).sum())
+    total_bytes = sum(v.nbytes for v in d.values())
+    for i, t in enumerate(lm._ctx_tables):
+        order = i + 2
+        occupied = int((t.keys[:, 0] != np.iinfo(np.int32).min).sum())
+        info[f"order{order}_contexts"] = occupied
+        info[f"order{order}_continuations"] = len(t.child_tok)
+        info[f"order{order}_max_children"] = t.max_children
+        info[f"order{order}_max_probe"] = t.max_probe
+        info[f"order{order}_dense_rows"] = (
+            0 if t.dense_packed is None else t.dense_packed.shape[0]
+        )
+    info["total_bytes"] = total_bytes
+    for key, value in info.items():
+        options.out_file.write(f"{key} {value}\n")
+    if options.out_file != sys.stdout:
+        options.out_file.close()
     return 0

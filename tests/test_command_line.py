@@ -1,6 +1,7 @@
 """CLI tests: round trips, golden sclite comparison, in-process argv calls
 (mirroring the reference's tests/test_command_line.py strategy)."""
 
+import io
 import os
 import tarfile
 import warnings
@@ -297,3 +298,68 @@ def test_length_moments(tmp_path, capsys):
     )
     out = capsys.readouterr().out.strip()
     assert out == "3.000 (1.000)"
+
+
+def test_arpa_lm_to_state_dict_round_trip(tmp_path):
+    import jax.numpy as jnp
+
+    from pydrobert_tpu.command_line import (
+        arpa_lm_to_state_dict,
+        print_arpa_lm_state_dict_info,
+    )
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    arpa = """\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-0.8 <s> -0.3
+-0.9 </s>
+-0.5 a -0.2
+-0.6 b -0.25
+-1.1 c
+
+\\2-grams:
+-0.4 <s> a
+-0.3 a b
+-0.7 b </s>
+
+\\end\\
+"""
+    arpa_file = tmp_path / "lm.arpa"
+    arpa_file.write_text(arpa)
+    t2i_file = tmp_path / "token2id.txt"
+    t2i_file.write_text("<s> 3\n</s> 4\na 0\nb 1\nc 2\n")
+    out = tmp_path / "lm.npz"
+    assert not arpa_lm_to_state_dict(
+        [str(arpa_file), str(t2i_file), str(out), "--keep-base-10"]
+    )
+    loaded = LookupLanguageModel(1, sos=0)
+    loaded.load_state_dict(dict(np.load(out)))
+    from pydrobert_tpu.data import parse_arpa_lm
+
+    direct = LookupLanguageModel(
+        5,
+        sos=3,
+        prob_dicts=parse_arpa_lm(
+            io.StringIO(arpa),
+            {"<s>": 3, "</s>": 4, "a": 0, "b": 1, "c": 2},
+            to_base_e=False,
+        ),
+    )
+    hist = jnp.asarray(np.array([[0, 1], [1, 4], [2, 0]]))
+    np.testing.assert_allclose(
+        np.asarray(loaded(hist)), np.asarray(direct(hist)), atol=1e-6
+    )
+
+    info_file = tmp_path / "info.txt"
+    assert not print_arpa_lm_state_dict_info([str(out), str(info_file)])
+    info = dict(
+        line.split() for line in info_file.read_text().splitlines()
+    )
+    assert info["vocab_size"] == "5"
+    assert info["sos"] == "3"
+    assert info["max_ngram"] == "2"
+    assert int(info["order2_contexts"]) >= 3
