@@ -13,6 +13,7 @@ device time) and synchronizes via a device->host fetch.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -148,7 +149,7 @@ def bench_ctc_beam16_fused(inner=1):
     return B / dt
 
 
-def bench_ngram_beam_search(inner=2):
+def bench_ngram_beam_search():
     """LM-only beam search (width 16) over a 3-gram LookupLanguageModel:
     the sparse-slot stepping (static top-M of unigrams + per-beam
     corrections) vs the reference's dense V-wide scoring."""
@@ -172,14 +173,16 @@ def bench_ngram_beam_search(inner=2):
     lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
     bs = BeamSearch(lm, W, eos=7)
 
+    # no iteration scan here: the search takes no per-iteration input, so a
+    # scan body would be loop-invariant and XLA could hoist it (measuring
+    # one decode as if it were `inner`); dispatch overhead per call is small
+    # relative to the ~tens-of-ms search
     @jax.jit
     def run():
-        def step(c, _):
-            y, lens, lp = bs(batch_size=B, max_iters=S)
-            return c + lp.sum() * 1e-9, lens
-        return jax.lax.scan(step, jnp.zeros(()), None, length=inner)
+        y, lens, lp = bs(batch_size=B, max_iters=S)
+        return lp.sum(), lens
 
-    dt = _time(run, reps=2) / inner
+    dt = _time(run, reps=3)
     return B / dt
 
 
@@ -195,11 +198,24 @@ def _guard(fn, default):
 
 
 def main():
+    # run the headline benchmarks first and gate the optional ones on a
+    # wall-clock budget: over a slow tunnel, losing an extra field beats
+    # being killed by the driver's timeout before the JSON line prints
+    t0 = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
     sa = _guard(bench_spec_augment, 0.0)
     dec, per_utt = _guard(bench_ctc_beam16, (0.0, float("inf")))
     fused = _guard(bench_ctc_beam16_fused, 0.0)
-    dec256 = _guard(bench_ctc_beam16_bs256, 0.0)
-    beam = _guard(bench_ngram_beam_search, 0.0)
+    dec256 = (
+        _guard(bench_ctc_beam16_bs256, 0.0)
+        if time.monotonic() - t0 < budget
+        else 0.0
+    )
+    beam = (
+        _guard(bench_ngram_beam_search, 0.0)
+        if time.monotonic() - t0 < budget
+        else 0.0
+    )
     print(
         json.dumps(
             {

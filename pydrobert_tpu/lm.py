@@ -386,13 +386,21 @@ class _CtxTable:
         if self.dense_packed is not None:
             dense = jnp.asarray(self.dense_packed)
             flat = jnp.zeros(qkeys.shape[:-1], jnp.int32)
+            in_range = jnp.ones(qkeys.shape[:-1], bool)
             for j in range(n):
-                flat = flat * self.base + jnp.clip(
-                    qkeys[..., j], 0, self.base - 1
-                )
+                q = qkeys[..., j]
+                in_range = in_range & (q >= 0) & (q < self.base)
+                flat = flat * self.base + jnp.clip(q, 0, self.base - 1)
             row = dense[flat]  # (B, 3): ONE gather, no probing
-            length = row[..., 2]
-            logb = jax.lax.bitcast_convert_type(row[..., 0], jnp.float32)
+            # out-of-range tokens must read as not-found (the probing path
+            # reports a key mismatch); otherwise the clip aliases them onto
+            # real stored contexts
+            length = jnp.where(in_range, row[..., 2], 0)
+            logb = jnp.where(
+                in_range,
+                jax.lax.bitcast_convert_type(row[..., 0], jnp.float32),
+                0.0,
+            )
             found = (length > 0) | (logb != 0.0)
             return found, logb, row[..., 1], length
         packed = jnp.asarray(self.packed)
@@ -572,6 +580,11 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 )
                 if not np.isfinite(logp):
                     continue
+                if not 0 <= int(key[-1]) < V:
+                    # grams predicting a non-vocab token (e.g. ending in
+                    # sos) can never be queried as extensions; storing them
+                    # would corrupt the sparse correction lists / normalizer
+                    continue
                 ctx = tuple(key[:-1])
                 children.setdefault(ctx, []).append((int(key[-1]), logp))
             entries: Dict[Tuple[int, ...], Tuple[float, int, int]] = {}
@@ -727,20 +740,29 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             dense_all = jnp.asarray(dense_all)
             child_all = jnp.asarray(child_all)
             base_ix = self._ctx_tables[0].base
-            flats = []
+            flats, in_ranges = [], []
             for n in range(2, N + 1):
                 ctx_n = ctx[: n - 1][::-1]  # (n-1, B) earliest-first
                 flat = jnp.zeros((B,), jnp.int32)
+                in_range = jnp.ones((B,), bool)
                 for j in range(n - 1):
-                    flat = flat * base_ix + jnp.clip(ctx_n[j], 0, base_ix - 1)
+                    q = ctx_n[j]
+                    in_range = in_range & (q >= 0) & (q < base_ix)
+                    flat = flat * base_ix + jnp.clip(q, 0, base_ix - 1)
                 flats.append(flat + row_offs[n - 2])
+                in_ranges.append(in_range)
             rows = dense_all[jnp.stack(flats, 1)]  # (B, N-1, 3): ONE gather
-            lengths = rows[..., 2]
-            logb_all = jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32)
-            founds = [
-                (lengths[:, i] > 0) | (logb_all[:, i] != 0.0)
-                for i in range(N - 1)
-            ]
+            # out-of-range context tokens must read as not-found (the
+            # probing fallback reports a key mismatch); the all-zeros
+            # default row already encodes "absent", so masking length and
+            # backoff suffices — no separate found flag is needed here
+            in_range = jnp.stack(in_ranges, 1)  # (B, N-1)
+            lengths = jnp.where(in_range, rows[..., 2], 0)
+            logb_all = jnp.where(
+                in_range,
+                jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32),
+                0.0,
+            )
             logbs = [logb_all[:, i] for i in range(N - 1)]
             pos_parts, valid_parts = [], []
             for i in range(N - 1):
@@ -769,13 +791,12 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 unis_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)
             ]
         else:
-            founds, logbs, tokss, lpss, valids, uniss = [], [], [], [], [], []
+            logbs, tokss, lpss, valids, uniss = [], [], [], [], []
             for n in range(2, N + 1):
                 ctx_n = ctx[: n - 1][::-1].T  # (B, n-1), earliest-first
                 f, lb, tk, lp, vd, un = self._ctx_tables[
                     n - 2
                 ].probe_children(ctx_n)
-                founds.append(f)
                 logbs.append(jnp.where(f, lb, 0.0))
                 tokss.append(tk)
                 lpss.append(lp)

@@ -1309,8 +1309,6 @@ class CTCPrefixSearch:
                 gath = jnp.take_along_axis(row, jnp.clip(toks, 0, V - 1), 1)
                 return jnp.exp(gath - mx_t[:, None]) / den_t[:, None]
 
-            p_last_at = am_at_t
-
         if use_sparse:
             Csp = lm.max_corrections
             Ng = lm.max_ngram
@@ -1368,9 +1366,8 @@ class CTCPrefixSearch:
             )  # (T, N, M)
 
             def p_last_kw(t, y_last):
-                return dict(p_last=p_last_at(t, y_last))
+                return dict(p_last=am_at_t(t, y_last))
 
-        buf_dtype = jnp.int32  # int16 measured neutral-to-slower (relayouts)
 
         # ---- t = 0 (prefix width 1 -> W) ----
         y_buf0 = jnp.zeros((T, N, 1), jnp.int32)
@@ -1440,8 +1437,9 @@ class CTCPrefixSearch:
             _cols0,
         ) = advanced0
         state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
+        # (int16 tokens were measured neutral-to-slower here: relayouts)
         y_buf = _apply_advance_to_buffer(
-            jnp.zeros((T, N, W), buf_dtype),
+            jnp.zeros((T, N, W), jnp.int32),
             prefix_lens0,
             next_src,
             next_ext0,
@@ -1618,7 +1616,7 @@ class CTCPrefixSearch:
             ), _ = jax.lax.scan(step, carry, xs)
 
         y_probs = nb + b
-        return y_buf.astype(jnp.int32), y_lens, y_probs
+        return y_buf, y_lens, y_probs
 
 
 class CTCGreedySearch:

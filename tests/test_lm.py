@@ -286,3 +286,21 @@ def test_score_sequences_matches_full(seeded, N):
     )[..., 0]
     act = np.asarray(lm.score_sequences(hist))
     np.testing.assert_allclose(act, exp, atol=1e-5)
+
+
+def test_sos_target_grams_dropped():
+    """N-grams predicting a non-vocab token (e.g. ending in sos) can never
+    be queried as extensions; they must not corrupt the sparse correction
+    lists or the normalizer (they are invisible to the dense path too)."""
+    V, sos = 4, 4
+    uni = {w: (-1.0, -0.5) for w in range(V)}
+    uni[sos] = (float("-inf"), -0.5)
+    lm = LookupLanguageModel(V, sos=sos, prob_dicts=[uni, {(0, sos): -0.3}])
+    hist = jnp.asarray(np.zeros((1, 2), np.int64))
+    dense = np.asarray(lm(hist, idx=1)[0])
+    ctx = lm._context(hist, jnp.asarray([1, 1], jnp.int32))
+    base, toks, vals, valid, logZ = lm.sparse_corrections(ctx)
+    assert not np.asarray(valid).any()
+    np.testing.assert_allclose(
+        np.asarray(logZ), np.log(np.exp(dense).sum(1)), atol=1e-6
+    )
