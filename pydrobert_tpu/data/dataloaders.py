@@ -139,6 +139,21 @@ class EpochRandomSampler(AbstractEpochSampler):
         max_ = np.iinfo(np.int32).max
         if base_seed is None:
             base_seed = int(np.random.randint(max_))
+            import jax
+
+            if jax.process_count() > 1:
+                # every rank must permute identically or the strided
+                # [rank::world] shards silently overlap / miss samples
+                # (the reference inherits torch's DDP manual_seed
+                # convention; here rank 0's draw is broadcast instead)
+                import jax.numpy as jnp
+                from jax.experimental import multihost_utils
+
+                base_seed = int(
+                    multihost_utils.broadcast_one_to_all(
+                        jnp.asarray(base_seed, jnp.int32)
+                    )
+                )
         elif base_seed > max_:
             raise ValueError(f"base_seed must be <= {max_}")
         self.base_seed = base_seed
@@ -357,7 +372,8 @@ def spect_seq_to_batch(
 
 def context_window_seq_to_batch(seq, has_uttids: bool = False):
     """Collate ContextWindowDataSet elements by concatenating frames:
-    ``(windows, alis[, uttids])`` (reference ``_dataloaders.py:1224-1285``)."""
+    ``(windows, alis[, window_sizes, uttids])`` (reference
+    ``_dataloaders.py:1224-1285``; same 4-tuple shape with `has_uttids`)."""
     seq = list(seq)
     if has_uttids:
         windows, alis, uttids = zip(*seq)
@@ -369,10 +385,8 @@ def context_window_seq_to_batch(seq, has_uttids: bool = False):
     else:
         batch_alis = np.concatenate(alis, 0)
     if has_uttids:
-        counts = tuple(len(w) for w in windows)
-        return batch_windows, batch_alis, tuple(
-            (u, c) for u, c in zip(uttids, counts)
-        )
+        window_sizes = np.asarray([len(w) for w in windows])
+        return batch_windows, batch_alis, window_sizes, tuple(uttids)
     return batch_windows, batch_alis
 
 
@@ -471,6 +485,11 @@ class _BaseDataLoader:
             from collections import Counter
 
             sampler = self.batch_sampler.sampler
+            # counting means regenerating the epoch permutation; cache per
+            # epoch so per-step len(loader) calls (progress bars) are cheap
+            cached = getattr(self, "_len_cache", None)
+            if cached is not None and cached[0] == sampler.epoch:
+                return cached[1]
             bucket2count = Counter(
                 self.batch_sampler.idx2bucket[int(i)]
                 for i in sampler.get_samples_for_epoch(sampler.epoch)
@@ -482,6 +501,7 @@ class _BaseDataLoader:
                     len_ += count // size
                 else:
                     len_ += (count + size - 1) // size
+            self._len_cache = (sampler.epoch, len_)
             return len_
         return len(self.batch_sampler)
 

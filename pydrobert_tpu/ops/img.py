@@ -223,6 +223,14 @@ def warp_1d_grid(
     dst = (2.0 * dst + 1.0) / T - 1.0
     lowers = jnp.full((N,), 1 / T - 1 - eps, jnp.float32)
     uppers = (2 * lengths_arr - 1) / T - 1.0 + eps
+    # the spline's train points are the dst knots; when the warped position
+    # clamps onto a boundary the reference's eps offset leaves two knots
+    # ~1e-7 apart and the f32 solve is meaningless (cond ~1e7 — its output
+    # diverges from the f64 solution by O(1) grid units). A 1e-3 separation
+    # floor keeps the system well-conditioned and only moves the knot in
+    # that degenerate regime (< T/2000 frames from the boundary).
+    sep = 1e-3
+    dst = jnp.clip(dst, lowers + sep, jnp.maximum(uppers - sep, lowers + sep))
     src3 = jnp.stack([lowers, src, uppers], 1)  # (N, 3)
     dst3 = jnp.stack([lowers, dst, uppers], 1)
     t = (2.0 * jnp.arange(T, dtype=jnp.float32) + 1.0) / T - 1.0

@@ -39,10 +39,6 @@ __all__ = [
 ]
 
 
-def _is_concrete(*arrays) -> bool:
-    return not any(isinstance(a, jax.core.Tracer) for a in arrays)
-
-
 def _maybe_warn(cond, msg: str, warn: bool) -> None:
     """Emit a data-dependent warning only when the value is concrete."""
     if not warn or isinstance(cond, jax.core.Tracer):
@@ -219,9 +215,20 @@ def _string_matching_jit(
             out = jnp.take_along_axis(src, ref_lens[None].astype(jnp.int32), 0)[0]
         return (row, mistakes), out
 
-    (row, mistakes), outs = jax.lax.scan(
-        step, (row0, mistakes0), jnp.arange(1, num_steps + 1), length=num_steps
-    )
+    if num_steps <= 0:
+        # zero hypothesis steps (e.g. H == 0): the DP is its initial state
+        # (pure deletions), matching the reference's empty loop. Skipping
+        # the scan entirely also avoids tracing the step body, which reads
+        # hyp and would fail on an empty axis.
+        num_steps = 0
+        row, mistakes, outs = row0, mistakes0, None
+    else:
+        (row, mistakes), outs = jax.lax.scan(
+            step,
+            (row0, mistakes0),
+            jnp.arange(1, num_steps + 1),
+            length=num_steps,
+        )
 
     if return_mask:
         first = jnp.zeros((R, N), bool).at[0].set(ref_lens > 0) if R else jnp.zeros((R, N), bool)

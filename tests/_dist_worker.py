@@ -34,6 +34,11 @@ def main():
     sampler = EpochRandomSampler(list(range(12)), base_seed=42)
     out["epoch0"] = [int(i) for i in sampler.get_samples_for_epoch(0)]
     out["epoch1"] = [int(i) for i in sampler.get_samples_for_epoch(1)]
+    # base_seed=None must broadcast rank 0's draw so shards stay disjoint
+    import numpy as np_
+
+    np_.random.seed(100 + rank)  # desynchronize the per-process global RNG
+    out["auto_seed"] = EpochRandomSampler(list(range(12))).base_seed
 
     # 2. cross-process metric reduction (gloo collectives on CPU)
     from pydrobert_tpu.parallel import all_reduce_metrics

@@ -364,3 +364,21 @@ def test_spect_tar_data_set_params_and_loader(populate_data_dir, tmp_path):
     batch = next(iter(loader))
     assert batch[0].shape[0] == 3
     tds.close()
+
+
+def test_context_window_collate_uttids_four_tuple():
+    """has_uttids collation returns (windows, alis, window_sizes, uttids)
+    exactly like the reference (_dataloaders.py:1254-1285)."""
+    from pydrobert_tpu.data import context_window_seq_to_batch
+
+    seq = [
+        (np.zeros((3, 5, 2)), np.arange(3), "utt_a"),
+        (np.ones((2, 5, 2)), np.arange(2), "utt_b"),
+    ]
+    windows, alis, window_sizes, uttids = context_window_seq_to_batch(
+        seq, has_uttids=True
+    )
+    assert windows.shape == (5, 5, 2)
+    assert alis.shape == (5,)
+    np.testing.assert_array_equal(window_sizes, [3, 2])
+    assert uttids == ("utt_a", "utt_b")

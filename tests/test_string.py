@@ -180,3 +180,34 @@ def test_jit_consistency(jit_fn):
     out = fn(jnp.asarray(ref), jnp.asarray(hyp))
     out2 = S.error_rate(ref, hyp, warn=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_edit_distance_empty_hyp(ref_torch):
+    """Zero hypothesis steps (H == 0) must not crash and must match the
+    reference (pure deletions)."""
+    import torch
+
+    ref = np.array([[1, 2], [3, 4], [0, 0]])
+    ref_lens = np.array([3, 2])
+    hyp = np.zeros((0, 2), np.int64)
+    hyp_lens = np.zeros((2,), np.int64)
+    exp = ref_torch.functional.edit_distance(
+        torch.tensor(ref), torch.tensor(hyp)
+    ).numpy()
+    act = np.asarray(S.edit_distance(ref, hyp))
+    np.testing.assert_allclose(act, exp)
+    # error_rate + prefix variants on the same degenerate input
+    np.testing.assert_allclose(
+        np.asarray(S.error_rate(ref, hyp)),
+        ref_torch.functional.error_rate(
+            torch.tensor(ref), torch.tensor(hyp)
+        ).numpy(),
+    )
+    np.testing.assert_allclose(
+        np.asarray(S.prefix_error_rates(ref, hyp)),
+        ref_torch.functional.prefix_error_rates(
+            torch.tensor(ref), torch.tensor(hyp)
+        ).numpy(),
+    )
+    oc = S.optimal_completion(ref, hyp)
+    assert oc.shape[0] == 1

@@ -381,6 +381,9 @@ def test_real_two_process_distributed(tmp_path):
         # rank r takes every world-th sample starting at r
         assert a == exp[0::2] and b == exp[1::2]
     # metric reduction: mean of (1, 2) and of (2, 3)
+    # base_seed=None broadcast: both ranks drew the same auto seed despite
+    # desynchronized numpy global RNGs
+    assert outs[0]["auto_seed"] == outs[1]["auto_seed"]
     for o in outs:
         assert abs(o["reduced"]["met"] - 1.5) < 1e-6
         assert abs(o["train_met"] - 1.5) < 1e-6
