@@ -1584,6 +1584,17 @@ def _chunk_do_work(
         if in_ref_dir is not None
         else None
     )
+    if refs is not None and refs.ndim == 2:
+        # token-only refs carry no segment boundaries, so chunk membership
+        # is undecidable; the reference CLI crashes with an opaque
+        # IndexError here — fail with an actionable message instead
+        raise ValueError(
+            f"ref for utterance '{utt_id}' is 1-D (tokens only); chunking "
+            "requires (R, 3) refs with segment boundaries to assign tokens "
+            "to chunks. Convert with "
+            "torch-token-data-dir-to-torch-ali-data-dir tooling or exclude "
+            "the ref dir"
+        )
     src = {"fixed": feats, "ali": alis, "ref": refs}[policy]
     slices, _ = slice_spect_data(
         jnp.asarray(src),

@@ -150,7 +150,31 @@ class LangDataSet:
         _write_hyp(hyp, pth, self.params.sos, self.params.eos)
 
 
-class SpectDataSet:
+
+class _FeatTransformMixin:
+    """Shared MVN/delta construction + application for feat-yielding
+    datasets (a single definition so the two dataset types cannot drift)."""
+
+    def _init_transforms(self, feat_mean, feat_std) -> None:
+        self._mvn = self._deltas = None
+        if self.params.do_mvn:
+            from ..modules import MeanVarianceNormalization
+
+            self._mvn = MeanVarianceNormalization(mean=feat_mean, std=feat_std)
+        if self.params.delta_order:
+            from ..modules import FeatureDeltas
+
+            self._deltas = FeatureDeltas(order=self.params.delta_order)
+
+    def _transform(self, feat: np.ndarray) -> np.ndarray:
+        if self._mvn is not None:
+            feat = np.asarray(self._mvn(feat))
+        if self._deltas is not None:
+            feat = np.asarray(self._deltas(feat))
+        return feat
+
+
+class SpectDataSet(_FeatTransformMixin):
     """Spectrographic data directory: ``feat/`` (+ ``ali/``, ``ref/``).
 
     Per-utterance tensors are loaded as numpy arrays; MVN and delta
@@ -190,7 +214,9 @@ class SpectDataSet:
         self.suppress_uttids = suppress_uttids
         self.tokens_only = tokens_only
         self.sos, self.eos = self.params.sos, self.params.eos
-        if ali_subdir:
+        # suppressed alis must not drive the utterance intersection nor be
+        # loaded-and-discarded per item (reference _datasets.py:469-471)
+        if ali_subdir and not suppress_alis:
             self.has_ali = os.path.isdir(os.path.join(data_dir, ali_subdir))
         else:
             self.has_ali = False
@@ -213,17 +239,7 @@ class SpectDataSet:
         self.utt_ids = tuple(
             sorted(self.find_utt_ids(warn_on_missing, subset_ids=subset_ids))
         )
-        self._mvn = self._deltas = None
-        if self.params.do_mvn:
-            from ..modules import MeanVarianceNormalization
-
-            self._mvn = MeanVarianceNormalization(
-                mean=feat_mean, std=feat_std
-            )
-        if self.params.delta_order:
-            from ..modules import FeatureDeltas
-
-            self._deltas = FeatureDeltas(order=self.params.delta_order)
+        self._init_transforms(feat_mean, feat_std)
 
     def __len__(self) -> int:
         return len(self.utt_ids)
@@ -262,13 +278,6 @@ class SpectDataSet:
                     warnings.warn(f"Missing feat for uttid: '{utt_id}'")
             utt_ids &= other
         return utt_ids
-
-    def _transform(self, feat: np.ndarray) -> np.ndarray:
-        if self._mvn is not None:
-            feat = np.asarray(self._mvn(feat))
-        if self._deltas is not None:
-            feat = np.asarray(self._deltas(feat))
-        return feat
 
     def get_utterance_tuple(self, idx: int) -> Tuple:
         utt_id = self.utt_ids[idx]
@@ -484,11 +493,18 @@ def _info_and_validate(
                                 f"{idx2}) with start bound {start} exceeding "
                                 f"end bound {end}"
                             )
+                    if tok < 0:
+                        raise ValueError(
+                            f"Got a negative reference token index '{tok}'"
+                        )
                     if info:
                         c = tok
                         max_ref_class = max(max_ref_class, c)
                         rsegs[c] = rsegs.get(c, 0) + 1
-                        if start >= 0 and rcounts.get(c, 0) >= 0:
+                        # zero-length or unset segments poison the count to
+                        # -1 ("unknown"), as the reference's end > start >= 0
+                        # rule (_datasets.py:881-884)
+                        if rcounts.get(c, 0) >= 0 and end > start >= 0:
                             rcounts[c] = rcounts.get(c, 0) + (end - start)
                         else:
                             rcounts[c] = -1
@@ -500,6 +516,10 @@ def _info_and_validate(
                     raise ValueError(f"{prefix_} has an invalid shape")
                 for tok in ref.reshape(-1):
                     c = int(tok)
+                    if c < 0:
+                        raise ValueError(
+                            f"Got a negative reference token index '{c}'"
+                        )
                     max_ref_class = max(max_ref_class, c)
                     rsegs[c] = rsegs.get(c, 0) + 1
                     rcounts[c] = -1
@@ -520,7 +540,7 @@ def _info_and_validate(
     if max_ref_class >= 0:
         width = len(str(max_ref_class))
         for c in range(max_ref_class + 1):
-            out[f"rcount_{c:0{width}d}"] = rcounts.get(c, 0)
+            out[f"rcount_{c:0{width}d}"] = rcounts.get(c, -1)
             out[f"rsegs_{c:0{width}d}"] = rsegs.get(c, 0)
     return out
 
@@ -637,7 +657,7 @@ def _load_tensor_member(tf_handle, member) -> np.ndarray:
         return load_tensor(tmp.name)
 
 
-class SpectTarDataSet:
+class SpectTarDataSet(_FeatTransformMixin):
     """WebDataset-style tar-backed :class:`SpectDataSet` reader.
 
     Reads archives written by the ``torch-spect-data-dir-to-wds`` command
@@ -701,7 +721,9 @@ class SpectTarDataSet:
                 entry = self._index.setdefault(utt_id, {})
                 if kind == "feat" and "feat" not in entry:
                     order.append(utt_id)
-                entry[kind] = (si, member)
+                # first occurrence wins (re-sharded archives can repeat
+                # members); keeps random access and streaming consistent
+                entry.setdefault(kind, (si, member))
         if subset_ids is None:
             subset_ids = set(self.params.subset_ids)
         keep = [u for u in order if "feat" in self._index[u]]
@@ -711,25 +733,10 @@ class SpectTarDataSet:
         self.utt_ids = tuple(sorted(keep))
         self.has_ali = all("ali" in self._index[u] for u in keep) and bool(keep)
         self.has_ref = all("ref" in self._index[u] for u in keep) and bool(keep)
-        self._mvn = self._deltas = None
-        if self.params.do_mvn:
-            from ..modules import MeanVarianceNormalization
-
-            self._mvn = MeanVarianceNormalization(mean=feat_mean, std=feat_std)
-        if self.params.delta_order:
-            from ..modules import FeatureDeltas
-
-            self._deltas = FeatureDeltas(order=self.params.delta_order)
+        self._init_transforms(feat_mean, feat_std)
 
     def __len__(self) -> int:
         return len(self.utt_ids)
-
-    def _transform(self, feat: np.ndarray) -> np.ndarray:
-        if self._mvn is not None:
-            feat = np.asarray(self._mvn(feat))
-        if self._deltas is not None:
-            feat = np.asarray(self._deltas(feat))
-        return feat
 
     def _assemble(self, utt_id: str, got: Dict[str, np.ndarray]) -> Tuple:
         feat = got["feat"]
@@ -762,8 +769,24 @@ class SpectTarDataSet:
     def __getitem__(self, idx: int):
         return self.get_utterance_tuple(idx)
 
+    def _fill_missing_from_index(self, utt_id: str, got):
+        """Random-access any member the stream's shard lacked (an utt's
+        kinds can be split across shards)."""
+        entry = self._index[utt_id]
+        for kind in ("ali", "ref"):
+            need = kind == "ali" and self.has_ali or kind == "ref" and self.has_ref
+            if need and kind not in got and kind in entry:
+                si, member = entry[kind]
+                got[kind] = _load_tensor_member(self._tars[si], member)
+        return got
+
     def __iter__(self):
-        """Stream utterances in archive order (sequential tar reads)."""
+        """Stream utterances in archive order (sequential tar reads).
+
+        Each utterance is yielded exactly once (the first shard containing
+        it wins, matching the random-access index); members missing from
+        that shard are fetched through the index.
+        """
         import tarfile
 
         wanted = set(self._archive_order)
@@ -782,12 +805,19 @@ class SpectTarDataSet:
                     if utt_id not in wanted:
                         continue
                     if pending_id is not None and utt_id != pending_id:
-                        yield self._assemble(pending_id, got)
+                        wanted.discard(pending_id)
+                        yield self._assemble(
+                            pending_id,
+                            self._fill_missing_from_index(pending_id, got),
+                        )
                         got = {}
                     pending_id = utt_id
                     got[kind] = _load_tensor_member(tf_handle, member)
             if pending_id is not None:
-                yield self._assemble(pending_id, got)
+                wanted.discard(pending_id)
+                yield self._assemble(
+                    pending_id, self._fill_missing_from_index(pending_id, got)
+                )
 
     def close(self) -> None:
         for tf_handle in self._tars:

@@ -427,7 +427,9 @@ class IndependentMetropolisHastingsEstimator(MonteCarloEstimator):
             last = self.find_initial_sample(k_init)
         else:
             last = self.initial_sample
-        last = jax.lax.stop_gradient(jnp.asarray(last, jnp.float32))
+        # keep the proposal's own dtype: casting to f32 would corrupt
+        # integer-valued samples handed to func (and downcast f64 densities)
+        last = jax.lax.stop_gradient(jnp.asarray(last))
         last_ratio = jax.lax.stop_gradient(
             self.density.log_prob(last) - self.proposal.log_prob(last)
         )

@@ -227,6 +227,31 @@ def chunk_by_slices(
             f"mode must be one of 'constant', 'reflect', 'replicate', got "
             f"'{mode}'"
         )
+    if (
+        mode == "reflect"
+        and not isinstance(slices, jax.core.Tracer)
+        and not isinstance(lens, jax.core.Tracer)
+        and N
+    ):
+        # reflection is single-fold: overhangs >= the sequence length have
+        # no well-defined image (the reference raises the same way,
+        # _pad.py:56-61); under jit the check cannot run and out-of-range
+        # positions clamp instead
+        start_np = np.asarray(slices)[..., 0]
+        end_np = np.asarray(slices)[..., 1]
+        lens_chk = np.asarray(lens)
+        nonempty = (end_np - start_np) > 0
+        if np.any(
+            nonempty
+            & (
+                (np.clip(-start_np, 0, None) >= lens_chk)
+                | (np.clip(end_np - lens_chk, 0, None) >= lens_chk)
+            )
+        ):
+            raise NotImplementedError(
+                "For reflect padding, all padding lengths must be less than "
+                "the sequence length"
+            )
     if out_len is None:
         start = np.asarray(slices)[..., 0]
         end = np.asarray(slices)[..., 1]

@@ -368,6 +368,10 @@ class TrainingStateController:
             pth = self.get_model_path_with_info(self.get_info(epoch))
             with open(pth, "rb") as f:
                 model_state = _from_bytes(model_state, f.read())
+        else:
+            warnings.warn(
+                f"Unable to load model for epoch {epoch}. No state directory!"
+            )
         self._barrier()
         return model_state
 
@@ -397,6 +401,11 @@ class TrainingStateController:
                 model_state = _from_bytes(model_state, f.read())
             with open(self.get_optimizer_path_with_info(info), "rb") as f:
                 opt_state = _from_bytes(opt_state, f.read())
+        else:
+            warnings.warn(
+                f"Unable to load model and optimizer for epoch {epoch}. "
+                "No state directory!"
+            )
         self._barrier()
         return model_state, opt_state
 
@@ -545,7 +554,14 @@ class TrainingStateController:
             )
         if info["lr"] is None:
             lr = _get_lr(opt_state)
-            info["lr"] = 0.0 if lr is None else lr
+            # when the optimizer state carries no lr (no inject_hyperparams)
+            # and log10_learning_rate is unset, track a RELATIVE scale
+            # starting at 1.0 so reduce-on-plateau still counts down and the
+            # history records the cumulative factor (0.0 would make
+            # old_lr - new_lr vanish and silently disable reductions; the
+            # reference reads optimizer.defaults['lr'], which functional
+            # optax has no analogue of)
+            info["lr"] = 1.0 if lr is None else lr
         es_epoch = (
             epoch
             - self.params.early_stopping_patience

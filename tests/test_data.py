@@ -7,6 +7,7 @@ serial run (reference ``tests/test_dataloaders.py:818-907``), here with
 rank/world patched instead of spawning processes.
 """
 
+import os
 import warnings
 
 import numpy as np
@@ -382,3 +383,60 @@ def test_context_window_collate_uttids_four_tuple():
     assert alis.shape == (5,)
     np.testing.assert_array_equal(window_sizes, [3, 2])
     assert uttids == ("utt_a", "utt_b")
+
+
+def test_suppress_alis_ignores_partial_ali_dir(populate_data_dir, tmp_path):
+    """A partial ali/ dir must not shrink the dataset when alis are
+    suppressed (reference gates has_ali on 'and not suppress_alis')."""
+    from pydrobert_tpu.data import SpectDataSet
+
+    root, feats, alis, refs, utt_ids = populate_data_dir(num_utts=6)
+    # delete most ali files
+    ali_dir = os.path.join(root, "ali")
+    for utt in utt_ids[1:]:
+        os.remove(os.path.join(ali_dir, utt + ".pt"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no 'Missing ali' warnings either
+        ds = SpectDataSet(root, suppress_alis=True)
+    assert len(ds) == 6
+    with pytest.warns(UserWarning):
+        ds2 = SpectDataSet(root, suppress_alis=False)
+    assert len(ds2) == 1
+
+
+def test_validate_rejects_negative_ref_tokens(populate_data_dir):
+    from pydrobert_tpu.data import SpectDataSet, validate_spect_data_set
+    from pydrobert_tpu.utils.serial import load_tensor, save_tensor
+
+    root, feats, alis, refs, utt_ids = populate_data_dir(num_utts=2)
+    pth = os.path.join(root, "ref", utt_ids[0] + ".pt")
+    ref = load_tensor(pth)
+    ref[0, 0] = -3
+    save_tensor(ref, pth)
+    ds = SpectDataSet(
+        root, suppress_alis=False, suppress_uttids=False, tokens_only=False
+    )
+    with pytest.raises(ValueError, match="negative reference token"):
+        validate_spect_data_set(ds)
+
+
+def test_spect_tar_duplicate_shards_yield_once(populate_data_dir, tmp_path):
+    """An utt id present in two shards streams exactly once (first shard
+    wins, consistent with random access)."""
+    from pydrobert_tpu import command_line
+    from pydrobert_tpu.data import SpectTarDataSet
+
+    root, feats, alis, refs, utt_ids = populate_data_dir(num_utts=3)
+    tar_a = str(tmp_path / "a.tar")
+    tar_b = str(tmp_path / "b.tar")
+    assert not command_line.torch_spect_data_dir_to_wds([root, tar_a])
+    assert not command_line.torch_spect_data_dir_to_wds([root, tar_b])
+    tds = SpectTarDataSet(
+        [tar_a, tar_b],
+        suppress_alis=False,
+        suppress_uttids=False,
+        tokens_only=False,
+    )
+    assert len(tds) == 3
+    streamed = [t[-1] for t in tds]
+    assert sorted(streamed) == sorted(utt_ids)
