@@ -132,6 +132,11 @@ def parse_arpa_lm(
                 dict_[key] = (ftype(logp) / norm, logb / norm)
             else:
                 dict_[key] = ftype(logp) / norm
+        else:
+            # EOF without a terminating non-entry line: without this the
+            # outer loop would re-match the stale header forever (the
+            # reference hangs on such truncated files)
+            raise IOError("Could not find \\end\\ line")
     if line != "\\end\\":
         raise IOError("Could not find \\end\\ line")
     for ngram_m1, (count, dict_) in enumerate(zip(ngram_counts, prob_dicts)):

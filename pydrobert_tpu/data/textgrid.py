@@ -64,7 +64,24 @@ def _tokenize(text: str) -> List[Union[str, float]]:
     dropped.
     """
     tokens: List[Union[str, float]] = []
-    for line in text.splitlines():
+    # quoted texts may legally span lines in Praat files; join lines while
+    # a quote is open (doubled "" escapes count as two, keeping parity)
+    lines: List[str] = []
+    buf = None
+    for raw in text.splitlines():
+        if buf is None:
+            if raw.count('"') % 2 == 1:
+                buf = raw
+            else:
+                lines.append(raw)
+        else:
+            buf += "\n" + raw
+            if raw.count('"') % 2 == 1:
+                lines.append(buf)
+                buf = None
+    if buf is not None:
+        lines.append(buf)
+    for line in lines:
         # in long format, values follow '='; headers like "intervals [1]:"
         # and "item []:" carry no value
         if "=" in line and not _QUOTED.match(line.strip()):

@@ -55,7 +55,9 @@ class GlobalSoftAttention(nn.Module, metaclass=abc.ABCMeta):
             raise ValueError("Last dimension of query must match query_size")
         if key.shape[-1] != self.key_size:
             raise ValueError("Last dimension of key must match key_size")
-        if self.dim > key_dim - 2 or key_dim == -1 or self.dim < -key_dim + 1:
+        # dim == -1 would put the attended axis on the feature axis; the
+        # reference's guard compares key_dim == -1 (never true) by mistake
+        if self.dim > key_dim - 2 or self.dim == -1 or self.dim < -key_dim + 1:
             raise ValueError(
                 f"dim must be in the range [{-key_dim + 1}, {key_dim - 2}] "
                 "and not -1"
@@ -183,7 +185,9 @@ class MultiHeadedAttention(GlobalSoftAttention):
             raise ValueError("Last dimension of query must match query_size")
         if key.shape[-1] != self.key_size:
             raise ValueError("Last dimension of key must match key_size")
-        if self.dim > key_dim - 2 or key_dim == -1 or self.dim < -key_dim + 1:
+        # dim == -1 would put the attended axis on the feature axis; the
+        # reference's guard compares key_dim == -1 (never true) by mistake
+        if self.dim > key_dim - 2 or self.dim == -1 or self.dim < -key_dim + 1:
             raise ValueError(
                 f"dim must be in the range [{-key_dim + 1}, {key_dim - 2}] "
                 "and not -1"
@@ -193,6 +197,7 @@ class MultiHeadedAttention(GlobalSoftAttention):
         )
         if mask is not None:
             jnp.broadcast_shapes(e_shape, mask.shape)
+        jnp.broadcast_shapes(tuple(e_shape) + (1,), value.shape)
         if value.shape[-1] != self.value_size:
             raise ValueError("Last dimension of value must match value_size")
 

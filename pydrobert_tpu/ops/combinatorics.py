@@ -108,6 +108,20 @@ def binomial_coefficient(
         cnt = np.minimum(count, length_)
         out = fact[length] // (fact[cnt] * fact[np.clip(lmc, 0, None)])
         out = np.where(lmc == -1, 0, out)
+    return _exact_int_array(out)
+
+
+def _exact_int_array(out):
+    """jnp.asarray, unless 64-bit ints would be silently truncated to int32
+    (x64 disabled): exact counts then stay host-side numpy int64 (the
+    reference guarantees exactness up to length 66)."""
+    out = np.asarray(out)
+    if (
+        out.size
+        and np.abs(out).max() > np.iinfo(np.int32).max
+        and not jax.config.jax_enable_x64
+    ):
+        return out
     return jnp.asarray(out)
 
 
@@ -167,7 +181,7 @@ def enumerate_binary_sequences_with_cardinality(
             (np.arange(len(base)) < 2 ** length[b]) & (sums == count[b])
         ]
         out[b][: len(keep)] = keep
-    return jnp.asarray(out), jnp.asarray(binom)
+    return jnp.asarray(out), _exact_int_array(binom)
 
 
 class SimpleRandomSamplingWithoutReplacement:

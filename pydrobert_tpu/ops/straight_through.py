@@ -20,6 +20,9 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+_EULER_GAMMA = float(np.euler_gamma)
 
 __all__ = [
     "ConditionalStraightThrough",
@@ -278,7 +281,7 @@ class GumbelOneHotCategorical:
 
     @property
     def mean(self) -> jax.Array:
-        return self.logits + float(__import__("numpy").euler_gamma)
+        return self.logits + _EULER_GAMMA
 
     @property
     def stddev(self) -> jax.Array:
@@ -290,7 +293,7 @@ class GumbelOneHotCategorical:
 
     def entropy(self) -> jax.Array:
         return jnp.full(
-            self.batch_shape, self.event_shape[0] * (1 + float(__import__("numpy").euler_gamma))
+            self.batch_shape, self.event_shape[0] * (1 + _EULER_GAMMA)
         )
 
     def rsample(

@@ -89,7 +89,6 @@ class _TorchUnpickler(pickle.Unpickler):
 
 
 def _rebuild_tensor_v2(storage, offset, size, stride, *args):
-    arr = storage[offset : offset + int(np.prod(size)) if size else offset + 1]
     if size:
         # torch strides are in elements; build via as_strided on a copy
         arr = np.lib.stride_tricks.as_strided(
@@ -117,7 +116,11 @@ class _FakeStorageClass:
 
 
 def _save_pure(arr: np.ndarray, path) -> None:
-    arr = np.ascontiguousarray(arr)
+    shape = np.asarray(arr).shape
+    # ascontiguousarray promotes 0-d to (1,); restore the true shape so
+    # scalar tensors round-trip with shape () (the torch path guards the
+    # same wart with .reshape(arr.shape))
+    arr = np.ascontiguousarray(arr).reshape(shape)
     if arr.dtype not in _DTYPE_TO_STORAGE:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     storage_name, _ = _DTYPE_TO_STORAGE[arr.dtype]

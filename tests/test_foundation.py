@@ -104,3 +104,22 @@ def test_eight_virtual_devices():
     import jax
 
     assert len(jax.devices()) == 8
+
+
+def test_binomial_coefficient_exact_beyond_int32():
+    """Exact counts survive x64-disabled mode (host-side int64; the
+    reference guarantees exactness to length 66)."""
+    from pydrobert_tpu.ops.combinatorics import binomial_coefficient
+
+    assert int(binomial_coefficient(np.asarray(40), np.asarray(20))) == 137846528820
+    assert int(binomial_coefficient(np.asarray(66), np.asarray(33))) == 7219428434016265740
+    assert int(binomial_coefficient(np.asarray(10), np.asarray(3))) == 120
+
+
+def test_save_tensor_scalar_round_trip(tmp_path):
+    from pydrobert_tpu.utils.serial import _load_pure, _save_pure
+
+    p = str(tmp_path / "s.pt")
+    _save_pure(np.array(3.5), p)
+    out = _load_pure(p)
+    assert out.shape == () and float(out) == 3.5

@@ -263,3 +263,39 @@ def test_transcript_token_conversion_matches_reference(ref_parsing):
         torch.as_tensor(tok), id2token, 10.0
     )
     assert ours_t == theirs_t
+
+
+def test_parse_arpa_truncated_raises():
+    """A file ending right after a section header must raise, not hang
+    (the reference loops forever re-matching the stale header)."""
+    import io
+
+    from pydrobert_tpu.data import parse_arpa_lm
+
+    text = "\\data\\\nngram 1=1\n\n\\1-grams:\n"
+    with pytest.raises(IOError):
+        parse_arpa_lm(io.StringIO(text), to_base_e=False)
+
+
+def test_textgrid_multiline_quoted_text(tmp_path):
+    """Quoted interval texts may span lines in Praat files."""
+    from pydrobert_tpu.data import read_textgrid
+
+    tg = (
+        'File type = "ooTextFile"\n'
+        'Object class = "TextGrid"\n'
+        "xmin = 0\nxmax = 2\ntiers? <exists>\nsize = 1\nitem []:\n"
+        "    item [1]:\n"
+        '        class = "IntervalTier"\n'
+        '        name = "words"\n'
+        "        xmin = 0\n        xmax = 2\n"
+        "        intervals: size = 1\n"
+        "        intervals [1]:\n"
+        "            xmin = 0\n            xmax = 2\n"
+        '            text = "hello\nworld"\n'
+    )
+    pth = tmp_path / "x.TextGrid"
+    pth.write_text(tg)
+    transcript, xmin, xmax = read_textgrid(str(pth), "words")
+    assert xmin == 0 and xmax == 2
+    assert transcript[0][0] == "hello\nworld"
