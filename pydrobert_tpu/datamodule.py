@@ -87,7 +87,12 @@ class DataModuleParams(Parameterized):
         if partition not in _PARTITIONS:
             raise ValueError(f"unknown partition '{partition}'")
         if self._use_split():
-            return getattr(self, partition)
+            params = getattr(self, partition)
+            if params is None and partition == "predict":
+                # like dir_for: predict reuses the test configuration
+                # (reference _pl_data.py:449-453)
+                params = self.test
+            return params
         return self.common
 
     def dir_for(self, partition: str) -> Optional[str]:
@@ -212,7 +217,15 @@ class SpectDataModule:
             self._info_dict = {}
             with open(self.params.info_path) as f:
                 for line in f:
-                    key, value = line.strip().split()
+                    line = line.strip()
+                    if not line:
+                        continue
+                    key, value = line.split()
+                    # -1 marks "absent" (e.g. max_ref_class with no ref/);
+                    # dropping it keeps vocab_size/feat_size None
+                    # (reference _pl_data.py:737-743)
+                    if int(value) == -1:
+                        continue
                     self._info_dict[key] = int(value)
         if self.params.mvn_path is not None and self._mvn_mean is None:
             with open(self.params.mvn_path, "rb") as f:

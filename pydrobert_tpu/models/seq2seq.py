@@ -38,7 +38,6 @@ class Seq2SeqConfig:
     dec_hidden: int = 128
     embed_dim: int = 64
     attn_hidden: int = 128
-    sos: int = -1  # may lie outside [0, vocab); embedded via its own vector
 
 
 class _Encoder(nn.Module):
@@ -96,7 +95,7 @@ class AttentionSeq2Seq(nn.Module):
     def step(self, tok, hidden, enc, enc_mask):
         return self.decoder_step(tok, hidden, enc, enc_mask)
 
-    def __call__(self, feats, lens, tok0=None):
+    def __call__(self, feats, lens):
         """Init-friendly forward touching both submodules."""
         enc, mask = self.encoder(feats, lens)
         N = feats.shape[0]
@@ -182,7 +181,18 @@ def make_mer_train_step(model: AttentionSeq2Seq, optimizer, num_samples: int = 4
         y, y_lens, _ = walk(key, dict(tiled), N * M, max_iters)  # (S, N*M)
         S = y.shape[0]
         hyp_mask = jnp.arange(S)[:, None] < y_lens[None]
-        y_m = jnp.where(hyp_mask, y, -1)
+        y_m = jnp.where(hyp_mask, y, -1)  # WITH eos: log-probs include it
+        # the error rate must not count the terminal eos as a real token
+        # (otherwise terminated samples pay an insertion vs eos-free refs
+        # and the gradient favors non-termination)
+        if eos is not None:
+            last = jnp.take_along_axis(
+                y, jnp.clip(y_lens - 1, 0, None)[None], 0
+            )[0]
+            rate_lens = y_lens - ((last == eos) & (y_lens > 0))
+        else:
+            rate_lens = y_lens
+        y_rate = jnp.where(jnp.arange(S)[:, None] < rate_lens[None], y, -1)
         # per-sample joint log probs under the model (differentiable)
         lp_full = lm(y, prev=dict(tiled))  # (S+1, N*M, V)
         log_probs = sequence_log_probs(
@@ -194,7 +204,7 @@ def make_mer_train_step(model: AttentionSeq2Seq, optimizer, num_samples: int = 4
         loss = minimum_error_rate_loss(
             log_probs,
             refs_t,
-            y_m.reshape(S, N, M),
+            y_rate.reshape(S, N, M),
             eos=-1,  # both paddings are -1, so lengths are inferred exactly
             include_eos=False,
             warn=False,

@@ -17,16 +17,20 @@ __all__ = ["time_distributed_return"]
 def _tdr(r, gamma, batch_first):
     T = r.shape[1] if batch_first else r.shape[0]
     exp = jnp.arange(T, dtype=r.dtype)
-    discount = jnp.power(jnp.asarray(gamma, r.dtype), exp)
+    # gamma^(t' - t) computed on the index DIFFERENCE: the reference's
+    # gamma^i / gamma^j form underflows to 0/0 = NaN inside the kept
+    # triangle once gamma^t underflows (T ~ 2000 at f32, ~150 at f16)
+    diff = exp[None, :] - exp[:, None]  # (t, t')
+    pow_ = jnp.power(jnp.asarray(gamma, r.dtype), jnp.abs(diff))
     # full-precision MXU accumulation: returns are a numerical-fidelity
     # quantity and the discount matmul is tiny
     hp = jax.lax.Precision.HIGHEST
     if batch_first:
-        mat = jnp.tril(discount[:, None] / discount[None, :])
+        mat = jnp.tril(pow_.T)
         return jnp.matmul(
             r, mat, preferred_element_type=r.dtype, precision=hp
         )
-    mat = jnp.triu(discount[None, :] / discount[:, None])
+    mat = jnp.triu(pow_)
     return jnp.matmul(mat, r, preferred_element_type=r.dtype, precision=hp)
 
 

@@ -52,7 +52,16 @@ def make_mesh(
         raise ValueError(
             f"model_parallelism {model_parallelism} must divide device count {n}"
         )
-    arr = np.asarray(devices).reshape(n // model_parallelism, model_parallelism)
+    shape = (n // model_parallelism, model_parallelism)
+    try:
+        # topology-aware placement: on multi-host/torus TPUs, neighboring
+        # mesh coordinates land on physically adjacent chips so the model
+        # axis's collectives ride ICI
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:
+        arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, axis_names)
 
 
@@ -117,6 +126,8 @@ def all_reduce_metrics(
     process this is the identity; under multihost it all-gathers via a tiny
     jitted psum so the reduction rides ICI/DCN.
     """
+    if op not in ("mean", "sum"):
+        raise ValueError(f"unknown op {op!r}")
     if jax.process_count() == 1:
         return dict(metrics)
     from jax.experimental import multihost_utils

@@ -21,7 +21,10 @@ def test_params_split_merge_logic():
     p.initialize_missing()
     assert p.loader_params_are_split
     assert p.params_for("train") is not None
-    assert p.params_for("predict") is None  # not included by default
+    # predict falls back to the test partition's params (reference
+    # _pl_data.py:449-453); raw attribute stays unset
+    assert p.predict is None
+    assert p.params_for("predict") is p.params_for("test")
     p2 = SpectDataModuleParams(common=SpectDataLoaderParams(batch_size=5))
     assert p2.params_for("train").batch_size == 5
     p2.train = SpectDataLoaderParams()
