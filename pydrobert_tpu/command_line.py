@@ -1591,8 +1591,8 @@ def _chunk_do_work(
         raise ValueError(
             f"ref for utterance '{utt_id}' is 1-D (tokens only); chunking "
             "requires (R, 3) refs with segment boundaries to assign tokens "
-            "to chunks. Convert with "
-            "torch-token-data-dir-to-torch-ali-data-dir tooling or exclude "
+            "to chunks. Regenerate refs with boundaries (e.g. from an ali "
+            "dir via torch-ali-data-dir-to-torch-token-data-dir) or exclude "
             "the ref dir"
         )
     src = {"fixed": feats, "ali": alis, "ref": refs}[policy]
@@ -2290,7 +2290,10 @@ def arpa_lm_to_state_dict(args: Optional[Sequence[str]] = None):
     lm = LookupLanguageModel(
         vocab_size, sos=sos, prob_dicts=prob_dicts, destructive=True
     )
-    np.savez(options.out, **lm.state_dict())
+    # write through a file handle: np.savez given a PATH silently appends
+    # .npz, so the archive would land somewhere other than what was passed
+    with open(options.out, "wb") as f:
+        np.savez(f, **lm.state_dict())
     return 0
 
 
@@ -2314,28 +2317,28 @@ def print_arpa_lm_state_dict_info(args: Optional[Sequence[str]] = None):
         options = parser.parse_args(args)
     except SystemExit as ex:
         return ex.code
-    from .lm import LookupLanguageModel
+    from .lm import _EMPTY_KEY
 
+    # everything needed is in the raw arrays: no device-table rebuild
     d = dict(np.load(options.state_dict))
-    lm = LookupLanguageModel(1, sos=0)
-    lm.load_state_dict(d)
+    vocab_size, sos_, max_ngram = (int(x) for x in d["meta"])
     info = OrderedDict()
-    info["vocab_size"] = lm.vocab_size
-    info["sos"] = lm.sos
-    info["max_ngram"] = lm.max_ngram
-    info["max_corrections"] = lm.max_corrections
-    info["num_unigrams"] = int(np.isfinite(lm._uni_logp).sum())
+    info["vocab_size"] = vocab_size
+    info["sos"] = sos_
+    info["max_ngram"] = max_ngram
+    max_corrections = 0
+    info["num_unigrams"] = int(np.isfinite(d["uni_logp"]).sum())
     total_bytes = sum(v.nbytes for v in d.values())
-    for i, t in enumerate(lm._ctx_tables):
+    for i in range(max_ngram - 1):
         order = i + 2
-        occupied = int((t.keys[:, 0] != np.iinfo(np.int32).min).sum())
-        info[f"order{order}_contexts"] = occupied
-        info[f"order{order}_continuations"] = len(t.child_tok)
-        info[f"order{order}_max_children"] = t.max_children
-        info[f"order{order}_max_probe"] = t.max_probe
-        info[f"order{order}_dense_rows"] = (
-            0 if t.dense_packed is None else t.dense_packed.shape[0]
-        )
+        keys = d[f"ctx{i}_keys"]
+        max_probe, max_children = (int(x) for x in d[f"ctx{i}_meta"])
+        max_corrections += max_children
+        info[f"order{order}_contexts"] = int((keys[:, 0] != _EMPTY_KEY).sum())
+        info[f"order{order}_continuations"] = len(d[f"ctx{i}_tok"])
+        info[f"order{order}_max_children"] = max_children
+        info[f"order{order}_max_probe"] = max_probe
+    info["max_corrections"] = max_corrections
     info["total_bytes"] = total_bytes
     for key, value in info.items():
         options.out_file.write(f"{key} {value}\n")

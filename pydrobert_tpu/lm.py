@@ -703,7 +703,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             )
         return cached
 
-    def sparse_corrections(self, ctx: jax.Array):
+    def sparse_corrections(self, ctx: jax.Array, want_logz: bool = True):
         """Backoff-LM log-probs as ``uni[v] + base`` plus sparse overrides.
 
         For query contexts ``ctx`` (``(N - 1, B)`` token ids, most recent
@@ -820,6 +820,9 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         toks = jnp.concatenate(tokss, 1)
         val = jnp.concatenate(vals, 1)
         valid = jnp.concatenate(valids, 1)
+        if not want_logz:
+            # rescoring paths never normalize; skip the exp-reductions
+            return base, toks, val, valid, None
         # exact normalizer: start from the all-backoff mass, swap corrected
         # tokens' unigram mass for their stored mass (children's unigram
         # log-probs ride along in the child rows — no extra gather)
@@ -894,10 +897,13 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             raise RuntimeError("hist must be 2 dimensional")
         S, N = hist.shape
         V = self.vocab_size
+        # non-vocab ids (padding, out-of-range) must not alias real tokens
+        bad = ((hist < 0) | (hist >= V)).reshape(-1)
         tok = jnp.clip(hist, 0, V - 1).reshape(-1)  # (S*N,)
         uni_at_tok = jnp.take(jnp.asarray(self._uni_logp), tok, axis=0)
         if self.max_ngram == 1 or S == 0:
-            return uni_at_tok.reshape(S, N)
+            out = jnp.where(bad, -jnp.inf, uni_at_tok)
+            return out.reshape(S, N)
         # contexts for every position at once: ctx[j, t, n] = hist[t-1-j, n]
         # (sos-padded), flattened to (Ng-1, S*N)
         Ngm1 = self.max_ngram - 1
@@ -910,11 +916,44 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         ctx = jnp.where(
             (pos >= 0)[..., None], gathered.astype(jnp.int32), self.sos
         ).reshape(Ngm1, S * N)
-        base, ctoks, cvals, cvalid, _ = self.sparse_corrections(ctx)
-        match = (ctoks == tok[:, None]) & cvalid  # (S*N, C)
-        out = jnp.where(match, cvals, 0.0).sum(1) + jnp.where(
-            match.any(1), 0.0, base + uni_at_tok
-        )
+        from . import config as _config
+
+        if self.max_corrections > _config.SPARSE_FUSION_MAX_CORRECTIONS:
+            # huge per-context correction lists (e.g. real KenLM-scale
+            # unigram contexts) would blow up (S*N, C) intermediates:
+            # evaluate the dense conditional row per chunk of positions and
+            # gather the one token — bounded by chunk * V
+            chunk = max(1, 4096 // max(V, 1)) * 8
+            total = S * N
+            pad = (-total) % chunk
+            ctx_p = jnp.pad(ctx, ((0, 0), (0, pad)))
+            tok_p = jnp.pad(tok, (0, pad))
+            uni = jnp.asarray(self._uni_logp)
+
+            def do_chunk(args):
+                ctx_c, tok_c = args  # (Ng-1, chunk), (chunk,)
+                lp = jnp.broadcast_to(uni, (chunk, V))
+                for n in range(2, self.max_ngram + 1):
+                    ctx_n = ctx_c[: n - 1][::-1].T
+                    lp = self._ctx_tables[n - 2].extend_scores(ctx_n, lp)
+                return jnp.take_along_axis(lp, tok_c[:, None], 1)[:, 0]
+
+            out = jax.lax.map(
+                do_chunk,
+                (
+                    ctx_p.reshape(Ngm1, -1, chunk).swapaxes(0, 1),
+                    tok_p.reshape(-1, chunk),
+                ),
+            ).reshape(-1)[:total]
+        else:
+            base, ctoks, cvals, cvalid, _ = self.sparse_corrections(
+                ctx, want_logz=False
+            )
+            match = (ctoks == tok[:, None]) & cvalid  # (S*N, C)
+            out = jnp.where(match, cvals, 0.0).sum(1) + jnp.where(
+                match.any(1), 0.0, base + uni_at_tok
+            )
+        out = jnp.where(bad, -jnp.inf, out)
         return out.reshape(S, N)
 
     def calc_full_log_probs_chunked(
