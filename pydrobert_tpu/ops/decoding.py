@@ -53,6 +53,29 @@ __all__ = [
 ]
 
 NEG_INF = -float("inf")
+# beam-mass sentinel for width-padded beams: probability-space masses must
+# stay FINITE or the advances compute -inf * 0 = NaN (e.g. the padded
+# beam's last-token one-hot), and NaN outranks every real candidate in
+# top_k. Real masses are >= 0, so any negative mass marks a dummy beam;
+# outputs convert them back to -inf (same convention as the Pallas
+# kernel's _DUMMY).
+MASS_PAD = -1.0e30
+
+
+def _sparse_at(lm, ctx, N, Kp):
+    """LM sparse structure for contexts (N, Kp, Ng-1), reshaped to
+    (N, Kp, ...) leading dims (shared by BeamSearch and CTCPrefixSearch)."""
+    Ng = lm.max_ngram
+    ctx_in = jnp.moveaxis(ctx.reshape(N * Kp, Ng - 1), 0, 1)
+    base, tk, vl, vd, lz = lm.sparse_corrections(ctx_in)
+    Cc = tk.shape[1]
+    return (
+        base.reshape(N, Kp),
+        tk.reshape(N, Kp, Cc),
+        vl.reshape(N, Kp, Cc),
+        vd.reshape(N, Kp, Cc),
+        lz.reshape(N, Kp),
+    )
 
 
 def _scatter_token_rows(y_ext, lens, y_t):
@@ -260,16 +283,7 @@ class BeamSearch:
             uni_eos = float(uni_np[eos]) if eos is not None else 0.0
 
             def sparse_at(ctx, Kp):
-                ctx_in = jnp.moveaxis(ctx.reshape(N * Kp, Ng - 1), 0, 1)
-                base, tk, vl, vd, lz = lm.sparse_corrections(ctx_in)
-                Cc = tk.shape[1]
-                return (
-                    base.reshape(N, Kp),
-                    tk.reshape(N, Kp, Cc),
-                    vl.reshape(N, Kp, Cc),
-                    vd.reshape(N, Kp, Cc),
-                    lz.reshape(N, Kp),
-                )
+                return _sparse_at(lm, ctx, N, Kp)
 
             def select_sparse(lp_prev, ctx, eos_mask, Kp, K):
                 """(lp_next, next_src, y_tok): top-K over per-beam slots."""
@@ -367,37 +381,26 @@ class BeamSearch:
         )
 
         def cond(carry):
-            t, y_buf, y_lens, log_probs, state, ctx = carry
+            t, y_buf, y_lens, log_probs, state, ctx, eos_mask = carry
             if eos is None:
                 return t < S
-            last = jnp.take_along_axis(
-                jnp.moveaxis(y_buf, 0, 2),  # (N, W, S)
-                jnp.clip(y_lens - 1, 0, None)[..., None],
-                axis=2,
-            )[..., 0]
-            eos_mask = (last == eos) & (y_lens > 0)
             done = (
                 eos_mask.all(1) if self.finish_all_paths else eos_mask[:, 0]
             )
             return (t < S) & ~done.all()
 
         def body(carry):
-            t, y_buf, y_lens, log_probs, state, ctx = carry
-            last = jnp.take_along_axis(
-                jnp.moveaxis(y_buf, 0, 2),
-                jnp.clip(y_lens - 1, 0, None)[..., None],
-                axis=2,
-            )[..., 0]
+            # eos_mask rides in the carry: deriving it from the path buffer
+            # costs two full (S, N, W) passes per step (cond + body)
+            t, y_buf, y_lens, log_probs, state, ctx, eos_mask = carry
             if eos is not None:
-                eos_mask = (last == eos) & (y_lens > 0)
                 done_mask = (
                     eos_mask.all(1, keepdims=True)
                     if self.finish_all_paths
                     else eos_mask[:, :1]
                 )
             else:
-                eos_mask = jnp.zeros((N, W), bool)
-                done_mask = eos_mask[:, :1]
+                done_mask = jnp.zeros((N, 1), bool)
 
             if use_sparse:
                 in_next = state
@@ -462,12 +465,25 @@ class BeamSearch:
                     state_next,
                     state,
                 )
-            return (t + 1, y_next, lens_next, lp_next, state_next, ctx_next)
+            if eos is not None:
+                eos_next = (y_t[0] == eos) & (lens_next > 0)
+                eos_next = jnp.where(done_mask, eos_mask, eos_next)
+            else:
+                eos_next = eos_mask
+            return (
+                t + 1, y_next, lens_next, lp_next, state_next, ctx_next,
+                eos_next,
+            )
 
+        if eos is not None:
+            eos_mask0 = (y_t == eos) & (y_lens > 0)
+        else:
+            eos_mask0 = jnp.zeros((N, W), bool)
         carry = (
             jnp.asarray(1, jnp.int32), y_buf, y_lens, log_probs, state, ctx,
+            eos_mask0,
         )
-        _, y_buf, y_lens, log_probs, _, _ = jax.lax.while_loop(
+        _, y_buf, y_lens, log_probs, _, _, _ = jax.lax.while_loop(
             cond, body, carry
         )
 
@@ -1078,9 +1094,9 @@ def _ctc_advance_tail(
         y_next_lens = jnp.concatenate(
             [y_next_lens.astype(jnp.int32), zeros_i], 1
         )
-        neg_inf = jnp.full((N, rem), NEG_INF, nb_probs_next.dtype)
-        nb_probs_next = jnp.concatenate([nb_probs_next, neg_inf], 1)
-        b_probs_next = jnp.concatenate([b_probs_next, neg_inf], 1)
+        mass_pad = jnp.full((N, rem), MASS_PAD, nb_probs_next.dtype)
+        nb_probs_next = jnp.concatenate([nb_probs_next, mass_pad], 1)
+        b_probs_next = jnp.concatenate([b_probs_next, mass_pad], 1)
         false_ = jnp.zeros((N, rem), bool)
         next_is_nonext = jnp.concatenate([next_is_nonext, false_], 1)
         next_is_prefix = jnp.concatenate(
@@ -1323,18 +1339,7 @@ class CTCPrefixSearch:
             )  # (T, N, M)
 
             def sparse_at(ctx, Kp):
-                """LM sparse structure for contexts (N, Kp, Ng-1), reshaped
-                to (N, Kp, ...) leading dims."""
-                ctx_in = jnp.moveaxis(ctx.reshape(N * Kp, Ng - 1), 0, 1)
-                base, tk, vl, vd, lz = lm.sparse_corrections(ctx_in)
-                Cc = tk.shape[1]
-                return (
-                    base.reshape(N, Kp),
-                    tk.reshape(N, Kp, Cc),
-                    vl.reshape(N, Kp, Cc),
-                    vd.reshape(N, Kp, Cc),
-                    lz.reshape(N, Kp),
-                )
+                return _sparse_at(lm, ctx, N, Kp)
 
         elif use_uni:
             M = min(V, 2 * W)
@@ -1449,10 +1454,10 @@ class CTCPrefixSearch:
         # freeze batch elements with lens == 0
         valid0 = (0 < lens)[:, None]  # (N, 1)
         nb_init = jnp.concatenate(
-            [nb0, jnp.full((N, W - 1), NEG_INF)], 1
+            [nb0, jnp.full((N, W - 1), MASS_PAD)], 1
         ) if W > 1 else nb0
         b_init = jnp.concatenate(
-            [b0, jnp.full((N, W - 1), NEG_INF)], 1
+            [b0, jnp.full((N, W - 1), MASS_PAD)], 1
         ) if W > 1 else b0
         y_lens = jnp.where(valid0, y_lens, 0)
         nb = jnp.where(valid0, nb, nb_init)
@@ -1616,6 +1621,9 @@ class CTCPrefixSearch:
             ), _ = jax.lax.scan(step, carry, xs)
 
         y_probs = nb + b
+        # dummy-beam masses are negative (real prefix masses are sums of
+        # probability products >= 0): restore the -inf the API promises
+        y_probs = jnp.where(y_probs < 0, NEG_INF, y_probs)
         return y_buf, y_lens, y_probs
 
 
@@ -1909,6 +1917,13 @@ class SequentialLanguageModelDistribution:
                 "max_iters must be set (static sequence bound on TPU)"
             )
         self.random_walk = random_walk
+        if len(tuple(batch_shape)) > 1:
+            # sample()/log_prob() treat batch_shape[0] as the whole walk
+            # batch; reject multi-dim shapes here instead of failing with a
+            # reshape error far from the mistake
+            raise ValueError(
+                f"batch_shape must be scalar or 1-D, got {tuple(batch_shape)}"
+            )
         self.batch_shape = tuple(batch_shape)
         self.event_shape = (argcheck.is_nonnegi(max_iters, "max_iters"),)
         self.initial_state = dict() if initial_state is None else initial_state

@@ -669,10 +669,14 @@ def ctc_beam_search_pallas(nonext_probs, blank_probs, lens, width):
 
 def ctc_beam_search_vmem_ok(T, N, V, width) -> bool:
     """Whether the kernel's VMEM residents fit comfortably."""
+    M = min(V, 2 * width)
     buf = 3 * width * N * T * 4  # 2 ping-pong scratch + y output block
-    frame = N * (V + 2) * 4 * 2
-    state = N * width * (width + 8) * 4
-    return buf + frame + state <= 24 * 1024 * 1024
+    frame = N * (V + 2 * M + 2) * 4 * 2
+    # declared scratch: nb/b/lens/last (N,W) x4 + ip_sc/old_sc (N,W,W) x2
+    state = N * width * (2 * width + 16) * 4
+    # _ctc_beam_select's rank-4 intermediates: (N,W,M+1,W) and (N,W,W,?)
+    inter = N * width * (M + 1 + width) * width * 4 * 2
+    return buf + frame + state + inter <= 24 * 1024 * 1024
 
 
 __all__ += ["ctc_beam_search_pallas", "ctc_beam_search_reference"]

@@ -723,3 +723,29 @@ def test_ctc_fused_sparse_decode_sharded_matches_local():
             np.testing.assert_array_equal(
                 np.asarray(y0)[:L, n, k], np.asarray(y1)[:L, n, k]
             )
+
+
+def test_ctc_prefix_search_wide_beam_no_nan():
+    """Width-padded beams must not poison results with NaN: probability
+    masses stay finite internally (-inf * 0 = NaN would outrank every real
+    candidate in top_k), and dummy beams report -inf probabilities."""
+    from pydrobert_tpu import config as tpu_config
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    rng = np.random.RandomState(0)
+    V, W, T, N = 3, 8, 6, 2
+    logits = jnp.asarray(rng.randn(T, N, V + 1), np.float32)
+    lm = LookupLanguageModel(V, sos=V)  # uniform unigram
+    old = tpu_config.SPARSE_FUSION_MAX_CORRECTIONS
+    try:
+        for maxc in (-1, 10**9):
+            tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = maxc
+            y, lens, probs = D.CTCPrefixSearch(W, beta=0.5, lm=lm)(logits)
+            p = np.asarray(probs)
+            assert not np.isnan(p).any(), p
+            assert np.isfinite(p[:, 0]).all()
+    finally:
+        tpu_config.SPARSE_FUSION_MAX_CORRECTIONS = old
+    # no-LM with exact-zero frame probabilities
+    y, lens, probs = D.CTCPrefixSearch(W)(logits.at[:, :, 1].set(-np.inf))
+    assert not np.isnan(np.asarray(probs)).any()
