@@ -65,18 +65,6 @@ def is_a(val: V, name: Optional[str] = None, *, cls: Type = object) -> V:
     return val
 
 
-def _mk_is_a(cls, clsname):
-    @_allow_none
-    def check(val, name=None):
-        if not isinstance(val, cls) or (
-            clsname == "bool" and not isinstance(val, (bool, np.bool_))
-        ):
-            raise ValueError(f"{_nv(name, val)} is not a {clsname}")
-        return val
-
-    return check
-
-
 @_allow_none
 def is_int(val, name=None):
     """Check that `val` is an integer (Python or numpy, not bool)."""
@@ -162,16 +150,10 @@ def is_file(val, name=None):
 
 
 @_allow_none
-def is_exactly(val, name=None, *, other: Any = None):
+def is_exactly(val, other: Any = None, name=None, other_name=None):
+    """Check ``val is other`` (reference signature: val, other, name)."""
     if val is not other:
-        raise ValueError(f"{_nv(name, val)} is not {other!r}")
-    return val
-
-
-@_allow_none
-def is_in(val, name=None, collection: Collection = ()):
-    if val not in collection:
-        raise ValueError(f"{_nv(name, val)} is not one of {collection!r}")
+        raise ValueError(f"{_nv(name, val)} is not {_nv(other_name, other)}")
     return val
 
 
@@ -316,14 +298,24 @@ is_btw_opent = _mk_btw(_op.gt, _op.lt, is_array)
 is_btw_closedf = _mk_btw(_op.ge, _op.le, is_float)
 is_btw_closedi = _mk_btw(_op.ge, _op.le, is_int)
 is_btw_closedt = _mk_btw(_op.ge, _op.le, is_array)
-is_open01 = _mk_btw(_op.gt, _op.lt, None, 0, 1)
-is_closed01 = _mk_btw(_op.ge, _op.le, None, 0, 1)
-is_open01f = _mk_btw(_op.gt, _op.lt, is_float, 0, 1)
-is_closed01f = _mk_btw(_op.ge, _op.le, is_float, 0, 1)
-is_open01i = _mk_btw(_op.gt, _op.lt, is_int, 0, 1)
-is_closed01i = _mk_btw(_op.ge, _op.le, is_int, 0, 1)
-is_open01t = _mk_btw(_op.gt, _op.lt, is_array, 0, 1)
-is_closed01t = _mk_btw(_op.ge, _op.le, is_array, 0, 1)
+def _mk_01(btw):
+    # reference signature: (val, name=None, allow_none=False) — name comes
+    # SECOND (the btw helpers put bounds first, which mis-bound positional
+    # names onto the left bound)
+    def check(val, name=None, allow_none=False):
+        return btw(val, 0, 1, name=name, allow_none=allow_none)
+
+    return check
+
+
+is_open01 = _mk_01(_mk_btw(_op.gt, _op.lt))
+is_closed01 = _mk_01(_mk_btw(_op.ge, _op.le))
+is_open01f = _mk_01(_mk_btw(_op.gt, _op.lt, is_float))
+is_closed01f = _mk_01(_mk_btw(_op.ge, _op.le, is_float))
+is_open01i = _mk_01(_mk_btw(_op.gt, _op.lt, is_int))
+is_closed01i = _mk_01(_mk_btw(_op.ge, _op.le, is_int))
+is_open01t = _mk_01(_mk_btw(_op.gt, _op.lt, is_array))
+is_closed01t = _mk_01(_mk_btw(_op.ge, _op.le, is_array))
 
 
 def _mk_as(caster, post=None):

@@ -88,13 +88,48 @@ __all__ = [
 
 
 class _ConfiguredCallable:
-    """Stores functional keyword config at init; applies at call."""
+    """Stores functional keyword config at init; applies at call.
+
+    Call-time positional arguments bind to the functional's NON-config
+    parameters in signature order (the functionals interleave config
+    parameters between data arguments, so forwarding ``*args`` verbatim
+    would mis-bind e.g. ``lengths`` onto ``max_time_warp``)."""
 
     _fn = None
     _config_keys = ()
 
-    def __init__(self, **kwargs):
-        bad = set(kwargs) - set(self._config_keys)
+    @classmethod
+    def _call_param_names(cls):
+        names = cls.__dict__.get("_call_params")
+        if names is None:
+            import inspect
+
+            sig = inspect.signature(cls._fn)
+            names = tuple(
+                p.name
+                for p in sig.parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                and p.name not in cls._config_keys
+            )
+            cls._call_params = names
+        return names
+
+    def __init__(self, *args, **kwargs):
+        keys = self._config_keys
+        if len(args) > len(keys):
+            raise TypeError(
+                f"{type(self).__name__} takes at most {len(keys)} "
+                f"positional arguments ({len(args)} given)"
+            )
+        for k, v in zip(keys, args):
+            if k in kwargs:
+                raise TypeError(
+                    f"{type(self).__name__} got multiple values for "
+                    f"argument '{k}'"
+                )
+            kwargs[k] = v
+        bad = set(kwargs) - set(keys)
         if bad:
             raise TypeError(
                 f"{type(self).__name__} got unexpected arguments {sorted(bad)}"
@@ -102,16 +137,36 @@ class _ConfiguredCallable:
         self._kwargs = kwargs
 
     def __getattr__(self, name):
-        # expose config values as attributes, like the reference modules
-        try:
-            return self.__dict__["_kwargs"][name]
-        except KeyError:
-            raise AttributeError(name)
+        # expose config values as attributes, like the reference modules;
+        # unset hyperparameters fall back to the functional's default
+        d = self.__dict__.get("_kwargs", {})
+        if name in d:
+            return d[name]
+        if name in type(self)._config_keys:
+            import inspect
+
+            p = inspect.signature(type(self)._fn).parameters.get(name)
+            if p is not None and p.default is not inspect.Parameter.empty:
+                return p.default
+        raise AttributeError(name)
 
     def __call__(self, *args, **overrides):
         kwargs = dict(self._kwargs)
         kwargs.update(overrides)
-        return type(self)._fn(*args, **kwargs)
+        call_names = self._call_param_names()
+        if len(args) > len(call_names):
+            raise TypeError(
+                f"{type(self).__name__}() takes at most {len(call_names)} "
+                f"positional arguments ({len(args)} given)"
+            )
+        for nm, v in zip(call_names, args):
+            if nm in kwargs:
+                raise TypeError(
+                    f"{type(self).__name__}() got multiple values for "
+                    f"argument '{nm}'"
+                )
+            kwargs[nm] = v
+        return type(self)._fn(**kwargs)
 
     def __repr__(self):
         cfg = ", ".join(f"{k}={v!r}" for k, v in self._kwargs.items())
@@ -119,18 +174,11 @@ class _ConfiguredCallable:
 
 
 def _wrap(name, fn, config_keys, doc):
-    cls = type(
+    return type(
         name,
         (_ConfiguredCallable,),
         {"_fn": staticmethod(fn), "_config_keys": tuple(config_keys), "__doc__": doc},
     )
-
-    def __init__(self, *args, **kwargs):
-        kwargs.update(zip(config_keys, args))
-        _ConfiguredCallable.__init__(self, **kwargs)
-
-    cls.__init__ = __init__
-    return cls
 
 
 _STRING_KEYS = (

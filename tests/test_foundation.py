@@ -123,3 +123,44 @@ def test_save_tensor_scalar_round_trip(tmp_path):
     _save_pure(np.array(3.5), p)
     out = _load_pure(p)
     assert out.shape == () and float(out) == 3.5
+
+
+def test_module_wrappers_bind_call_args_correctly():
+    """Wrapper modules bind call-time positionals to the functional's
+    NON-config parameters (the functionals interleave config between data
+    arguments), and init rejects duplicate/excess positionals."""
+    import jax
+    import jax.numpy as jnp
+
+    from pydrobert_tpu import modules as M
+
+    key = jax.random.PRNGKey(0)
+    feats = jnp.asarray(np.random.randn(3, 16, 5), np.float32)
+    lengths = jnp.asarray([16.0, 12.0, 8.0])
+    out = M.SpecAugment()(key, feats, lengths)
+    assert out.shape == feats.shape
+    toks = jnp.asarray([[1, 0, 2], [2, 2, 0]]).T
+    val = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]).T
+    out = M.FillAfterEndOfSequence(eos=0)(toks, val)
+    np.testing.assert_allclose(np.asarray(out)[:, 0], [1.0, 2.0, 0.0])
+    x = jnp.asarray(np.random.randn(2, 10, 3), np.float32)
+    shifted, out_lens = M.RandomShift(prop=(0.1, 0.1))(
+        key, x, jnp.asarray([10, 8]), False
+    )
+    np.testing.assert_array_equal(np.asarray(out_lens), [10, 8])  # eval mode
+    with pytest.raises(TypeError):
+        M.EditDistance(1, eos=2)
+    with pytest.raises(TypeError):
+        M.FillAfterEndOfSequence(0, 1, 2, 99, 100)
+    assert M.EditDistance().eos is None  # functional default exposed
+
+
+def test_argcheck_reference_positional_forms():
+    from pydrobert_tpu import argcheck
+
+    assert argcheck.is_open01(0.5, "p") == 0.5
+    with pytest.raises(ValueError):
+        argcheck.is_closed01(1.5, "p")
+    assert argcheck.is_exactly(None, None, "x") is None
+    with pytest.raises(ValueError):
+        argcheck.is_exactly(5, None, "x")
