@@ -763,33 +763,57 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32),
                 0.0,
             )
-            logbs = [logb_all[:, i] for i in range(N - 1)]
-            pos_parts, valid_parts = [], []
-            for i in range(N - 1):
-                S_i = s_list[i]
-                ar = jnp.arange(S_i, dtype=jnp.int32)[None]
-                pos_parts.append(
-                    jnp.clip(
-                        rows[:, i, 1:2] + ar + child_offs[i],
-                        0,
-                        child_all.shape[0] - 1,
-                    )
-                )
-                valid_parts.append(ar < lengths[:, i : i + 1])
-            got = child_all[jnp.concatenate(pos_parts, 1)]  # ONE gather
-            valid_cat = jnp.concatenate(valid_parts, 1)
-            toks_cat = got[..., 0]
-            lps_cat = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
-            unis_cat = jax.lax.bitcast_convert_type(got[..., 2], jnp.float32)
-            bounds = np.concatenate([[0], np.cumsum(s_list)])
-            tokss = [toks_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)]
-            lpss = [lps_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)]
-            valids = [
-                valid_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)
-            ]
-            uniss = [
-                unis_cat[:, bounds[i]:bounds[i + 1]] for i in range(N - 1)
-            ]
+            # stay CONCATENATED across orders: per-order list splits cost
+            # ~2-3 dispatched kernels each inside decode loops; static
+            # slot->order maps turn the whole epilogue into a handful of
+            # fused ops over (B, Ctot)
+            slot_order = np.concatenate(
+                [np.full((s,), i, np.int32) for i, s in enumerate(s_list)]
+            )  # (Ctot,) which order each child slot belongs to
+            slot_off = np.concatenate(
+                [
+                    np.arange(s, dtype=np.int32) + child_offs[i]
+                    for i, s in enumerate(s_list)
+                ]
+            )
+            starts = jnp.take(rows[..., 1], slot_order, axis=1)  # (B, Ctot)
+            pos = jnp.clip(
+                starts + slot_off[None], 0, child_all.shape[0] - 1
+            )
+            got = child_all[pos]  # (B, Ctot, 3): ONE gather
+            valid = jnp.asarray(slot_off - np.take(child_offs, slot_order))[
+                None
+            ] < jnp.take(lengths, slot_order, axis=1)
+            toks = got[..., 0]
+            lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
+            uni_at = jax.lax.bitcast_convert_type(got[..., 2], jnp.float32)
+            base = logb_all.sum(1)
+            # value of an order-n match = stored logp + backoffs of all
+            # HIGHER orders escaped through: a suffix sum over orders,
+            # spread to slots by the static map
+            sfx_excl = jnp.concatenate(
+                [
+                    jnp.cumsum(logb_all[:, ::-1], axis=1)[:, -2::-1],
+                    jnp.zeros((B, 1), logb_all.dtype),
+                ],
+                1,
+            )  # (B, N-1): sum of logb over orders > i
+            val = lps + jnp.take(sfx_excl, slot_order, axis=1)
+            # higher-order matches override lower ones: one all-pairs
+            # comparison masked by the static order relation
+            higher = slot_order[:, None] < slot_order[None, :]  # (C, C)
+            dup = (
+                (toks[:, :, None] == toks[:, None, :])
+                & valid[:, None, :]
+                & jnp.asarray(higher)[None]
+            ).any(2)
+            valid = valid & ~dup
+            if not want_logz:
+                return base, toks, val, valid, None
+            covered = jnp.where(valid, jnp.exp(uni_at), 0.0).sum(1)
+            zb = jnp.maximum(self._sum_u - covered, 0.0) * jnp.exp(base)
+            z = zb + jnp.where(valid, jnp.exp(val), 0.0).sum(1)
+            return base, toks, val, valid, jnp.log(z)
         else:
             logbs, tokss, lpss, valids, uniss = [], [], [], [], []
             for n in range(2, N + 1):

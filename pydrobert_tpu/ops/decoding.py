@@ -63,10 +63,13 @@ MASS_PAD = -1.0e30
 
 
 def _sparse_at(lm, ctx, N, Kp):
-    """LM sparse structure for contexts (N, Kp, Ng-1), reshaped to
-    (N, Kp, ...) leading dims (shared by BeamSearch and CTCPrefixSearch)."""
+    """LM sparse structure for contexts (Ng-1, N, Kp) (most recent first),
+    reshaped to (N, Kp, ...) leading dims (shared by BeamSearch and
+    CTCPrefixSearch). Contexts ride the decode loops order-major so this
+    reshape is layout-free (the (N, Kp, Ng-1) form cost a transpose kernel
+    per step)."""
     Ng = lm.max_ngram
-    ctx_in = jnp.moveaxis(ctx.reshape(N * Kp, Ng - 1), 0, 1)
+    ctx_in = ctx.reshape(Ng - 1, N * Kp)
     base, tk, vl, vd, lz = lm.sparse_corrections(ctx_in)
     Cc = tk.shape[1]
     return (
@@ -332,7 +335,7 @@ class BeamSearch:
                 ).astype(jnp.int32)
                 return lp_next, next_src, y_tok
 
-            ctx = jnp.full((N, 1, Ng - 1), lm.sos, jnp.int32)
+            ctx = jnp.full((Ng - 1, N, 1), lm.sos, jnp.int32)
         else:
             ctx = jnp.zeros((0,), jnp.int32)
 
@@ -357,11 +360,11 @@ class BeamSearch:
             log_probs, next_ind = jax.lax.top_k(cand, K)
             y_t = (next_ind % V).astype(jnp.int32)
         if use_sparse:
-            ctx_b = jnp.broadcast_to(ctx, (N, K, Ng - 1))
-            ctx = jnp.concatenate([y_t[:, :, None], ctx_b[:, :, :-1]], 2)
+            ctx_b = jnp.broadcast_to(ctx, (Ng - 1, N, K))
+            ctx = jnp.concatenate([y_t[None], ctx_b[:-1]], 0)
             if K < W:
                 ctx = jnp.concatenate(
-                    [ctx, jnp.full((N, W - K, Ng - 1), lm.sos, jnp.int32)], 1
+                    [ctx, jnp.full((Ng - 1, N, W - K), lm.sos, jnp.int32)], 2
                 )
         if K < W:
             log_probs = jnp.concatenate(
@@ -437,13 +440,11 @@ class BeamSearch:
             if use_sparse:
                 ctx_src = jnp.take_along_axis(
                     ctx,
-                    jnp.broadcast_to(next_src[:, :, None], (N, W, Ng - 1)),
-                    axis=1,
+                    jnp.broadcast_to(next_src[None], (Ng - 1, N, W)),
+                    axis=2,
                 )
-                ctx_next = jnp.concatenate(
-                    [y_t[0][:, :, None], ctx_src[:, :, :-1]], 2
-                )
-                ctx_next = jnp.where(done_mask[:, :, None], ctx, ctx_next)
+                ctx_next = jnp.concatenate([y_t, ctx_src[:-1]], 0)
+                ctx_next = jnp.where(done_mask[None], ctx, ctx_next)
             else:
                 ctx_next = ctx
 
@@ -850,13 +851,6 @@ def _ctc_prefix_search_advance_sparse(
     y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
     scal = jnp.exp(beta * (base - logZ))  # (N, Kp)
 
-    # LM value of each beam's own last token (corrected or base+uni)
-    last_in_corr = (ctoks == y_prev_last[:, :, None]) & cvalid  # (N,Kp,C)
-    lm_last = jnp.where(last_in_corr, cvals, 0.0).sum(2) + jnp.where(
-        last_in_corr.any(2),
-        0.0,
-        base + jnp.take(uni, y_prev_last.reshape(-1), axis=0).reshape(N, Kp),
-    )
     # one acoustic gather for correction tokens AND last tokens (gathers
     # carry fixed per-op cost)
     am_all = am_at(
@@ -864,7 +858,25 @@ def _ctc_prefix_search_advance_sparse(
     )
     am_corr = am_all[:, : Kp * C].reshape(N, Kp, C)
     am_last = am_all[:, Kp * C:]  # (N, Kp) plain acoustic prob
-    p_last_ext = am_last * jnp.exp(beta * (lm_last - logZ))  # fused ext prob
+
+    # fused ext prob of beam j's last token under beam k's LM context,
+    # p_tm[n, k, j] — needed for absorption; every per-beam "own last
+    # token" quantity is its k == j diagonal, so compute it ONCE and read
+    # diagonals instead of running a separate (N, Kp, C) block per step
+    eq_tm = (
+        ctoks[:, :, None, :] == y_prev_last[:, None, :, None]
+    )  # (N, Kp, j, C)
+    tm_corr = eq_tm & cvalid[:, :, None, :]
+    uni_last = jnp.take(uni, y_prev_last.reshape(-1), axis=0).reshape(N, Kp)
+    lm_tm = jnp.where(tm_corr, cvals[:, :, None, :], 0.0).sum(3) + jnp.where(
+        tm_corr.any(3),
+        0.0,
+        base[:, :, None] + uni_last[:, None, :],
+    )  # (N, Kp, j): lm value of last_j under ctx_k
+    p_tm = am_last[:, None, :] * jnp.exp(beta * (lm_tm - logZ[:, :, None]))
+    eye = jnp.asarray(np.eye(Kp, dtype=bool))
+    last_in_corr_any = (tm_corr.any(3) & eye).any(2)  # diag: own-last stored
+    p_last_ext = jnp.where(eye, p_tm, 0.0).sum(2)  # diag: own-last fused
 
     # shared slots
     shared_is_last = top_inds[:, None, :] == y_prev_last[:, :, None]
@@ -890,30 +902,17 @@ def _ctc_prefix_search_advance_sparse(
 
     # dedicated last-token slot (disabled when covered by shared or corr)
     last_scores = jnp.where(
-        shared_is_last.any(2) | last_in_corr.any(2),
+        shared_is_last.any(2) | last_in_corr_any,
         NEG_INF,
         b_probs_prev * p_last_ext,
     )
 
-    # non-extension masses; absorption needs the fused ext prob of every
-    # OTHER beam's last token under THIS beam's LM context
+    # non-extension masses; absorption uses the fused ext prob p_tm of
+    # every OTHER beam's last token under THIS beam's LM context (computed
+    # above)
     b_nonext_probs_cand = tot_probs_prev * blank_probs_t[:, None]
     to_match, ext_is_exact = _ctc_match_info(
         y_prev_last, y_prev_lens, prev_is_prefix
-    )
-    tm_corr = (
-        ctoks[:, :, None, :] == y_prev_last[:, None, :, None]
-    ) & cvalid[:, :, None, :]  # (N, Kp, j, C)
-    lm_tm = jnp.where(tm_corr, cvals[:, :, None, :], 0.0).sum(3) + jnp.where(
-        tm_corr.any(3),
-        0.0,
-        base[:, :, None]
-        + jnp.take(uni, y_prev_last.reshape(-1), axis=0).reshape(N, Kp)[
-            :, None, :
-        ],
-    )  # (N, Kp, j): lm value of last_j under ctx_k
-    p_tm = am_last[:, None, :] * jnp.exp(
-        beta * (lm_tm - logZ[:, :, None])
     )
     tm_coeff = jnp.where(
         y_prev_last[:, None, :] == y_prev_last[:, :, None],
@@ -1061,7 +1060,10 @@ def _ctc_advance_tail(
         # arbitrary indices lowers to serialized scalar loads on TPU
         # (~6x slower than these two single-axis forms, measured); ``cols``
         # is also returned so callers maintaining the path buffer reuse it
-        # instead of re-gathering the full buffer
+        # instead of re-gathering the full buffer. (A row-take-then-
+        # column-select form — avoiding the O(T N K) cols stream — was
+        # measured: take_along_axis columns serialize (~1000x) and the
+        # one-hot-einsum column select blows XLA compile time up ~30x.)
         cols = jnp.take_along_axis(y_prev, next_src[None], axis=2)
         rows_idx = (
             jnp.clip(p, None, tm1 - 1) * N
@@ -1316,14 +1318,21 @@ class CTCPrefixSearch:
         # step. top_k runs on raw logits (monotone => same tokens) with
         # exp-normalization applied to the M selected values only.
         if not (use_lm and not use_sparse and not use_uni):
+            lgts_flat = logits.reshape(T * N * Vp1)
+            log_norm = sm_max + jnp.log(sm_den)  # (T, N)
 
             def am_at_t(t, toks):
-                """Acoustic probabilities of `toks` (N, Q) from raw logits."""
-                row = jax.lax.dynamic_slice_in_dim(logits, t, 1, 0)[0]
-                mx_t = jax.lax.dynamic_slice_in_dim(sm_max, t, 1, 0)[0]
-                den_t = jax.lax.dynamic_slice_in_dim(sm_den, t, 1, 0)[0]
-                gath = jnp.take_along_axis(row, jnp.clip(toks, 0, V - 1), 1)
-                return jnp.exp(gath - mx_t[:, None]) / den_t[:, None]
+                """Acoustic probabilities of `toks` (N, Q) from raw logits.
+
+                One flat gather over the full (T, N, V+1) buffer plus one
+                row slice of the hoisted log-normalizer — the
+                slice-row/slice-max/slice-den form cost three dynamic-slice
+                kernels per decode step."""
+                rows = t * N + jnp.arange(N, dtype=jnp.int32)[:, None]
+                flat = rows * Vp1 + jnp.clip(toks, 0, V - 1)
+                gath = jnp.take(lgts_flat, flat, axis=0)
+                ln_t = jax.lax.dynamic_slice_in_dim(log_norm, t, 1, 0)[0]
+                return jnp.exp(gath - ln_t[:, None])
 
         if use_sparse:
             Csp = lm.max_corrections
@@ -1383,7 +1392,7 @@ class CTCPrefixSearch:
         is_prefix0 = jnp.ones((N, 1, 1), bool)
 
         if use_sparse:
-            ctx = jnp.full((N, 1, Ng - 1), lm.sos, jnp.int32)
+            ctx = jnp.full((Ng - 1, N, 1), lm.sos, jnp.int32)
             in_next0 = prev
             advanced0 = _ctc_prefix_search_advance_sparse(
                 (top_vals[0], top_inds[0]),
@@ -1464,23 +1473,23 @@ class CTCPrefixSearch:
         b = jnp.where(valid0, b, b_init)
 
         if use_sparse:
-            # beam contexts (most recent token first) are maintained
-            # incrementally instead of gathered from the path buffer
+            # beam contexts (order-major, most recent token first) are
+            # maintained incrementally instead of gathered from the path
+            # buffer
             ctx_src = jnp.take_along_axis(
                 ctx,
-                jnp.broadcast_to(next_src[:, :, None], (N, W, Ng - 1)),
-                axis=1,
+                jnp.broadcast_to(next_src[None], (Ng - 1, N, W)),
+                axis=2,
             )
             ctx_new = jnp.where(
-                next_is_nonext[:, :, None],
+                next_is_nonext[None],
                 ctx_src,
                 jnp.concatenate(
-                    [next_ext0[:, :, None].astype(jnp.int32), ctx_src[:, :, :-1]],
-                    2,
+                    [next_ext0[None].astype(jnp.int32), ctx_src[:-1]], 0
                 ),
             )
             ctx = jnp.where(
-                valid0[:, :, None], ctx_new, jnp.full_like(ctx_new, lm.sos)
+                valid0[None], ctx_new, jnp.full_like(ctx_new, lm.sos)
             )
         else:
             ctx = jnp.zeros((0,), jnp.int32)
@@ -1565,21 +1574,18 @@ class CTCPrefixSearch:
                 if use_sparse:
                     ctx_src = jnp.take_along_axis(
                         ctx,
-                        jnp.broadcast_to(next_src[:, :, None], (N, W, Ng - 1)),
-                        axis=1,
+                        jnp.broadcast_to(next_src[None], (Ng - 1, N, W)),
+                        axis=2,
                     )
                     ctx_new = jnp.where(
-                        next_is_nonext[:, :, None],
+                        next_is_nonext[None],
                         ctx_src,
                         jnp.concatenate(
-                            [
-                                next_ext[:, :, None].astype(jnp.int32),
-                                ctx_src[:, :, :-1],
-                            ],
-                            2,
+                            [next_ext[None].astype(jnp.int32), ctx_src[:-1]],
+                            0,
                         ),
                     )
-                    ctx = jnp.where(valid_mask[:, :, None], ctx_new, ctx)
+                    ctx = jnp.where(valid_mask[None], ctx_new, ctx)
                     state = state_next
                 elif use_lm:
                     vm = jnp.repeat(valid_mask[:, 0], W)
