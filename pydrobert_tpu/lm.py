@@ -333,15 +333,27 @@ class _CtxTable:
         self.base = int(base)
         self._pack()
 
+    def set_logz(self, logzs: Dict[Tuple[int, ...], float]) -> None:
+        """Attach per-context exact normalizers (slot-aligned) and repack."""
+        lz = np.zeros((self.size,), np.float32)
+        occupied = self.keys[:, 0] != _EMPTY_KEY
+        for slot in np.nonzero(occupied)[0]:
+            key = tuple(int(t) for t in self.keys[slot])
+            if key in logzs:
+                lz[slot] = logzs[key]
+        self.logz_slot = lz
+        self._pack()
+
     def _pack(self):
         """Fuse per-slot data into single rows so each probe (and each child
         read) is ONE device gather: ``packed (size, n + 3)`` int32 =
         ``[key tokens..., logb bits, row_start, row_len]``; ``child (rows,
         2)`` int32 = ``[token, logp bits]``. Gathers on TPU carry a fixed
         per-op cost, so 1 wide gather beats 3 narrow ones. When ``base**n``
-        is small, additionally store ``dense_packed (base**n, 3)`` =
-        ``[logb bits, row_start, row_len]`` directly indexed by the flat
-        context id (one gather, no probing)."""
+        is small, additionally store ``dense_packed (base**n, 3 or 4)`` =
+        ``[logb bits, row_start, row_len, logZ bits]`` directly indexed by
+        the flat context id (one gather, no probing); the logZ column
+        appears once :meth:`set_logz` has run."""
         self.packed = np.concatenate(
             [
                 self.keys,
@@ -368,14 +380,17 @@ class _CtxTable:
         self.dense_packed = None
         if 0 < self.base and self.base ** self.n <= _DENSE_CTX_MAX_ROWS:
             rows = self.base ** self.n
-            dense = np.zeros((rows, 3), np.int32)
+            lz = getattr(self, "logz_slot", None)
+            dense = np.zeros((rows, 3 if lz is None else 4), np.int32)
             occupied = self.keys[:, 0] != _EMPTY_KEY
             flat = np.zeros((occupied.sum(),), np.int64)
             kk = self.keys[occupied].astype(np.int64)
             for j in range(self.n):
                 flat = flat * self.base + kk[:, j]
             dense[flat, 0] = self.fvals[occupied].view(np.int32)
-            dense[flat, 1:] = self.ivals[occupied]
+            dense[flat, 1:3] = self.ivals[occupied]
+            if lz is not None:
+                dense[flat, 3] = lz[occupied].view(np.int32)
             # a found flag is unnecessary: the default row (logb = +0.0 bits,
             # len = 0) behaves exactly like an absent context
             self.dense_packed = dense
@@ -572,6 +587,8 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         # one table per context order n (1..N-1): backoff + CSR span over
         # the order-(n+1) continuations of that context
         self._ctx_tables: List[_CtxTable] = []
+        kid_maps: List[Dict[Tuple[int, ...], List[Tuple[int, float]]]] = []
+        logb_maps: List[Dict[Tuple[int, ...], float]] = []
         for n in range(0, N - 1):
             children: Dict[Tuple[int, ...], List[Tuple[int, float]]] = {}
             for key, val in prob_dicts[n + 1].items():
@@ -620,6 +637,66 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     uni=uni,
                 )
             )
+            kid_maps.append(children)
+            logb_maps.append(
+                {ctx: lbs for ctx, (lbs, _, _) in entries.items()}
+            )
+        self._store_logzs(kid_maps, logb_maps)
+
+    def _store_logzs(self, kid_maps, logb_maps) -> None:
+        """Compute the EXACT normalizer of every stored context's full
+        conditional distribution (float64, host-side, bottom-up by context
+        length) and store it in the tables. Decode loops then read ``logZ``
+        with the same row gather that fetches the backoff — the on-device
+        exp-reductions over correction lists (and their gathers) disappear
+        from the per-frame hot path. An absent context's distribution
+        equals its suffix context's (backoff weight 1), so the decode-side
+        rule "highest stored order wins, else next" is exact."""
+        uni = self._uni_logp.astype(np.float64)
+        sum_u = float(np.exp(uni[np.isfinite(uni)]).sum())
+
+        def value(v: int, ctx: Tuple[int, ...]) -> float:
+            """lm(v | ctx), walking the backoff chain (earliest-first)."""
+            pen = 0.0
+            for L in range(len(ctx), 0, -1):
+                sub = ctx[len(ctx) - L:]
+                for tok, logp in kid_maps[L - 1].get(sub, ()):
+                    if tok == v:
+                        return pen + logp
+                pen += logb_maps[L - 1].get(sub, 0.0)
+            return pen + float(uni[v])
+
+        zmemo: Dict[Tuple[int, ...], float] = {(): sum_u}
+
+        def zof(ctx: Tuple[int, ...]) -> float:
+            if ctx in zmemo:
+                return zmemo[ctx]
+            L = len(ctx)
+            if L == 0:
+                return sum_u
+            kids = kid_maps[L - 1].get(ctx)
+            logb = logb_maps[L - 1].get(ctx)
+            if kids is None and logb is None:
+                z = zof(ctx[1:])
+            else:
+                parent = ctx[1:]
+                zp = zof(parent)
+                child_mass = replaced = 0.0
+                for tok, logp in kids or ():
+                    child_mass += float(np.exp(logp))
+                    replaced += float(np.exp(value(tok, parent)))
+                z = child_mass + float(np.exp(logb or 0.0)) * max(
+                    zp - replaced, 0.0
+                )
+            zmemo[ctx] = z
+            return z
+
+        for L in range(1, len(self._ctx_tables) + 1):
+            table = self._ctx_tables[L - 1]
+            logzs = {}
+            for ctx in set(kid_maps[L - 1]) | set(logb_maps[L - 1]):
+                logzs[ctx] = float(np.log(max(zof(ctx), 1e-300)))
+            table.set_logz(logzs)
 
     def extract_by_src(self, prev: StateDict, src: jax.Array) -> StateDict:
         return prev
@@ -679,7 +756,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         if self.max_ngram == 1:
             return None
         if any(
-            t.dense_packed is None or t.child_packed.shape[1] != 3
+            t.dense_packed is None or t.dense_packed.shape[1] != 4
             for t in self._ctx_tables
         ):
             return None
@@ -692,7 +769,10 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 parts.append(t.dense_packed)
                 off += t.dense_packed.shape[0]
                 child_offs.append(coff)
-                cparts.append(t.child_packed)
+                # only (token, logp bits): the stored-logZ path never needs
+                # the baked unigram column, and narrower rows are fewer
+                # gathered bytes per decode step
+                cparts.append(np.ascontiguousarray(t.child_packed[:, :2]))
                 coff += t.child_packed.shape[0]
             cached = self._combined_cache = (
                 np.concatenate(parts, 0),
@@ -726,6 +806,14 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         batched: one probe chain per context order, children fetched as
         padded spans).
         """
+        return self.sparse_corrections_ext(ctx, want_logz)[:5]
+
+    def sparse_corrections_ext(self, ctx: jax.Array, want_logz: bool = True):
+        """:meth:`sparse_corrections` plus the per-order structure decode
+        loops exploit: returns ``(base, toks, vals, valid, logZ,
+        logb (B, N-1), bounds)`` where ``logb`` holds each found context
+        order's backoff weight and ``bounds`` are the static slot ranges of
+        each order inside the concatenated correction axis."""
         N = self.max_ngram
         if N == 1:
             raise RuntimeError("sparse_corrections requires max_ngram > 1")
@@ -751,7 +839,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     flat = flat * base_ix + jnp.clip(q, 0, base_ix - 1)
                 flats.append(flat + row_offs[n - 2])
                 in_ranges.append(in_range)
-            rows = dense_all[jnp.stack(flats, 1)]  # (B, N-1, 3): ONE gather
+            rows = dense_all[jnp.stack(flats, 1)]  # (B, N-1, 4): ONE gather
             # out-of-range context tokens must read as not-found (the
             # probing fallback reports a key mismatch); the all-zeros
             # default row already encodes "absent", so masking length and
@@ -763,6 +851,17 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32),
                 0.0,
             )
+            # stored-exact normalizer: highest present order wins; an
+            # absent context's distribution equals its suffix's, so falling
+            # through is exact (see _store_logzs). Replaces per-step
+            # exp-reductions over the correction lists.
+            present = in_range & ((lengths > 0) | (logb_all != 0.0))
+            logz_all = jax.lax.bitcast_convert_type(rows[..., 3], jnp.float32)
+            logZ = jnp.full(
+                (B,), float(np.log(max(self._sum_u, 1e-300))), jnp.float32
+            )
+            for i in range(N - 1):
+                logZ = jnp.where(present[:, i], logz_all[:, i], logZ)
             # stay CONCATENATED across orders: per-order list splits cost
             # ~2-3 dispatched kernels each inside decode loops; static
             # slot->order maps turn the whole epilogue into a handful of
@@ -780,13 +879,12 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             pos = jnp.clip(
                 starts + slot_off[None], 0, child_all.shape[0] - 1
             )
-            got = child_all[pos]  # (B, Ctot, 3): ONE gather
+            got = child_all[pos]  # (B, Ctot, 2): ONE gather
             valid = jnp.asarray(slot_off - np.take(child_offs, slot_order))[
                 None
             ] < jnp.take(lengths, slot_order, axis=1)
             toks = got[..., 0]
             lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
-            uni_at = jax.lax.bitcast_convert_type(got[..., 2], jnp.float32)
             base = logb_all.sum(1)
             # value of an order-n match = stored logp + backoffs of all
             # HIGHER orders escaped through: a suffix sum over orders,
@@ -808,12 +906,12 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 & jnp.asarray(higher)[None]
             ).any(2)
             valid = valid & ~dup
-            if not want_logz:
-                return base, toks, val, valid, None
-            covered = jnp.where(valid, jnp.exp(uni_at), 0.0).sum(1)
-            zb = jnp.maximum(self._sum_u - covered, 0.0) * jnp.exp(base)
-            z = zb + jnp.where(valid, jnp.exp(val), 0.0).sum(1)
-            return base, toks, val, valid, jnp.log(z)
+            bounds = np.concatenate([[0], np.cumsum(s_list)])
+            return (
+                base, toks, val, valid,
+                logZ if want_logz else None,
+                logb_all, bounds,
+            )
         else:
             logbs, tokss, lpss, valids, uniss = [], [], [], [], []
             for n in range(2, N + 1):
@@ -844,9 +942,13 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         toks = jnp.concatenate(tokss, 1)
         val = jnp.concatenate(vals, 1)
         valid = jnp.concatenate(valids, 1)
+        logb_all = jnp.stack(logbs, 1)  # (B, N-1)
+        bounds = np.concatenate(
+            [[0], np.cumsum([t.shape[1] for t in tokss])]
+        )
         if not want_logz:
             # rescoring paths never normalize; skip the exp-reductions
-            return base, toks, val, valid, None
+            return base, toks, val, valid, None, logb_all, bounds
         # exact normalizer: start from the all-backoff mass, swap corrected
         # tokens' unigram mass for their stored mass (children's unigram
         # log-probs ride along in the child rows — no extra gather)
@@ -859,7 +961,38 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         covered = jnp.where(valid, jnp.exp(uni_at), 0.0).sum(1)
         zb = jnp.maximum(self._sum_u - covered, 0.0) * jnp.exp(base)
         z = zb + jnp.where(valid, jnp.exp(val), 0.0).sum(1)
-        return base, toks, val, valid, jnp.log(z)
+        return base, toks, val, valid, jnp.log(z), logb_all, bounds
+
+    _DENSE_NGRAM_MAX = 1 << 23
+
+    def order2_values(self):
+        """Direct-indexed bigram log-probs: flat ``(base * V,)`` f32 with
+        ``arr[c * V + v] = logp(v | c)`` and ``+inf`` marking absent pairs.
+
+        One gather answers "is (c, v) a stored bigram, and at what value" —
+        the membership/value query decode loops use for absorption masses
+        and shared-slot overlap masks, replacing compares against the
+        ``max_children``-wide correction lists. ``None`` when the table
+        would exceed ``_DENSE_NGRAM_MAX`` entries or no bigrams exist.
+        """
+        if self.max_ngram < 2:
+            return None
+        cached = getattr(self, "_order2_cache", None)
+        if cached is not None:
+            return cached
+        t = self._ctx_tables[0]
+        V = self.vocab_size
+        if t.base <= 0 or t.base * V > self._DENSE_NGRAM_MAX:
+            return None
+        arr = np.full((t.base * V,), np.inf, np.float32)
+        occupied = np.nonzero(t.keys[:, 0] != _EMPTY_KEY)[0]
+        for slot in occupied:
+            c = int(t.keys[slot, 0])
+            start, length = (int(x) for x in t.ivals[slot])
+            toks = t.child_tok[start:start + length].astype(np.int64)
+            arr[c * V + toks] = t.child_logp[start:start + length]
+        self._order2_cache = arr
+        return arr
 
     # -- persistence (reference analogue: custom state dict, _lm.py:850-904)
     def state_dict(self) -> Dict[str, np.ndarray]:
@@ -874,6 +1007,8 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             d[f"ctx{i}_tok"] = t.child_tok
             d[f"ctx{i}_logp"] = t.child_logp
             d[f"ctx{i}_meta"] = np.asarray([t.max_probe, t.max_children])
+            if getattr(t, "logz_slot", None) is not None:
+                d[f"ctx{i}_logz"] = t.logz_slot
         return d
 
     def load_state_dict(self, d: Dict[str, np.ndarray]) -> None:
@@ -899,11 +1034,14 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 (max(self.vocab_size, self.sos) + 1) if self.sos >= 0 else 0
             )
             t.uni = self._uni_logp
+            if f"ctx{i}_logz" in d:
+                t.logz_slot = np.asarray(d[f"ctx{i}_logz"], np.float32)
             t._pack()
             return t
 
         self._ctx_tables = [load(i) for i in range(self.max_ngram - 1)]
         self._combined_cache = None
+        self._order2_cache = None
 
     def score_sequences(self, hist: jax.Array) -> jax.Array:
         """Per-token conditional log-probs ``(S, N)`` of given sequences.
