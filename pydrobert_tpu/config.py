@@ -35,6 +35,7 @@ __all__ = [
     "EPS_NINF",
     "INDEX_PAD_VALUE",
     "SPARSE_FUSION_MAX_CORRECTIONS",
+    "SPARSE_MEMBERSHIP_GATHER",
     "TINY",
     "USE_JIT",
     "USE_PALLAS",
@@ -75,6 +76,20 @@ Off by default: the kernel is at parity with the pure-XLA path on the
 current dev chip (fixed per-op overhead dominates both) but is designed to
 win on production TPUs, where its VMEM-resident beam state and path buffer
 remove the scan's per-step HBM traffic and op-dispatch cost entirely.
+"""
+
+SPARSE_MEMBERSHIP_GATHER = (
+    os.environ.get("PYDROBERT_TPU_SPARSE_MEMBERSHIP_GATHER", "0") == "1"
+)
+"""Answer "does token v have a stored n-gram under this context" via
+direct-indexed bigram-table gathers instead of comparing against the
+``max_children``-wide correction lists, inside the fused CTC decode.
+
+Off by default: on the dev tunnel chip each additional standalone gather
+op in the decode loop costs ~100us regardless of size (measured), while
+the fused compare-reduce blocks it replaces are nearly free; on production
+TPUs with fast gathers the trade flips for LMs with wide correction lists
+(the compare blocks scale with ``max_children``, the gathers don't).
 """
 
 SPARSE_FUSION_MAX_CORRECTIONS = int(

@@ -70,7 +70,7 @@ def _sparse_at(lm, ctx, N, Kp):
     per step)."""
     Ng = lm.max_ngram
     ctx_in = ctx.reshape(Ng - 1, N * Kp)
-    base, tk, vl, vd, lz = lm.sparse_corrections(ctx_in)
+    base, tk, vl, vd, lz, lb, bounds = lm.sparse_corrections_ext(ctx_in)
     Cc = tk.shape[1]
     return (
         base.reshape(N, Kp),
@@ -78,6 +78,8 @@ def _sparse_at(lm, ctx, N, Kp):
         vl.reshape(N, Kp, Cc),
         vd.reshape(N, Kp, Cc),
         lz.reshape(N, Kp),
+        lb.reshape(N, Kp, Ng - 1),
+        bounds,
     )
 
 
@@ -290,7 +292,7 @@ class BeamSearch:
 
             def select_sparse(lp_prev, ctx, eos_mask, Kp, K):
                 """(lp_next, next_src, y_tok): top-K over per-beam slots."""
-                base, ctoks, cvals, cvalid, logZ = sparse_at(ctx, Kp)
+                base, ctoks, cvals, cvalid, logZ = sparse_at(ctx, Kp)[:5]
                 lp3 = lp_prev[:, :, None]
                 shared = lp3 + (base - logZ)[:, :, None] + stop_vals
                 dup = (
@@ -809,13 +811,15 @@ def _ctc_prefix_search_advance_sparse(
     uni: jax.Array,
     blank_probs_t: jax.Array,
     beta: float,
-    sparse: Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array],
+    sparse: Tuple[jax.Array, ...],
     width: int,
     probs_prev: Tuple[jax.Array, jax.Array],
     y_prev: jax.Array,
     y_prev_last: jax.Array,
     y_prev_lens: jax.Array,
     prev_is_prefix: jax.Array,
+    bi: Optional[jax.Array] = None,
+    c1: Optional[jax.Array] = None,
 ):
     """One frame of CTC prefix search with a backoff n-gram LM shallow-fused
     (``lm_probs**beta * am``), scoring only candidate slots.
@@ -842,10 +846,15 @@ def _ctc_prefix_search_advance_sparse(
     N, Kp = nb_probs_prev.shape
     M = top_inds.shape[1]
     V = uni.shape[0]
-    base, ctoks, cvals, cvalid, logZ = sparse  # (N,Kp),(N,Kp,C)x3,(N,Kp)
+    base, ctoks, cvals, cvalid, logZ, logb, bounds = sparse
     C = ctoks.shape[2]
     K = min(width, Kp * (V + 1))
     L = M + C + 1  # ext slots per beam; +1 nonext slot below
+    # static split of the correction axis: order-2 slots answer to the
+    # direct-indexed bigram table (when available), orders >= 3 are the
+    # (typically short) tail
+    hi0 = int(bounds[1]) if bi is not None else 0
+    C_hi = C - hi0
 
     tot_probs_prev = nb_probs_prev + b_probs_prev
     y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
@@ -863,19 +872,47 @@ def _ctc_prefix_search_advance_sparse(
     # p_tm[n, k, j] — needed for absorption; every per-beam "own last
     # token" quantity is its k == j diagonal, so compute it ONCE and read
     # diagonals instead of running a separate (N, Kp, C) block per step
-    eq_tm = (
-        ctoks[:, :, None, :] == y_prev_last[:, None, :, None]
-    )  # (N, Kp, j, C)
-    tm_corr = eq_tm & cvalid[:, :, None, :]
     uni_last = jnp.take(uni, y_prev_last.reshape(-1), axis=0).reshape(N, Kp)
-    lm_tm = jnp.where(tm_corr, cvals[:, :, None, :], 0.0).sum(3) + jnp.where(
-        tm_corr.any(3),
-        0.0,
-        base[:, :, None] + uni_last[:, None, :],
-    )  # (N, Kp, j): lm value of last_j under ctx_k
+    if bi is not None:
+        # lm(last_j | ctx_k), highest stored order winning: start from the
+        # unigram backoff, override with the ONE-GATHER bigram value, then
+        # with matches among the short order->=3 correction tail — instead
+        # of comparing last_j against all C correction slots (the
+        # max_children-wide order-2 lists dominated that block)
+        biq = jnp.take(
+            bi,
+            (c1[:, :, None] * V + y_prev_last[:, None, :]).reshape(-1),
+            axis=0,
+        ).reshape(N, Kp, Kp)
+        found2 = jnp.isfinite(biq)
+        pen2 = logb[..., 1:].sum(-1)  # (N, Kp): backoffs of orders > 2
+        lm_tm = jnp.where(
+            found2,
+            pen2[:, :, None] + jnp.where(found2, biq, 0.0),
+            base[:, :, None] + uni_last[:, None, :],
+        )
+        found_tm = found2
+        if C_hi:
+            m3 = (
+                ctoks[:, :, None, hi0:] == y_prev_last[:, None, :, None]
+            ) & cvalid[:, :, None, hi0:]  # (N, Kp, j, C_hi)
+            any3 = m3.any(3)
+            lm_tm = jnp.where(
+                any3, jnp.where(m3, cvals[:, :, None, hi0:], 0.0).sum(3),
+                lm_tm,
+            )
+            found_tm = found_tm | any3
+    else:
+        tm_corr = (
+            ctoks[:, :, None, :] == y_prev_last[:, None, :, None]
+        ) & cvalid[:, :, None, :]  # (N, Kp, j, C)
+        found_tm = tm_corr.any(3)
+        lm_tm = jnp.where(tm_corr, cvals[:, :, None, :], 0.0).sum(
+            3
+        ) + jnp.where(found_tm, 0.0, base[:, :, None] + uni_last[:, None, :])
     p_tm = am_last[:, None, :] * jnp.exp(beta * (lm_tm - logZ[:, :, None]))
     eye = jnp.asarray(np.eye(Kp, dtype=bool))
-    last_in_corr_any = (tm_corr.any(3) & eye).any(2)  # diag: own-last stored
+    last_in_corr_any = (found_tm & eye).any(2)  # diag: own-last stored
     p_last_ext = jnp.where(eye, p_tm, 0.0).sum(2)  # diag: own-last fused
 
     # shared slots
@@ -884,10 +921,27 @@ def _ctc_prefix_search_advance_sparse(
         shared_is_last, b_probs_prev[:, :, None], tot_probs_prev[:, :, None]
     )
     shared_scores = coeff_sh * scal[:, :, None] * top_vals[:, None, :]
-    shared_in_corr = (
-        (top_inds[:, None, :, None] == ctoks[:, :, None, :])
-        & cvalid[:, :, None, :]
-    ).any(3)  # (N, Kp, M)
+    if bi is not None:
+        # membership via the bigram table gather + the short high-order
+        # tail, instead of an (N, Kp, M, C) compare against the full
+        # correction lists
+        shared_in_corr = jnp.isfinite(
+            jnp.take(
+                bi,
+                (c1[:, :, None] * V + top_inds[:, None, :]).reshape(-1),
+                axis=0,
+            ).reshape(N, Kp, M)
+        )
+        if C_hi:
+            shared_in_corr = shared_in_corr | (
+                (top_inds[:, None, :, None] == ctoks[:, :, None, hi0:])
+                & cvalid[:, :, None, hi0:]
+            ).any(3)
+    else:
+        shared_in_corr = (
+            (top_inds[:, None, :, None] == ctoks[:, :, None, :])
+            & cvalid[:, :, None, :]
+        ).any(3)  # (N, Kp, M)
     shared_scores = jnp.where(shared_in_corr, NEG_INF, shared_scores)
 
     # correction slots
@@ -1319,26 +1373,34 @@ class CTCPrefixSearch:
         # exp-normalization applied to the M selected values only.
         if not (use_lm and not use_sparse and not use_uni):
             lgts_flat = logits.reshape(T * N * Vp1)
-            log_norm = sm_max + jnp.log(sm_den)  # (T, N)
+            sm_stats = jnp.stack([sm_max, sm_den], 2)  # (T, N, 2)
 
             def am_at_t(t, toks):
                 """Acoustic probabilities of `toks` (N, Q) from raw logits.
 
                 One flat gather over the full (T, N, V+1) buffer plus one
-                row slice of the hoisted log-normalizer — the
-                slice-row/slice-max/slice-den form cost three dynamic-slice
-                kernels per decode step."""
+                row slice of the hoisted softmax stats — the slice-row form
+                cost a (N, V+1) dynamic-slice per decode step. The
+                ``exp(x - max) / den`` sequence bit-matches softmax (the
+                Pallas beam kernel's probability inputs), so keep it —
+                ``exp(x - log_norm)`` does not.
+                """
                 rows = t * N + jnp.arange(N, dtype=jnp.int32)[:, None]
                 flat = rows * Vp1 + jnp.clip(toks, 0, V - 1)
                 gath = jnp.take(lgts_flat, flat, axis=0)
-                ln_t = jax.lax.dynamic_slice_in_dim(log_norm, t, 1, 0)[0]
-                return jnp.exp(gath - ln_t[:, None])
+                st = jax.lax.dynamic_slice_in_dim(sm_stats, t, 1, 0)[0]
+                return jnp.exp(gath - st[:, :1]) / st[:, 1:]
 
         if use_sparse:
             Csp = lm.max_corrections
             Ng = lm.max_ngram
             M = min(V, 2 * W + Csp)
             uni_dev = jnp.asarray(lm._uni_logp)
+            bi_dev = (
+                lm.order2_values() if config.SPARSE_MEMBERSHIP_GATHER else None
+            )
+            if bi_dev is not None:
+                bi_dev = jnp.asarray(bi_dev)
             # g = am * exp(beta * uni); per-(t, n) softmax constants don't
             # change the order, so top-M runs on logits + beta * uni
             g_lgts = logits[..., :V] + beta * uni_dev[None, None]
@@ -1407,6 +1469,8 @@ class CTCPrefixSearch:
                 last0,
                 lens0,
                 is_prefix0,
+                bi=bi_dev,
+                c1=ctx[0],
             )
         elif use_lm and not use_uni:
             ext0, in_next0 = lm_ext_probs(
@@ -1517,6 +1581,8 @@ class CTCPrefixSearch:
                         y_last,
                         y_lens,
                         is_prefix,
+                        bi=bi_dev,
+                        c1=ctx[0],
                     )
                 elif use_lm and not use_uni:
                     ext_t, in_next = lm_ext_probs(
