@@ -3,17 +3,27 @@
 Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline", ...}``.
 The headline value is batched CTC prefix beam search (width 16) throughput on
 B=32, T=500, V=1024 logits (target 5k utt/sec/chip); extra fields carry the
-SpecAugment throughput (B=16, T=1000, 80-mel; target 50k utt/sec/chip) and
-p50 per-utterance decode latency. Configs from BASELINE.json.
+SpecAugment throughput (B=16, T=1000, 80-mel; target 50k utt/sec/chip), the
+shallow-fusion decode (BASELINE config #3), and p50 per-utterance decode
+latency. Configs from BASELINE.json.
+
+Transferable evidence fields (VERDICT r1 #3): per-benchmark
+``*_kernels_per_step`` (dispatched kernels in the decode scan body, counted
+from the optimized HLO) and ``*_us_per_kernel`` (measured step time over
+kernel count) transfer to other chips better than wall-clock on a noisy dev
+tunnel; ``specaugment_bytes_per_utt`` is the XLA cost-analysis bytes moved
+per utterance (the op is bandwidth-floor-bound).
 
 Measurement notes: host->device dispatch over remote-device tunnels costs
 ~0.5 ms/call and ``block_until_ready`` can be a no-op, so each measured
 program iterates its workload K times inside one jitted ``lax.scan`` (pure
-device time) and synchronizes via a device->host fetch.
+device time), synchronizes via a device->host fetch, and reports the MEDIAN
+of >= 3 timed repetitions.
 """
 
 import json
 import os
+import statistics
 import time
 
 import jax
@@ -22,6 +32,7 @@ import numpy as np
 
 from pydrobert_tpu.ops.decoding import CTCPrefixSearch
 from pydrobert_tpu.ops.img import spec_augment
+from pydrobert_tpu.utils.hlostats import count_body_kernels
 
 SPECAUG_TARGET = 50_000.0
 DECODE_TARGET = 5_000.0
@@ -33,13 +44,38 @@ def _sync(out):
     return np.asarray(leaf.reshape(-1)[:1])
 
 
+def _compile(fn, *args):
+    """Compile and return (compiled, stats) with loop kernel counts/bytes."""
+    compiled = jax.jit(fn).lower(*args).compile()
+    stats = {"loop_kernels": 0, "bytes": 0.0}
+    try:
+        bodies = count_body_kernels(compiled.as_text())
+        if bodies:
+            stats["loop_kernels"] = max(
+                b["kernels"] for b in bodies.values()
+            )
+    except Exception:
+        pass
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        stats["bytes"] = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    return compiled, stats
+
+
 def _time(fn, *args, reps=3):
+    """Median seconds per call over `reps` individually-synced calls."""
     _sync(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    times = []
+    for _ in range(max(3, reps)):
+        t0 = time.perf_counter()
         out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / reps
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
 
 
 def bench_spec_augment(inner=16):
@@ -48,7 +84,6 @@ def bench_spec_augment(inner=16):
     feats = jnp.asarray(rng.randn(B, T, F), jnp.float32)
     lengths = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.float32))
 
-    @jax.jit
     def run(key, feats, lengths):
         def step(carry, k):
             out = spec_augment(
@@ -68,59 +103,51 @@ def bench_spec_augment(inner=16):
         out, _ = jax.lax.scan(step, feats, jax.random.split(key, inner))
         return out
 
-    dt = _time(run, jax.random.PRNGKey(0), feats, lengths) / inner
-    return B / dt
+    key = jax.random.PRNGKey(0)
+    compiled, stats = _compile(run, key, feats, lengths)
+    dt = _time(compiled, key, feats, lengths) / inner
+    return B / dt, stats["bytes"] / (inner * B)
 
 
-def bench_ctc_beam16_bs256(inner=1):
-    """Throughput at serving batch size: the decode scan's per-step op count
-    is batch-size-independent, so larger batches amortize it."""
-    B, T, V, W = 256, 500, 1024, 16
-    rng = np.random.RandomState(3)
+def _decode_inputs(B, T, V, seed):
+    rng = np.random.RandomState(seed)
     logits = jnp.asarray(rng.randn(T, B, V + 1), jnp.float32)
     lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
-    search = CTCPrefixSearch(W)
-
-    @jax.jit
-    def run(logits, lens):
-        def step(carry, _):
-            y, y_lens, y_probs = search(carry, lens)
-            return carry + y_probs.sum() * 1e-9, y_lens
-        out, y_lens = jax.lax.scan(step, logits, None, length=inner)
-        return out, y_lens
-
-    dt = _time(run, logits, lens, reps=2) / inner
-    return B / dt
+    return logits, lens
 
 
-def bench_ctc_beam16(inner=2):
-    B, T, V, W = 32, 500, 1024, 16
-    rng = np.random.RandomState(1)
-    logits = jnp.asarray(rng.randn(T, B, V + 1), jnp.float32)
-    lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
-    search = CTCPrefixSearch(W)
+def _bench_search(search, B, T, V, seed, reps=3, inner=1):
+    logits, lens = _decode_inputs(B, T, V, seed)
 
-    @jax.jit
     def run(logits, lens):
         def step(carry, _):
             y, y_lens, y_probs = search(carry, lens)
             # fold outputs back in so iterations can't be elided
-            carry = carry + y_probs.sum() * 1e-9
-            return carry, y_lens
+            return carry + y_probs.sum() * 1e-9, y_lens
         out, y_lens = jax.lax.scan(step, logits, None, length=inner)
         return out, y_lens
 
-    dt = _time(run, logits, lens) / inner
-    return B / dt, dt / B
+    compiled, stats = _compile(run, logits, lens)
+    dt = _time(compiled, logits, lens, reps=reps) / inner
+    kernels = stats["loop_kernels"]
+    us_per_kernel = (dt / max(T - 1, 1)) * 1e6 / max(kernels, 1)
+    return B / dt, dt / B, kernels, round(us_per_kernel, 2)
 
 
-def bench_ctc_beam16_fused(inner=1):
-    """Width-16 prefix search with a shallow-fused 3-gram LookupLanguageModel
-    (BASELINE config #3)."""
+def bench_ctc_beam16():
+    return _bench_search(CTCPrefixSearch(16), 32, 500, 1024, seed=1, inner=2)
+
+
+def bench_ctc_beam16_bs256():
+    """Throughput at serving batch size: the decode scan's per-step op count
+    is batch-size-independent, so larger batches amortize it."""
+    return _bench_search(CTCPrefixSearch(16), 256, 500, 1024, seed=3)[0]
+
+
+def _bench_lm(V=1024, seed=2):
     from pydrobert_tpu.lm import LookupLanguageModel
 
-    B, T, V, W = 32, 500, 1024, 16
-    rng = np.random.RandomState(2)
+    rng = np.random.RandomState(seed)
     # random but well-formed backoff 3-gram model over the full vocab
     uni = {w: (float(-rng.rand() * 5 - 0.1), float(-rng.rand())) for w in range(V)}
     uni[V] = (float("-inf"), float(-rng.rand()))  # sos
@@ -132,21 +159,16 @@ def bench_ctc_beam16_fused(inner=1):
     for _ in range(15000):
         key3 = (int(rng.choice(ctx)), int(rng.randint(V)), int(rng.randint(V)))
         tri[key3] = float(-rng.rand() * 5 - 0.1)
-    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
-    logits = jnp.asarray(rng.randn(T, B, V + 1), jnp.float32)
-    lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
-    search = CTCPrefixSearch(W, beta=0.5, lm=lm)
+    return LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
 
-    @jax.jit
-    def run(logits, lens):
-        def step(carry, _):
-            y, y_lens, y_probs = search(carry, lens)
-            return carry + y_probs.sum() * 1e-9, y_lens
-        out, y_lens = jax.lax.scan(step, logits, None, length=inner)
-        return out, y_lens
 
-    dt = _time(run, logits, lens, reps=1) / inner
-    return B / dt
+def bench_ctc_beam16_fused():
+    """Width-16 prefix search with a shallow-fused 3-gram LookupLanguageModel
+    (BASELINE config #3)."""
+    lm = _bench_lm()
+    search = CTCPrefixSearch(16, beta=0.5, lm=lm)
+    thr, _, kernels, upk = _bench_search(search, 32, 500, 1024, seed=2)
+    return thr, kernels, upk
 
 
 def bench_ngram_beam_search():
@@ -154,23 +176,9 @@ def bench_ngram_beam_search():
     the sparse-slot stepping (static top-M of unigrams + per-beam
     corrections) vs the reference's dense V-wide scoring."""
     from pydrobert_tpu.ops.decoding import BeamSearch
-    from pydrobert_tpu.lm import LookupLanguageModel
 
-    B, V, W, S = 32, 1024, 16, 100
-    rng = np.random.RandomState(4)
-    uni = {w: (float(-rng.rand() * 5 - 0.1), float(-rng.rand())) for w in range(V)}
-    uni[V] = (float("-inf"), float(-rng.rand()))
-    bi, tri = {}, {}
-    ctx = list(range(V)) + [V]
-    for _ in range(10000):
-        bi[(int(rng.choice(ctx)), int(rng.randint(V)))] = (
-            float(-rng.rand() * 5 - 0.1), float(-rng.rand()),
-        )
-    for _ in range(15000):
-        tri[(int(rng.choice(ctx)), int(rng.randint(V)), int(rng.randint(V)))] = (
-            float(-rng.rand() * 5 - 0.1)
-        )
-    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
+    B, W, S = 32, 16, 100
+    lm = _bench_lm(seed=4)
     bs = BeamSearch(lm, W, eos=7)
 
     # no iteration scan here: the search takes no per-iteration input, so a
@@ -203,9 +211,13 @@ def main():
     # being killed by the driver's timeout before the JSON line prints
     t0 = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
-    sa = _guard(bench_spec_augment, 0.0)
-    dec, per_utt = _guard(bench_ctc_beam16, (0.0, float("inf")))
-    fused = _guard(bench_ctc_beam16_fused, 0.0)
+    sa, sa_bytes = _guard(bench_spec_augment, (0.0, 0.0))
+    dec, per_utt, dec_kernels, dec_upk = _guard(
+        bench_ctc_beam16, (0.0, float("inf"), 0, 0.0)
+    )
+    fused, fused_kernels, fused_upk = _guard(
+        bench_ctc_beam16_fused, (0.0, 0, 0.0)
+    )
     # cheap-compile bench first; the expensive-compile one takes the cut
     beam = (
         _guard(bench_ngram_beam_search, 0.0)
@@ -226,10 +238,16 @@ def main():
                 "vs_baseline": round(dec / DECODE_TARGET, 3),
                 "specaugment_utt_per_sec": round(sa, 1),
                 "specaugment_vs_baseline": round(sa / SPECAUG_TARGET, 3),
+                "specaugment_bytes_per_utt": round(sa_bytes, 1),
                 "fused_ngram_decode_utt_per_sec": round(fused, 1),
                 "decode_bs256_utt_per_sec": round(dec256, 1),
                 "ngram_beam_search_seq_per_sec": round(beam, 1),
                 "decode_p50_latency_ms_per_utt": round(per_utt * 1e3, 3),
+                "decode_kernels_per_step": dec_kernels,
+                "decode_us_per_kernel": dec_upk,
+                "fused_kernels_per_step": fused_kernels,
+                "fused_us_per_kernel": fused_upk,
+                "timing": "median of >=3 reps, device-synced",
                 "device": jax.devices()[0].platform,
             }
         )

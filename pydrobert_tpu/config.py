@@ -68,14 +68,19 @@ When off (``PYDROBERT_TPU_PALLAS=0``) the pure-XLA fallbacks run instead.
 Automatically off on non-TPU backends.
 """
 
-USE_PALLAS_BEAM = os.environ.get("PYDROBERT_TPU_PALLAS_BEAM", "0") == "1"
+USE_PALLAS_BEAM = os.environ.get("PYDROBERT_TPU_PALLAS_BEAM", "auto")
 """Route :class:`pydrobert_tpu.ops.decoding.CTCPrefixSearch` (no-LM path)
-through the whole-loop Pallas beam-search kernel.
+through the whole-loop Pallas beam-search kernel: ``"1"``/``True`` forces
+the kernel, ``"0"``/``False`` forces the XLA scan, and ``"auto"`` (default)
+runs a one-time micro-calibration per device kind — both paths are compiled
+and timed on a small representative decode, the winner is chosen, and the
+decision (with both timings) is logged and cached on disk
+(``~/.cache/pydrobert_tpu/beam_gate.json``).
 
-Off by default: the kernel is at parity with the pure-XLA path on the
-current dev chip (fixed per-op overhead dominates both) but is designed to
-win on production TPUs, where its VMEM-resident beam state and path buffer
-remove the scan's per-step HBM traffic and op-dispatch cost entirely.
+The kernel's VMEM-resident beam state and path buffer remove the scan's
+per-step HBM traffic and op-dispatch cost on production TPUs, but lose on
+dev chips where Pallas grid-step overhead dominates — hence measurement,
+not a blind default.
 """
 
 SPARSE_MEMBERSHIP_GATHER = (

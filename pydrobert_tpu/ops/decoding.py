@@ -1299,21 +1299,23 @@ class CTCPrefixSearch:
             sm_den = jnp.exp(logits - sm_max[..., None]).sum(2)  # (T, N)
             blank_probs = jnp.exp(logits[..., V] - sm_max) / sm_den
 
-        # opt-in whole-loop Pallas kernel (state + path buffer resident in
-        # VMEM across frames); identical results to the XLA scan below up to
-        # f32 reduction order
+        # whole-loop Pallas kernel (state + path buffer resident in VMEM
+        # across frames); identical results to the XLA scan below up to f32
+        # reduction order. Auto-gated: beam_kernel_preferred() runs a
+        # one-time per-device calibration of both paths (config-overridable)
+        # and goes LAST so the cheap static checks short-circuit it.
         from .pallas import (
-            ctc_beam_search_pallas, ctc_beam_search_vmem_ok, tpu_available,
+            beam_kernel_preferred, ctc_beam_search_pallas,
+            ctc_beam_search_vmem_ok,
         )
 
         if (
             not use_lm
             and initial_state is None
-            and config.USE_PALLAS_BEAM
-            and tpu_available()
             and T >= 2
             and 1 < W <= min(32, V)
             and ctc_beam_search_vmem_ok(T, N, V, W)
+            and beam_kernel_preferred()
         ):
             nonext_probs = (
                 jnp.exp(logits[..., :V] - sm_max[..., None])

@@ -23,6 +23,8 @@ Current kernels:
 """
 
 import functools
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -679,4 +681,114 @@ def ctc_beam_search_vmem_ok(T, N, V, width) -> bool:
     return buf + frame + state + inter <= 24 * 1024 * 1024
 
 
-__all__ += ["ctc_beam_search_pallas", "ctc_beam_search_reference"]
+_BEAM_GATE_CACHE = {}
+
+
+def _beam_gate_path() -> str:
+    return os.path.join(
+        os.path.expanduser("~"), ".cache", "pydrobert_tpu", "beam_gate.json"
+    )
+
+
+def _calibrate_beam_kernel(key: str) -> bool:
+    """Time BOTH no-LM beam-search paths on a small representative decode
+    and return whether the Pallas whole-loop kernel wins. Medians of 3
+    device-synced reps; both timings are logged and persisted."""
+    import logging
+    import statistics
+    import time as _time
+
+    log = logging.getLogger(__name__)
+    T, N, V, W = 64, 8, 128, 8
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(T, N, V + 1), jnp.float32)
+    lens = jnp.full((N,), T, jnp.int32)
+    probs = jax.nn.softmax(logits, 2)
+    nonext, blank = probs[..., :V], probs[..., V]
+
+    def timed(fn, *args):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+        reps = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+            reps.append(_time.perf_counter() - t0)
+        return statistics.median(reps)
+
+    # the pure-XLA simulator is step-for-step the scan the search runs
+    t_xla = timed(
+        jax.jit(ctc_beam_search_reference, static_argnums=3),
+        nonext, blank, lens, W,
+    )
+    t_pl = timed(
+        jax.jit(ctc_beam_search_pallas, static_argnums=3),
+        nonext, blank, lens, W,
+    )
+    use = t_pl < t_xla
+    log.info(
+        "beam-kernel calibration on %s: pallas %.2f ms vs xla-scan %.2f ms "
+        "-> %s", key, t_pl * 1e3, t_xla * 1e3,
+        "pallas kernel" if use else "xla scan",
+    )
+    path = _beam_gate_path()
+    try:
+        disk = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                disk = json.load(f)
+        disk[key] = {
+            "use_pallas": bool(use),
+            "pallas_ms": round(t_pl * 1e3, 3),
+            "xla_ms": round(t_xla * 1e3, 3),
+        }
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(disk, f, indent=1)
+    except OSError:  # pragma: no cover
+        pass
+    return bool(use)
+
+
+def beam_kernel_preferred() -> bool:
+    """Whether CTCPrefixSearch's no-LM path should use the whole-loop
+    Pallas kernel. Honors ``config.USE_PALLAS_BEAM``: forced on ("1"/True),
+    forced off ("0"/False), or "auto" — a one-time per-device-kind
+    micro-calibration that times both paths (cached in-process and at
+    ``~/.cache/pydrobert_tpu/beam_gate.json``)."""
+    from .. import config
+
+    mode = config.USE_PALLAS_BEAM
+    if mode in (True, 1, "1", "true", "on"):
+        return True
+    if mode in (False, 0, None, "0", "false", "off"):
+        return False
+    if not tpu_available():
+        return False
+    try:
+        d = jax.devices()[0]
+        key = f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
+    except Exception:  # pragma: no cover
+        return False
+    if key in _BEAM_GATE_CACHE:
+        return _BEAM_GATE_CACHE[key]
+    try:
+        with open(_beam_gate_path()) as f:
+            disk = json.load(f)
+        if key in disk:
+            use = bool(disk[key]["use_pallas"])
+            _BEAM_GATE_CACHE[key] = use
+            return use
+    except (OSError, ValueError, KeyError):
+        pass
+    use = _calibrate_beam_kernel(key)
+    _BEAM_GATE_CACHE[key] = use
+    return use
+
+
+__all__ += [
+    "beam_kernel_preferred",
+    "ctc_beam_search_pallas",
+    "ctc_beam_search_reference",
+]

@@ -388,6 +388,23 @@ def test_ctc_prefix_search_tiny_vocab_wide_beam(ref_torch, seeded, jit_fn):
             )
 
 
+def test_beam_kernel_gate_modes(monkeypatch):
+    """beam_kernel_preferred honors forced modes and is a cheap False on
+    non-TPU backends under 'auto' (no calibration attempted)."""
+    from pydrobert_tpu import config
+    from pydrobert_tpu.ops import pallas
+
+    monkeypatch.setattr(config, "USE_PALLAS_BEAM", "1")
+    assert pallas.beam_kernel_preferred() is True
+    monkeypatch.setattr(config, "USE_PALLAS_BEAM", True)
+    assert pallas.beam_kernel_preferred() is True
+    monkeypatch.setattr(config, "USE_PALLAS_BEAM", "0")
+    assert pallas.beam_kernel_preferred() is False
+    monkeypatch.setattr(config, "USE_PALLAS_BEAM", "auto")
+    if not pallas.tpu_available():
+        assert pallas.beam_kernel_preferred() is False
+
+
 @pytest.mark.parametrize("shape", [(12, 4, 16, 4), (20, 3, 32, 8), (15, 5, 8, 4)])
 def test_ctc_beam_kernel_simulator_matches_search(shape):
     """The Pallas whole-loop beam kernel's step math (pure-XLA simulator)
