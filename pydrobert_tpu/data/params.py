@@ -10,6 +10,8 @@ validated on assignment, and ini/yaml round-trips are handled by
 """
 
 import dataclasses
+import json
+import os
 from typing import Any, Container, Dict, List, Optional, Set
 
 __all__ = [
@@ -17,8 +19,10 @@ __all__ = [
     "LangDataParams",
     "Parameterized",
     "SpectDataParams",
+    "deserialize_params_from_file",
     "params_from_dict",
     "params_to_dict",
+    "serialize_params_to_file",
 ]
 
 
@@ -58,6 +62,23 @@ class Parameterized:
     def _suggest(cls, trial, params, only: Container[str], prefix: str):
         pass
 
+    @classmethod
+    def _nested_class(cls, name: str):
+        """The Parameterized subclass a field holds, or None for plain
+        values. Subclasses with object-valued fields override this so file
+        deserialization can rebuild the nested objects."""
+        return None
+
+    def to_file(self, path: str) -> None:
+        """Write this params object to an ini/yaml/json file (by
+        extension)."""
+        serialize_params_to_file(path, self)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Parameterized":
+        """Read a params object back from :meth:`to_file` output."""
+        return deserialize_params_from_file(path, cls)
+
 
 def params_to_dict(params: Parameterized) -> Dict[str, Any]:
     """Serialize a params object to a plain dict (ini/yaml-friendly)."""
@@ -65,12 +86,90 @@ def params_to_dict(params: Parameterized) -> Dict[str, Any]:
 
 
 def params_from_dict(cls, d: Dict[str, Any]) -> Parameterized:
-    """Deserialize a params object, validating field names."""
+    """Deserialize a params object, validating field names and rebuilding
+    nested Parameterized fields (via ``cls._nested_class``)."""
     names = {f.name for f in dataclasses.fields(cls)}
     bad = set(d) - names
     if bad:
         raise ValueError(f"unknown parameters for {cls.__name__}: {sorted(bad)}")
-    return cls(**d)
+    kwargs = {}
+    for name, value in d.items():
+        sub = cls._nested_class(name)
+        if sub is not None and isinstance(value, dict):
+            value = params_from_dict(sub, value)
+        kwargs[name] = value
+    return cls(**kwargs)
+
+
+def serialize_params_to_file(path: str, params: Parameterized) -> None:
+    """Write a params object to ``path`` as ini, yaml, or json (chosen by
+    extension), mirroring the reference's pydrobert-param file glue
+    (``_pl_data.py:459-516``). Nested Parameterized fields become nested
+    mappings (dotted sections in ini)."""
+    d = params_to_dict(params)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".json":
+        with open(path, "w") as f:
+            json.dump(d, f, indent=1)
+    elif ext in (".yaml", ".yml"):
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(d, f, sort_keys=False)
+    elif ext == ".ini":
+        import configparser
+
+        cp = configparser.ConfigParser()
+
+        def add(section: str, sub: Dict[str, Any]):
+            flat = {}
+            for k, v in sub.items():
+                if isinstance(v, dict):
+                    add(f"{section}.{k}", v)
+                else:
+                    # JSON-encoded values: lists/None/bools round-trip
+                    flat[k] = json.dumps(v)
+            cp[section] = flat
+
+        add("params", d)
+        with open(path, "w") as f:
+            cp.write(f)
+    else:
+        raise ValueError(f"unknown params file extension: {path!r}")
+
+
+def deserialize_params_from_file(path: str, cls) -> Parameterized:
+    """Read a params object of type `cls` from ini/yaml/json ``path``."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".json":
+        with open(path) as f:
+            d = json.load(f)
+    elif ext in (".yaml", ".yml"):
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f)
+    elif ext == ".ini":
+        import configparser
+
+        cp = configparser.ConfigParser()
+        if not cp.read(path):
+            raise IOError(f"could not read params file {path!r}")
+        d: Dict[str, Any] = {}
+        for section in cp.sections():
+            parts = section.split(".")
+            if parts[0] != "params":
+                raise ValueError(f"unknown ini section {section!r}")
+            node = d
+            for p in parts[1:]:
+                node = node.setdefault(p, {})
+            for k, v in cp[section].items():
+                node[k] = json.loads(v)
+    else:
+        raise ValueError(f"unknown params file extension: {path!r}")
+    # None-valued nested sections serialize as None; drop them so defaults
+    # apply cleanly, keeping explicit None for plain fields
+    return params_from_dict(cls, d)
 
 
 def _field(default, **metadata):

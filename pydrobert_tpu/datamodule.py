@@ -113,6 +113,14 @@ class DataModuleParams(Parameterized):
         elif self.common is None:
             self.common = self.pclass()
 
+    @classmethod
+    def _nested_class(cls, name: str):
+        # partition/common fields hold loader-params objects: file
+        # deserialization rebuilds them as cls.pclass instances
+        if name in _PARTITIONS or name == "common":
+            return cls.pclass
+        return None
+
 
 @dataclasses.dataclass
 class SpectDataModuleParams(DataModuleParams):
@@ -283,3 +291,52 @@ class SpectDataModule:
 
     def predict_dataloader(self, epoch: int = 0) -> SpectDataLoader:
         return self._dataloader("predict", epoch)
+
+    @classmethod
+    def add_argparse_args(cls, parser, include_overloads: bool = True):
+        """Add ``--read-data-{ini,yaml,json}`` flags that populate a
+        :class:`SpectDataModuleParams` from a config file, plus the usual
+        data-dir overloads — the analogue of the reference's
+        pydrobert-param argparse glue (``_pl_data.py:459-516``)."""
+        grp = parser.add_argument_group("data module")
+        grp.add_argument(
+            "--read-data-ini", metavar="PATH", default=None,
+            help="Path to an ini file of data-module params",
+        )
+        grp.add_argument(
+            "--read-data-yaml", metavar="PATH", default=None,
+            help="Path to a yaml file of data-module params",
+        )
+        grp.add_argument(
+            "--read-data-json", metavar="PATH", default=None,
+            help="Path to a json file of data-module params",
+        )
+        if include_overloads:
+            for p in _PARTITIONS:
+                grp.add_argument(
+                    f"--{p}-dir", default=None,
+                    help=f"Overrides the params file's {p}_dir",
+                )
+        return parser
+
+    @classmethod
+    def from_argparse_args(cls, namespace, **kwargs) -> "SpectDataModule":
+        """Construct the data module from parsed
+        :meth:`add_argparse_args` flags (file params + dir overloads);
+        extra `kwargs` forward to the constructor."""
+        params = None
+        for attr in ("read_data_ini", "read_data_yaml", "read_data_json"):
+            path = getattr(namespace, attr, None)
+            if path is not None:
+                if params is not None:
+                    raise ValueError(
+                        "at most one --read-data-{ini,yaml,json} may be set"
+                    )
+                params = SpectDataModuleParams.from_file(path)
+        if params is None:
+            params = SpectDataModuleParams()
+        for p in _PARTITIONS:
+            override = getattr(namespace, f"{p}_dir", None)
+            if override is not None:
+                setattr(params, f"{p}_dir", override)
+        return cls(params, **kwargs)
