@@ -106,7 +106,11 @@ def bench_spec_augment(inner=16):
     key = jax.random.PRNGKey(0)
     compiled, stats = _compile(run, key, feats, lengths)
     dt = _time(compiled, key, feats, lengths) / inner
-    return B / dt, stats["bytes"] / (inner * B)
+    # bf16 feature I/O: half the bytes through the bandwidth-floor-bound op
+    feats16 = feats.astype(jnp.bfloat16)
+    compiled16, _ = _compile(run, key, feats16, lengths)
+    dt16 = _time(compiled16, key, feats16, lengths) / inner
+    return B / dt, stats["bytes"] / (inner * B), B / dt16
 
 
 def _decode_inputs(B, T, V, seed):
@@ -211,7 +215,7 @@ def main():
     # being killed by the driver's timeout before the JSON line prints
     t0 = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
-    sa, sa_bytes = _guard(bench_spec_augment, (0.0, 0.0))
+    sa, sa_bytes, sa16 = _guard(bench_spec_augment, (0.0, 0.0, 0.0))
     dec, per_utt, dec_kernels, dec_upk = _guard(
         bench_ctc_beam16, (0.0, float("inf"), 0, 0.0)
     )
@@ -239,6 +243,7 @@ def main():
                 "specaugment_utt_per_sec": round(sa, 1),
                 "specaugment_vs_baseline": round(sa / SPECAUG_TARGET, 3),
                 "specaugment_bytes_per_utt": round(sa_bytes, 1),
+                "specaugment_bf16_utt_per_sec": round(sa16, 1),
                 "fused_ngram_decode_utt_per_sec": round(fused, 1),
                 "decode_bs256_utt_per_sec": round(dec256, 1),
                 "ngram_beam_search_seq_per_sec": round(beam, 1),

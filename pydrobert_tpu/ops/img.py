@@ -434,23 +434,45 @@ def _separable_warp(
 ) -> jax.Array:
     """Bilinear+border warp of ``(N, T, F)`` feats by independent per-axis
     grids: whole-row gathers along time (HBM-friendly) and an ``(F, F)``
-    interpolation matmul along frequency (MXU-friendly)."""
+    interpolation matmul along frequency (MXU-friendly).
+
+    bfloat16 feats stay bfloat16 at every kernel boundary (half the HBM
+    bytes of the f32 path — the op is bandwidth-bound) while the lerps
+    accumulate in f32; interpolation weights round to bf16 in the frequency
+    matmul (<= 0.4% relative, documented tolerance of the bf16 path).
+    """
     N, T, F = feats.shape
+    in_dtype = feats.dtype
+    bf16 = in_dtype == jnp.bfloat16
     out = feats
     if time_grid is not None:
         t0, t1, w0, w1 = _axis_lerp_weights(time_grid, T)  # (N, T)
         g0 = jnp.take_along_axis(out, t0[:, :, None], axis=1)
         g1 = jnp.take_along_axis(out, t1[:, :, None], axis=1)
-        out = w0[:, :, None] * g0 + w1[:, :, None] * g1
+        out = (
+            w0[:, :, None] * g0.astype(jnp.float32)
+            + w1[:, :, None] * g1.astype(jnp.float32)
+        )
+        if bf16:
+            out = out.astype(in_dtype)
     if freq_grid is not None:
         f0, f1, w0, w1 = _axis_lerp_weights(freq_grid, F)  # (N, F)
         cols = jnp.arange(F, dtype=jnp.int32)
         Wf = w0[:, :, None] * (f0[:, :, None] == cols) + w1[:, :, None] * (
             f1[:, :, None] == cols
         )  # (N, F_out, F_in)
-        out = jnp.einsum(
-            "nof,ntf->nto", Wf, out, precision=jax.lax.Precision.HIGHEST
-        )
+        if bf16:
+            # bf16 x bf16 -> f32 is the MXU's native mode
+            out = jnp.einsum(
+                "nof,ntf->nto",
+                Wf.astype(jnp.bfloat16),
+                out.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(in_dtype)
+        else:
+            out = jnp.einsum(
+                "nof,ntf->nto", Wf, out, precision=jax.lax.Precision.HIGHEST
+            )
     return out
 
 

@@ -188,13 +188,15 @@ def _sa_kernel(x_ref, t0_ref, t1_ref, w0_ref, w1_ref, tm_ref, fm_ref, o_ref):
     W = w0[:, None] * (s_ids == t0[:, None]) + w1[:, None] * (
         s_ids == t1[:, None]
     )
+    # bf16 feature blocks upcast here (free: VMEM-resident) so HBM moves
+    # half the bytes while the interpolation accumulates in f32
     warped = jax.lax.dot(
-        W, x_ref[0],
+        W, x_ref[0].astype(jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     keep = (1.0 - tm_ref[0, 0, :])[:, None] * (1.0 - fm_ref[0, 0, :])[None, :]
-    o_ref[0] = warped * keep
+    o_ref[0] = (warped * keep).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,8 +212,16 @@ def spec_augment_apply_kernel(
 ) -> jax.Array:
     """Fused SpecAugment apply: ``out[n, t] = keep[n, t] * (w0[n, t] *
     feats[n, t0[n, t]] + w1[n, t] * feats[n, t1[n, t]])`` with time/freq
-    masks, one kernel launch per batch (grid over N)."""
+    masks, one kernel launch per batch (grid over N).
+
+    bfloat16 `feats` stream to/from HBM in bf16 (half the bytes — the op is
+    bandwidth-floor-bound) while interpolation accumulates in f32 inside
+    VMEM; other dtypes compute and return f32.
+    """
     N, T, F = feats.shape
+    io_dtype = (
+        jnp.bfloat16 if feats.dtype == jnp.bfloat16 else jnp.float32
+    )
     out = pl.pallas_call(
         _sa_kernel,
         grid=(N,),
@@ -227,10 +237,10 @@ def spec_augment_apply_kernel(
         out_specs=pl.BlockSpec(
             (1, T, F), lambda n: (n, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((N, T, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, T, F), io_dtype),
         interpret=interpret,
     )(
-        feats.astype(jnp.float32),
+        feats.astype(io_dtype),
         t0.astype(jnp.int32)[:, None],
         t1.astype(jnp.int32)[:, None],
         w0.astype(jnp.float32)[:, None],

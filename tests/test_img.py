@@ -221,3 +221,59 @@ def test_random_shift(key, ref_torch):
     # eval: identity
     out, out_lens = I.random_shift(key, x, lens, (0.5, 0.5), training=False)
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_spec_augment_bf16_matches_f32(key):
+    """bf16 feature I/O through the separable warp path: same warps/masks
+    within bf16 rounding (documented tolerance: weights and features round
+    to bf16, <= ~1% relative); output dtype preserved."""
+    N, T, F = 4, 64, 16
+    feats = jnp.asarray(np.random.randn(N, T, F).astype(np.float32))
+    lengths = jnp.asarray(
+        np.random.randint(T // 2, T + 1, (N,)).astype(np.float32)
+    )
+    params = I.spec_augment_draw_parameters(
+        key, feats, 5.0, 3.0, 10, 4, 1.0, 2, 1.0, 2, lengths
+    )
+    out32 = I.spec_augment_apply_parameters(feats, params, 1, lengths)
+    out16 = I.spec_augment_apply_parameters(
+        feats.astype(jnp.bfloat16), params, 1, lengths
+    )
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32),
+        np.asarray(out32),
+        rtol=2e-2,
+        atol=2e-2,
+    )
+    # masked positions are exactly zero in both
+    assert ((np.asarray(out32) == 0) <= (np.asarray(out16) == 0)).all()
+
+
+def test_spec_augment_kernel_bf16_io(key):
+    """The fused Pallas apply kernel (interpret mode off-TPU) streams bf16
+    in/out and matches its own f32 result within bf16 rounding."""
+    from pydrobert_tpu.ops.pallas import spec_augment_apply_kernel
+
+    N, T, F = 3, 32, 8
+    feats = np.random.randn(N, T, F).astype(np.float32)
+    t0 = np.clip(np.arange(T)[None] - 1, 0, T - 1).repeat(N, 0)
+    t1 = np.clip(np.arange(T)[None], 0, T - 1).repeat(N, 0)
+    w0 = np.full((N, T), 0.25, np.float32)
+    w1 = np.full((N, T), 0.75, np.float32)
+    tmask = np.zeros((N, T), np.float32)
+    tmask[:, 5:9] = 1
+    fmask = np.zeros((N, F), np.float32)
+    fmask[:, 2:4] = 1
+    args = (t0, t1, w0, w1, tmask, fmask)
+    o32 = spec_augment_apply_kernel(
+        jnp.asarray(feats), *map(jnp.asarray, args), interpret=True
+    )
+    o16 = spec_augment_apply_kernel(
+        jnp.asarray(feats, jnp.bfloat16), *map(jnp.asarray, args),
+        interpret=True,
+    )
+    assert o32.dtype == jnp.float32 and o16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(o16, np.float32), np.asarray(o32), rtol=2e-2, atol=2e-2
+    )
