@@ -1775,6 +1775,15 @@ class RandomWalk:
     Parity: reference ``RandomWalk`` (``_decoding.py:1286-1513``) with an
     explicit PRNG `key` and required static ``max_iters``. Returns
     ``(y, y_lens, y_log_probs)`` with ``y`` of shape ``(max_iters, N)``.
+
+    Unlike the beam searches, RandomWalk scores ALL ``V`` tokens per step
+    even for backoff n-gram LMs with sparse structure: exact *sampling*
+    from the backoff mixture needs either the full conditional mass
+    (``jax.random.categorical`` over V) or a rejection loop whose trip
+    count is data-dependent — the latter doesn't jit to static control
+    flow, so the dense step is the TPU-correct formulation. (Search only
+    needs the top-W candidates, which is why BeamSearch/CTCPrefixSearch
+    get sparse-slot fast paths and this doesn't.)
     """
 
     def __init__(self, lm: SequentialLanguageModel, eos: Optional[int] = None):

@@ -459,6 +459,7 @@ def _state_from(out, prev_y):
 
 
 @pytest.mark.parametrize("trial", range(4))
+@pytest.mark.slow
 def test_factored_advance_fuzz_continuous(trial):
     """With continuous random probabilities (no ties), the factored advance
     equals the general advance exactly at every step."""
@@ -506,6 +507,7 @@ def test_factored_advance_fuzz_continuous(trial):
 
 
 @pytest.mark.parametrize("trial", range(4))
+@pytest.mark.slow
 def test_factored_advance_fuzz_ties(trial):
     """Under adversarial ties (probabilities quantized to a handful of
     values), both advances must select the same multiset of candidate

@@ -27,6 +27,7 @@ from pydrobert_tpu.training import (
 )
 
 
+@pytest.mark.slow
 def test_minimum_end_to_end_slice(tmp_path, seeded, key):
     from pydrobert_tpu.utils.serial import save_tensor
 

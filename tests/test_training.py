@@ -330,6 +330,7 @@ def test_suggest_params_all_classes(seeded):
         assert not t3.suggestions
 
 
+@pytest.mark.slow
 def test_real_two_process_distributed(tmp_path):
     """Spawn two actual processes under ``jax.distributed`` (CPU + gloo) and
     check the library's multi-process hooks end-to-end, without any
