@@ -654,15 +654,21 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         rule "highest stored order wins, else next" is exact."""
         uni = self._uni_logp.astype(np.float64)
         sum_u = float(np.exp(uni[np.isfinite(uni)]).sum())
+        # dict-valued children for O(1) membership: the value() walk below
+        # runs once per stored n-gram, and linear scans of wide children
+        # lists would make the build quadratic for KenLM-scale models
+        kid_dicts = [
+            {ctx: dict(kids) for ctx, kids in m.items()} for m in kid_maps
+        ]
 
         def value(v: int, ctx: Tuple[int, ...]) -> float:
             """lm(v | ctx), walking the backoff chain (earliest-first)."""
             pen = 0.0
             for L in range(len(ctx), 0, -1):
                 sub = ctx[len(ctx) - L:]
-                for tok, logp in kid_maps[L - 1].get(sub, ()):
-                    if tok == v:
-                        return pen + logp
+                logp = kid_dicts[L - 1].get(sub, {}).get(v)
+                if logp is not None:
+                    return pen + logp
                 pen += logb_maps[L - 1].get(sub, 0.0)
             return pen + float(uni[v])
 
