@@ -607,6 +607,47 @@ def test_ctc_fused_sparse_matches_dense_advance(trial):
 
 
 @pytest.mark.parametrize("trial", range(4))
+def test_ctc_fused_gather_membership_matches_compare(trial, monkeypatch):
+    """The gather-based n-gram membership path (SPARSE_MEMBERSHIP_GATHER,
+    dense bigram table + short high-order tail) returns the same results
+    as the default compare-based sparse advance, up to ties."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(4100 + trial)
+    V = int(rng.randint(4, 40))
+    Ngram = int(rng.randint(2, 5))
+    W = int(rng.randint(1, 9))
+    T = int(rng.randint(1, 12))
+    N = int(rng.randint(1, 4))
+    lm = _random_fused_lm(V, Ngram, 5100 + trial, density=int(rng.randint(1, 200)))
+    beta = float(rng.rand() * 2)
+    logits = jnp.asarray(rng.randn(T, N, V + 1), np.float32)
+    lens = jnp.asarray(rng.randint(0, T + 1, (N,)).astype(np.int32))
+    monkeypatch.setattr(tpu_config, "SPARSE_MEMBERSHIP_GATHER", False)
+    dy, dlens, dprobs = D.CTCPrefixSearch(W, beta=beta, lm=lm)(logits, lens)
+    monkeypatch.setattr(tpu_config, "SPARSE_MEMBERSHIP_GATHER", True)
+    assert lm.order2_values() is not None
+    sy, slens, sprobs = D.CTCPrefixSearch(W, beta=beta, lm=lm)(logits, lens)
+    dy, dlens, dprobs = (np.asarray(x) for x in (dy, dlens, dprobs))
+    sy, slens, sprobs = (np.asarray(x) for x in (sy, slens, sprobs))
+    np.testing.assert_allclose(
+        np.sort(dprobs, -1), np.sort(sprobs, -1), rtol=3e-5, atol=1e-7
+    )
+    for n in range(N):
+        for k in range(W):
+            if np.isinf(dprobs[n, k]):
+                continue
+            L = dlens[n, k]
+            ok = any(
+                slens[n, kk] == L and (sy[:L, n, kk] == dy[:L, n, k]).all()
+                for kk in range(W)
+                if abs(sprobs[n, kk] - dprobs[n, k])
+                < 1e-4 * max(1, abs(dprobs[n, k]))
+            )
+            assert ok, (trial, n, k, dy[:L, n, k], dprobs[n, k], sprobs[n])
+
+
+@pytest.mark.parametrize("trial", range(4))
 def test_beam_search_sparse_matches_dense(trial):
     """BeamSearch over a LookupLanguageModel via static-top-M + per-beam
     correction slots equals the dense V-wide scoring, up to f32-rounding

@@ -269,6 +269,50 @@ def test_dense_ctx_table_matches_hash(seeded):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_sparse_corrections_probing_fallback_matches_dense(seeded):
+    """sparse_corrections' hash-probing fallback (no dense rows, no stored
+    logZ) agrees with the dense-table branch: same reconstructed
+    distribution, backoff sums, and normalizer."""
+    import pydrobert_tpu.lm as lm_mod
+
+    V, N, sos = 9, 3, 9
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos)
+    lm_dense = LookupLanguageModel(
+        V, sos=sos, prob_dicts=[d.copy() for d in prob_dicts]
+    )
+    old = lm_mod._DENSE_CTX_MAX_ROWS
+    try:
+        lm_mod._DENSE_CTX_MAX_ROWS = 0
+        lm_hash = LookupLanguageModel(
+            V, sos=sos, prob_dicts=[d.copy() for d in prob_dicts]
+        )
+    finally:
+        lm_mod._DENSE_CTX_MAX_ROWS = old
+    assert lm_dense._combined_tables() is not None
+    assert lm_hash._combined_tables() is None
+    rng = np.random.RandomState(7)
+    B = 6
+    ctx = jnp.asarray(rng.randint(0, V, (N - 1, B)), jnp.int32)
+
+    def recon(lm):
+        base, toks, vals, valid, logZ, logb, bounds = (
+            lm.sparse_corrections_ext(ctx)
+        )
+        out = np.asarray(base)[:, None] + np.asarray(lm._uni_logp)[None]
+        toks, vals, valid = (np.asarray(x) for x in (toks, vals, valid))
+        for b in range(B):
+            for c in range(toks.shape[1]):
+                if valid[b, c]:
+                    out[b, toks[b, c]] = vals[b, c]
+        return out, np.asarray(logZ), np.asarray(logb)
+
+    da, dz, dl = recon(lm_dense)
+    ha, hz, hl = recon(lm_hash)
+    np.testing.assert_allclose(da, ha, atol=1e-5)
+    np.testing.assert_allclose(dz, hz, atol=1e-5)
+    np.testing.assert_allclose(dl, hl, atol=1e-6)
+
+
 @pytest.mark.parametrize("N", [1, 3])
 def test_score_sequences_matches_full(seeded, N):
     """`score_sequences` (probe only the observed token) equals gathering
