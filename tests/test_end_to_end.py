@@ -7,6 +7,8 @@ flow, exactly the reference's intended usage."""
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
