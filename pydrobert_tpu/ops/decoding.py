@@ -1374,8 +1374,10 @@ class CTCPrefixSearch:
         # step. top_k runs on raw logits (monotone => same tokens) with
         # exp-normalization applied to the M selected values only.
         if not (use_lm and not use_sparse and not use_uni):
-            lgts_flat = logits.reshape(T * N * Vp1)
             sm_stats = jnp.stack([sm_max, sm_den], 2)  # (T, N, 2)
+
+        if not use_sparse and not (use_lm and not use_uni):
+            lgts_flat = logits.reshape(T * N * Vp1)
 
             def am_at_t(t, toks):
                 """Acoustic probabilities of `toks` (N, Q) from raw logits.
@@ -1398,6 +1400,33 @@ class CTCPrefixSearch:
             Ng = lm.max_ngram
             M = min(V, 2 * W + Csp)
             uni_dev = jnp.asarray(lm._uni_logp)
+            iota_vrow = jnp.arange(V, dtype=jnp.int32)
+
+            def am_from_row(lgts_row, st, toks):
+                """Acoustic probabilities of `toks` (N, Q) from the step's
+                streamed logits row (N, V + 1) + softmax stats row (N, 2).
+
+                The fused advance reads ~W * (C + 1) acoustic values per
+                beam; a flat gather of that many indices from the (T, N,
+                V + 1) buffer dominates the fused step on TPU (gather cost
+                grows superlinearly with index count), while a
+                HIGHEST-precision one-hot contraction against the frame is
+                MXU work and near-free. One nonzero term per row keeps the
+                dot bit-exact vs the gather (x + 0 == x); the clamp keeps
+                user-masked -inf logits from turning 0 * -inf into NaN
+                (exp(-1e30 - max) == exp(-inf - max) == 0 either way).
+                """
+                oh = (
+                    jnp.clip(toks, 0, V - 1)[:, :, None]
+                    == iota_vrow[None, None]
+                )
+                raw = jnp.einsum(
+                    "nqv,nv->nq",
+                    oh.astype(jnp.float32),
+                    jnp.maximum(lgts_row[:, :V], -1e30),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return jnp.exp(raw - st[:, :1]) / st[:, 1:]
             bi_dev = (
                 lm.order2_values() if config.SPARSE_MEMBERSHIP_GATHER else None
             )
@@ -1460,7 +1489,7 @@ class CTCPrefixSearch:
             in_next0 = prev
             advanced0 = _ctc_prefix_search_advance_sparse(
                 (top_vals[0], top_inds[0]),
-                partial(am_at_t, jnp.asarray(0, jnp.int32)),
+                partial(am_from_row, logits[0], sm_stats[0]),
                 uni_dev,
                 blank_probs[0],
                 beta,
@@ -1565,6 +1594,8 @@ class CTCPrefixSearch:
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx = carry
                 if use_lm and not use_sparse and not use_uni:
                     nonext_t, blank_t, t = xs
+                elif use_sparse:
+                    blank_t, t, top_vals_t, top_inds_t, lgts_t, st_t = xs
                 else:
                     blank_t, t, top_vals_t, top_inds_t = xs
                 valid_mask = (t < lens)[:, None]  # (N, 1)
@@ -1572,7 +1603,7 @@ class CTCPrefixSearch:
                     in_next = state
                     advanced = _ctc_prefix_search_advance_sparse(
                         (top_vals_t, top_inds_t),
-                        partial(am_at_t, t),
+                        partial(am_from_row, lgts_t, st_t),
                         uni_dev,
                         blank_t,
                         beta,
@@ -1682,6 +1713,18 @@ class CTCPrefixSearch:
                     nonext_probs[1:],
                     blank_probs[1:],
                     jnp.arange(1, T, dtype=jnp.int32),
+                )
+            elif use_sparse:
+                # the raw logits stream through the scan (sliced views, no
+                # copy): the fused advance reads its per-token acoustic
+                # values straight off the frame via am_from_row
+                xs = (
+                    blank_probs[1:],
+                    jnp.arange(1, T, dtype=jnp.int32),
+                    top_vals[1:],
+                    top_inds[1:],
+                    logits[1:],
+                    sm_stats[1:],
                 )
             else:
                 xs = (
