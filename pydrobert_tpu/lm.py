@@ -881,37 +881,67 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     for i, s in enumerate(s_list)
                 ]
             )
-            starts = jnp.take(rows[..., 1], slot_order, axis=1)  # (B, Ctot)
+            def spread(per_order):
+                # (B, N-1) -> (B, Ctot): repeat each order's column over its
+                # static slot span. A constant-index jnp.take here measured
+                # ~4 dispatched kernels per call inside decode loops (index
+                # materialization + relayouts around the gather); the static
+                # slice+broadcast+concat form fuses with its consumers.
+                return jnp.concatenate(
+                    [
+                        jnp.broadcast_to(per_order[:, i : i + 1], (B, s))
+                        for i, s in enumerate(s_list)
+                    ],
+                    1,
+                )
+
+            starts = spread(rows[..., 1])  # (B, Ctot)
             pos = jnp.clip(
                 starts + slot_off[None], 0, child_all.shape[0] - 1
             )
             got = child_all[pos]  # (B, Ctot, 2): ONE gather
             valid = jnp.asarray(slot_off - np.take(child_offs, slot_order))[
                 None
-            ] < jnp.take(lengths, slot_order, axis=1)
+            ] < spread(lengths)
             toks = got[..., 0]
             lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
             base = logb_all.sum(1)
             # value of an order-n match = stored logp + backoffs of all
             # HIGHER orders escaped through: a suffix sum over orders,
             # spread to slots by the static map
+            # sum of logb over orders > i; the reverse-cumsum form measured
+            # ~7 dispatched kernels per decode step (reversal relayouts),
+            # the explicit slice-sums fuse (N - 1 is tiny)
             sfx_excl = jnp.concatenate(
                 [
-                    jnp.cumsum(logb_all[:, ::-1], axis=1)[:, -2::-1],
-                    jnp.zeros((B, 1), logb_all.dtype),
+                    logb_all[:, i + 1 :].sum(1, keepdims=True)
+                    if i + 1 < N - 1
+                    else jnp.zeros((B, 1), logb_all.dtype)
+                    for i in range(N - 1)
                 ],
                 1,
-            )  # (B, N-1): sum of logb over orders > i
-            val = lps + jnp.take(sfx_excl, slot_order, axis=1)
-            # higher-order matches override lower ones: one all-pairs
-            # comparison masked by the static order relation
-            higher = slot_order[:, None] < slot_order[None, :]  # (C, C)
-            dup = (
-                (toks[:, :, None] == toks[:, None, :])
-                & valid[:, None, :]
-                & jnp.asarray(higher)[None]
-            ).any(2)
-            valid = valid & ~dup
+            )  # (B, N-1)
+            val = lps + spread(sfx_excl)
+            # higher-order matches override lower ones; only the static
+            # lower-order x strictly-higher-order blocks can collide, so
+            # compare those instead of the full (B, Ctot, Ctot) all-pairs
+            offs = np.concatenate([[0], np.cumsum(s_list)]).astype(int)
+            dup_parts = []
+            for i, s in enumerate(s_list):
+                hi = slice(offs[i + 1], offs[-1])
+                if offs[-1] - offs[i + 1]:
+                    dup_parts.append(
+                        (
+                            (
+                                toks[:, offs[i] : offs[i + 1], None]
+                                == toks[:, None, hi]
+                            )
+                            & valid[:, None, hi]
+                        ).any(2)
+                    )
+                else:
+                    dup_parts.append(jnp.zeros((B, s), bool))
+            valid = valid & ~jnp.concatenate(dup_parts, 1)
             bounds = np.concatenate([[0], np.cumsum(s_list)])
             return (
                 base, toks, val, valid,

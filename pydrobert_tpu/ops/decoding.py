@@ -838,7 +838,8 @@ def _ctc_prefix_search_advance_sparse(
     ``_decoding.py:1113-1135``). Exact up to ties.
 
     `top_g` is ``(values, indices)`` of top-M ``g``; `am_at` maps token ids
-    ``(N, Q)`` to plain acoustic probabilities; `sparse` is
+    ``(N, Q)`` to ``(acoustic probabilities, unigram log-probs clamped at
+    -1e30)`` — both fetched through one shared one-hot; `sparse` is
     ``sparse_corrections`` output reshaped to ``(N, Kp, ...)`` leading dims.
     """
     top_vals, top_inds = top_g
@@ -860,9 +861,9 @@ def _ctc_prefix_search_advance_sparse(
     y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
     scal = jnp.exp(beta * (base - logZ))  # (N, Kp)
 
-    # one acoustic gather for correction tokens AND last tokens (gathers
-    # carry fixed per-op cost)
-    am_all = am_at(
+    # one acoustic+unigram fetch for correction tokens AND last tokens
+    # (both ride one shared one-hot; gathers carry fixed per-op cost)
+    am_all, uni_all = am_at(
         jnp.concatenate([ctoks.reshape(N, Kp * C), y_prev_last], 1)
     )
     am_corr = am_all[:, : Kp * C].reshape(N, Kp, C)
@@ -872,7 +873,7 @@ def _ctc_prefix_search_advance_sparse(
     # p_tm[n, k, j] — needed for absorption; every per-beam "own last
     # token" quantity is its k == j diagonal, so compute it ONCE and read
     # diagonals instead of running a separate (N, Kp, C) block per step
-    uni_last = jnp.take(uni, y_prev_last.reshape(-1), axis=0).reshape(N, Kp)
+    uni_last = uni_all[:, Kp * C:]  # (N, Kp)
     if bi is not None:
         # lm(last_j | ctx_k), highest stored order winning: start from the
         # unigram backoff, override with the ONE-GATHER bigram value, then
@@ -1419,14 +1420,23 @@ class CTCPrefixSearch:
                 oh = (
                     jnp.clip(toks, 0, V - 1)[:, :, None]
                     == iota_vrow[None, None]
-                )
+                ).astype(jnp.float32)
                 raw = jnp.einsum(
                     "nqv,nv->nq",
-                    oh.astype(jnp.float32),
+                    oh,
                     jnp.maximum(lgts_row[:, :V], -1e30),
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                return jnp.exp(raw - st[:, :1]) / st[:, 1:]
+                # the unigram read rides the same one-hot as a second dot:
+                # a jnp.take(uni, toks) here measured ~7 dispatched kernels
+                # per decode step (index materialization + relayouts)
+                uni_raw = jnp.einsum(
+                    "nqv,v->nq",
+                    oh,
+                    jnp.maximum(uni_dev, -1e30),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return jnp.exp(raw - st[:, :1]) / st[:, 1:], uni_raw
             bi_dev = (
                 lm.order2_values() if config.SPARSE_MEMBERSHIP_GATHER else None
             )
