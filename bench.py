@@ -175,6 +175,15 @@ def bench_ctc_beam16_fused():
     return thr, kernels, upk
 
 
+def bench_ctc_beam16_fused_bs256():
+    """Fused decode at serving batch size: like the no-LM search, the fused
+    scan's per-step op count is batch-size-independent (the LM probe is a
+    batched gather), so large batches amortize the per-kernel floor."""
+    lm = _bench_lm()
+    search = CTCPrefixSearch(16, beta=0.5, lm=lm)
+    return _bench_search(search, 256, 500, 1024, seed=2)[0]
+
+
 def bench_ngram_beam_search():
     """LM-only beam search (width 16) over a 3-gram LookupLanguageModel:
     the sparse-slot stepping (static top-M of unigrams + per-beam
@@ -233,6 +242,11 @@ def main():
         if time.monotonic() - t0 < budget
         else 0.0
     )
+    fused256 = (
+        _guard(bench_ctc_beam16_fused_bs256, 0.0)
+        if time.monotonic() - t0 < budget
+        else 0.0
+    )
     print(
         json.dumps(
             {
@@ -246,6 +260,7 @@ def main():
                 "specaugment_bf16_utt_per_sec": round(sa16, 1),
                 "fused_ngram_decode_utt_per_sec": round(fused, 1),
                 "decode_bs256_utt_per_sec": round(dec256, 1),
+                "fused_bs256_utt_per_sec": round(fused256, 1),
                 "ngram_beam_search_seq_per_sec": round(beam, 1),
                 "decode_p50_latency_ms_per_utt": round(per_utt * 1e3, 3),
                 "decode_kernels_per_step": dec_kernels,

@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .topk import exact_top_k
+
 __all__ = ["edit_distance_kernel", "tpu_available"]
 
 _INF = float(np.finfo(np.float32).max / 2)
@@ -521,7 +523,7 @@ def ctc_beam_search_reference(nonext_probs, blank_probs, lens, width):
     T, N, V = nonext_probs.shape
     W = width
     M = min(V, 2 * W)
-    tv, ti = jax.lax.top_k(nonext_probs, M)
+    tv, ti = exact_top_k(nonext_probs, M)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (T, N, 1), 0) < lens[None, :, None]
     )
@@ -634,7 +636,7 @@ def ctc_beam_search_pallas(nonext_probs, blank_probs, lens, width):
     T, N, V = nonext_probs.shape
     W = width
     M = min(V, 2 * W)
-    tv, ti = jax.lax.top_k(nonext_probs, M)
+    tv, ti = exact_top_k(nonext_probs, M)
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (T, N, 1), 0)
         < lens[None, :, None]

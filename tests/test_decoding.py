@@ -809,3 +809,30 @@ def test_ctc_prefix_search_wide_beam_no_nan():
     # no-LM with exact-zero frame probabilities
     y, lens, probs = D.CTCPrefixSearch(W)(logits.at[:, :, 1].set(-np.inf))
     assert not np.isnan(np.asarray(probs)).any()
+
+
+@pytest.mark.parametrize("shape,k", [((7, 33), 5), ((3, 4, 129), 16), ((50, 2, 64), 64)])
+def test_exact_top_k_matches_lax_top_k(seeded, shape, k):
+    """exact_top_k == lax.top_k bit-for-bit, including lowest-index-first
+    tie order (quantized values force heavy ties)."""
+    from pydrobert_tpu.ops.topk import exact_top_k
+
+    x = jnp.asarray(np.random.randn(*shape), jnp.float32)
+    # the rounded case mixes -0.0/+0.0: TopK's total order ranks +0.0 first
+    for arr in (x, jnp.round(x * 2) / 2, jnp.zeros_like(x)):
+        wv, wi = jax.lax.top_k(arr, k)
+        gv, gi = jax.jit(exact_top_k, static_argnums=1)(arr, k)
+        assert (gv == wv).all()
+        assert (gi == wi).all()
+
+
+def test_exact_top_k_neg_inf_rows(seeded):
+    """-inf-padded rows (masked logits) keep top_k's ordering."""
+    from pydrobert_tpu.ops.topk import exact_top_k
+
+    x = jnp.asarray(np.random.randn(4, 32), jnp.float32)
+    x = x.at[:, 20:].set(-jnp.inf)
+    wv, wi = jax.lax.top_k(x, 24)
+    gv, gi = jax.jit(exact_top_k, static_argnums=1)(x, 24)
+    assert (gv == wv).all()
+    assert (gi == wi).all()

@@ -116,3 +116,4 @@ def test_ctc_prefix_search_beam_gate(seeded, monkeypatch):
     monkeypatch.setattr(config, "USE_PALLAS_BEAM", True)
     gated = jax.jit(lambda l, ln: search(l, ln))(logits, lens)
     assert _beam_outputs_equal(base, gated)
+
