@@ -30,6 +30,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeat bench runs skip the multi-minute XLA
+# compiles (timings below always warm before measuring, so this only moves
+# wall-clock spent compiling, never the reported numbers)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from pydrobert_tpu.ops.decoding import CTCPrefixSearch
 from pydrobert_tpu.ops.img import spec_augment
 from pydrobert_tpu.utils.hlostats import count_body_kernels
@@ -219,33 +229,36 @@ def _guard(fn, default):
 
 
 def main():
-    # run the headline benchmarks first and gate the optional ones on a
-    # wall-clock budget: over a slow tunnel, losing an extra field beats
-    # being killed by the driver's timeout before the JSON line prints
+    # gate EVERY benchmark on a wall-clock budget: remote-tunnel XLA compile
+    # walls swing ~80-400s by phase (compilation runs server-side, so the
+    # local persistent cache can't always absorb it), and a JSON line with a
+    # missing field beats being killed by the driver's timeout before the
+    # line prints. Ordered headline-first so the cut always lands on the
+    # least important remaining field.
     t0 = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
-    sa, sa_bytes, sa16 = _guard(bench_spec_augment, (0.0, 0.0, 0.0))
+
+    def within(frac=1.0):
+        return time.monotonic() - t0 < budget * frac
+
     dec, per_utt, dec_kernels, dec_upk = _guard(
         bench_ctc_beam16, (0.0, float("inf"), 0, 0.0)
     )
-    fused, fused_kernels, fused_upk = _guard(
-        bench_ctc_beam16_fused, (0.0, 0, 0.0)
+    sa, sa_bytes, sa16 = (
+        _guard(bench_spec_augment, (0.0, 0.0, 0.0))
+        if within()
+        else (0.0, 0.0, 0.0)
     )
-    # cheap-compile bench first; the expensive-compile one takes the cut
-    beam = (
-        _guard(bench_ngram_beam_search, 0.0)
-        if time.monotonic() - t0 < budget
-        else 0.0
+    fused, fused_kernels, fused_upk = (
+        _guard(bench_ctc_beam16_fused, (0.0, 0, 0.0))
+        if within()
+        else (0.0, 0, 0.0)
     )
-    dec256 = (
-        _guard(bench_ctc_beam16_bs256, 0.0)
-        if time.monotonic() - t0 < budget
-        else 0.0
-    )
+    # cheap-compile bench first; the expensive-compile ones take the cut
+    beam = _guard(bench_ngram_beam_search, 0.0) if within() else 0.0
+    dec256 = _guard(bench_ctc_beam16_bs256, 0.0) if within() else 0.0
     fused256 = (
-        _guard(bench_ctc_beam16_fused_bs256, 0.0)
-        if time.monotonic() - t0 < budget
-        else 0.0
+        _guard(bench_ctc_beam16_fused_bs256, 0.0) if within() else 0.0
     )
     print(
         json.dumps(

@@ -10,6 +10,7 @@ import math
 import os
 
 __all__ = [
+    "DECODE_SCAN_UNROLL",
     "DEFT_ALI_SUBDIR",
     "DEFT_CHUNK_SIZE",
     "DEFT_CTM_CHANNEL",
@@ -81,6 +82,21 @@ The kernel's VMEM-resident beam state and path buffer remove the scan's
 per-step HBM traffic and op-dispatch cost on production TPUs, but lose on
 dev chips where Pallas grid-step overhead dominates — hence measurement,
 not a blind default.
+"""
+
+DECODE_SCAN_UNROLL = int(
+    os.environ.get("PYDROBERT_TPU_DECODE_SCAN_UNROLL", "1")
+)
+"""Unroll factor for the CTC prefix search's time-step scan.
+
+Each scan iteration dispatches a fixed number of XLA kernels (the
+transferable ``decode_kernels_per_step`` bench quantity); unrolling packs
+several time steps into one loop iteration so per-iteration loop machinery
+amortizes and XLA can fuse across step boundaries. Steps are sequentially
+dependent, so compute doesn't parallelize — this only trades compile time
+for dispatch count. ``T - 1`` must not need padding: when ``(T - 1) %
+unroll != 0`` XLA adds a remainder epilogue, which is handled but compiles
+a second body.
 """
 
 SPARSE_MEMBERSHIP_GATHER = (

@@ -675,6 +675,7 @@ def ctc_prefix_search_advance_factored(
     p_last: Optional[jax.Array] = None,
     p_last_ext: Optional[jax.Array] = None,
     vocab_size: Optional[int] = None,
+    batch_major: bool = False,
 ):
     """One frame of CTC prefix search when extension probabilities factor as
     ``ext[n, k, v] = nonext_probs_t[n, v]`` (no per-beam LM fusion).
@@ -791,7 +792,16 @@ def ctc_prefix_search_advance_factored(
     # instead of two (gathers break XLA fusion)
     ext_src_cat = jnp.concatenate([top_inds, y_prev_last], 1)  # (N, M + Kp)
     ext_idx = jnp.where(slot < M, slot, M + next_src)
-    next_ext = jnp.take_along_axis(ext_src_cat, ext_idx, axis=1)
+    if batch_major:
+        # in-loop form: mask-reduce instead of a gather (see tail docstring)
+        next_ext = jnp.where(
+            ext_idx[:, :, None]
+            == jnp.arange(M + Kp, dtype=ext_idx.dtype)[None, None],
+            ext_src_cat[:, None, :],
+            0,
+        ).sum(2)
+    else:
+        next_ext = jnp.take_along_axis(ext_src_cat, ext_idx, axis=1)
     # the selected extension mass IS the candidate score top_k already
     # returned (nonext slots are masked by next_is_nonext downstream)
     nb_ext_sel = sel_vals
@@ -800,6 +810,7 @@ def ctc_prefix_search_advance_factored(
         y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
         next_src, next_ext, next_is_nonext, nb_ext_sel,
         nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+        batch_major=batch_major,
     )
     if return_core:
         return core
@@ -821,6 +832,7 @@ def _ctc_prefix_search_advance_sparse(
     prev_is_prefix: jax.Array,
     bi: Optional[jax.Array] = None,
     c1: Optional[jax.Array] = None,
+    batch_major: bool = False,
 ):
     """One frame of CTC prefix search with a backoff n-gram LM shallow-fused
     (``lm_probs**beta * am``), scoring only candidate slots.
@@ -1007,14 +1019,24 @@ def _ctc_prefix_search_advance_sparse(
     next_src = next_ind // S
     next_is_nonext = slot == (S - 1)
     ext_idx = next_src * L + jnp.minimum(slot, L - 1)
-    next_ext = jnp.take_along_axis(
-        slot_toks.reshape(N, Kp * L), ext_idx, axis=1
-    )
+    if batch_major:
+        # in-loop form: mask-reduce instead of a gather (see tail docstring)
+        next_ext = jnp.where(
+            ext_idx[:, :, None]
+            == jnp.arange(Kp * L, dtype=ext_idx.dtype)[None, None],
+            slot_toks.reshape(N, Kp * L)[:, None, :],
+            0,
+        ).sum(2)
+    else:
+        next_ext = jnp.take_along_axis(
+            slot_toks.reshape(N, Kp * L), ext_idx, axis=1
+        )
 
     return _ctc_advance_tail(
         y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
         next_src, next_ext, next_is_nonext, sel_vals,
         nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+        batch_major=batch_major,
     )
 
 
@@ -1042,6 +1064,7 @@ def _ctc_advance_tail(
     y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
     next_src, next_ext, next_is_nonext, nb_ext_sel,
     nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+    batch_major: bool = False,
 ):
     """Common bookkeeping after candidate selection: masses, lengths, and
     prefix matrix. Reads the old path buffer only through an ``O(N K^2)``
@@ -1049,57 +1072,108 @@ def _ctc_advance_tail(
     ``(next_src, next_ext)``), so callers can maintain the ``(T, N, K)``
     buffer themselves without per-step full-buffer rewrites.
 
+    With ``batch_major`` the path buffer is ``(N, T, K)`` float32 (token
+    values are exact small ints) and every per-beam pick lowers as a
+    one-hot mask-reduce or HIGHEST-precision one-hot contraction instead of
+    a gather: inside a decode loop each ``take_along_axis`` costs an index
+    reshape, a gather kernel, and layout copies on its consumers every
+    step (~3-4 dispatches), while the one-hot forms fuse into neighboring
+    elementwise work. Bit-exact (one nonzero term per reduction).
+
     Returns ``(y_next_prefix_lens, y_next_last, y_next_lens,
     (nb, b), next_is_prefix, next_src, next_ext, next_is_nonext)``,
     width-padded.
     """
-    tm1, N, Kp = y_prev.shape
-    # four per-beam source gathers share the same indices: pack them into one
-    # (N, Kp, 4) int32 row (float values as bits) so XLA issues a single
-    # gather kernel instead of four (gathers break elementwise fusion)
-    packed_src = jnp.concatenate(
-        [
-            jnp.stack(
-                [
-                    y_prev_lens.astype(jnp.int32),
-                    jax.lax.bitcast_convert_type(
-                        nb_nonext_probs_cand.astype(jnp.float32), jnp.int32
-                    ),
-                    jax.lax.bitcast_convert_type(
-                        b_nonext_probs_cand.astype(jnp.float32), jnp.int32
-                    ),
-                    y_prev_last.astype(jnp.int32),
-                ],
-                2,
-            ),
-            prev_is_prefix.astype(jnp.int32),  # rides the same gather
-        ],
-        2,
-    )
-    picked = jnp.take_along_axis(packed_src, next_src[:, :, None], axis=1)
-    y_next_prefix_lens = picked[..., 0]
-    y_next_lens = y_next_prefix_lens + (~next_is_nonext)
+    if batch_major:
+        N, Kp, tm1 = y_prev.shape
+    else:
+        tm1, N, Kp = y_prev.shape
+    K_new = next_src.shape[1]
+    if batch_major:
+        # shared one-hot over the source beams; every per-beam pick rides it
+        oh_src = (
+            next_src[:, :, None]
+            == jnp.arange(Kp, dtype=next_src.dtype)[None, None]
+        )  # (N, K, Kp)
 
-    nb_nonext_probs_next = jax.lax.bitcast_convert_type(
-        picked[..., 1], jnp.float32
-    )
-    nb_probs_next = jnp.where(
-        next_is_nonext, nb_nonext_probs_next, nb_ext_sel
-    )
-    b_probs_next = (
-        jax.lax.bitcast_convert_type(picked[..., 2], jnp.float32)
-        * next_is_nonext
-    )
-    y_next_last = picked[..., 3] * next_is_nonext + next_ext * (
-        ~next_is_nonext
-    )
+        def pick(row):  # row (N, Kp) -> (N, K): row[n, src[n, k]]
+            return jnp.where(oh_src, row[:, None, :], 0).sum(2)
 
-    # row gather ip[n, src_k, :] came packed with the source gather above;
-    # only the column gather by src_j remains
-    ip_rows = picked[..., 4:] != 0  # (N, K, Kp)
-    next_prefix_is_prefix = jnp.take_along_axis(
-        ip_rows, next_src[:, None, :], axis=2
-    )
+        y_next_prefix_lens = pick(y_prev_lens.astype(jnp.int32))
+        y_next_lens = y_next_prefix_lens + (~next_is_nonext)
+        nb_nonext_probs_next = pick(
+            nb_nonext_probs_cand.astype(jnp.float32)
+        )
+        nb_probs_next = jnp.where(
+            next_is_nonext, nb_nonext_probs_next, nb_ext_sel
+        )
+        b_probs_next = (
+            pick(b_nonext_probs_cand.astype(jnp.float32)) * next_is_nonext
+        )
+        last_src = pick(y_prev_last.astype(jnp.int32))
+        y_next_last = last_src * next_is_nonext + next_ext * (
+            ~next_is_nonext
+        )
+        # ip[n, src_k, src_j] via two mask-reduces sharing oh_src
+        ip_rows = (
+            jnp.where(oh_src[:, :, :, None], prev_is_prefix[:, None], False)
+            .any(2)
+        )  # (N, K, Kp) = ip[n, src_k, :]
+        next_prefix_is_prefix = (
+            jnp.where(oh_src[:, None], ip_rows[:, :, None, :], False).any(3)
+        )  # (N, K, K') = ip[n, src_k, src_j]
+    else:
+        # four per-beam source gathers share the same indices: pack them
+        # into one (N, Kp, 4) int32 row (float values as bits) so XLA
+        # issues a single gather kernel instead of four (gathers break
+        # elementwise fusion)
+        packed_src = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        y_prev_lens.astype(jnp.int32),
+                        jax.lax.bitcast_convert_type(
+                            nb_nonext_probs_cand.astype(jnp.float32),
+                            jnp.int32,
+                        ),
+                        jax.lax.bitcast_convert_type(
+                            b_nonext_probs_cand.astype(jnp.float32),
+                            jnp.int32,
+                        ),
+                        y_prev_last.astype(jnp.int32),
+                    ],
+                    2,
+                ),
+                prev_is_prefix.astype(jnp.int32),  # rides the same gather
+            ],
+            2,
+        )
+        picked = jnp.take_along_axis(
+            packed_src, next_src[:, :, None], axis=1
+        )
+        y_next_prefix_lens = picked[..., 0]
+        y_next_lens = y_next_prefix_lens + (~next_is_nonext)
+
+        nb_nonext_probs_next = jax.lax.bitcast_convert_type(
+            picked[..., 1], jnp.float32
+        )
+        nb_probs_next = jnp.where(
+            next_is_nonext, nb_nonext_probs_next, nb_ext_sel
+        )
+        b_probs_next = (
+            jax.lax.bitcast_convert_type(picked[..., 2], jnp.float32)
+            * next_is_nonext
+        )
+        y_next_last = picked[..., 3] * next_is_nonext + next_ext * (
+            ~next_is_nonext
+        )
+
+        # row gather ip[n, src_k, :] came packed with the source gather
+        # above; only the column gather by src_j remains
+        ip_rows = picked[..., 4:] != 0  # (N, K, Kp)
+        next_prefix_is_prefix = jnp.take_along_axis(
+            ip_rows, next_src[:, None, :], axis=2
+        )
     next_len_leq = y_next_lens[:, :, None] <= y_next_lens[:, None, :]
     # next_to_match[n,k,k'] = (new) y[p_k, n, k'], p_k = lens_next_k - 1.
     # The new beam k' is old beam src_k' plus next_ext_k' written at
@@ -1109,33 +1183,65 @@ def _ctc_advance_tail(
     # reference's full-buffer transpose+gather.
     p = jnp.clip(y_next_lens - 1, 0, None)  # (N, K)
     q = y_next_prefix_lens  # (N, K)
-    K_new = next_src.shape[1]
-    if tm1:
-        # out[n,k,k'] = y_prev[p_k, n, src_k'] via a streaming column gather
-        # followed by a flat row take: a single two-axis gather with (N,K,K)
-        # arbitrary indices lowers to serialized scalar loads on TPU
-        # (~6x slower than these two single-axis forms, measured); ``cols``
-        # is also returned so callers maintaining the path buffer reuse it
-        # instead of re-gathering the full buffer. (A row-take-then-
-        # column-select form — avoiding the O(T N K) cols stream — was
-        # measured: take_along_axis columns serialize (~1000x) and the
-        # one-hot-einsum column select blows XLA compile time up ~30x.)
-        cols = jnp.take_along_axis(y_prev, next_src[None], axis=2)
-        rows_idx = (
-            jnp.clip(p, None, tm1 - 1) * N
-            + jnp.arange(N, dtype=p.dtype)[:, None]
-        )  # (N, K)
-        old_val = jnp.take(
-            cols.reshape(tm1 * N, K_new), rows_idx, axis=0
+    if batch_major:
+        # beam permute of the whole buffer and the row interrogation are
+        # two HIGHEST-precision one-hot contractions (MXU; exact, one
+        # nonzero term per dot row) instead of a streaming gather + flat
+        # row take: inside the scan the gathers' index plumbing and layout
+        # copies dominate, the dots fuse. The (N, K, T) orientation keeps
+        # time in the lane dimension (a beam-minor buffer pads 16 -> 128
+        # lanes, 8x the bytes on every buffer op) and makes both dots
+        # canonical (contracting dim minor on both operands).
+        cols = jnp.einsum(
+            "nkj,njt->nkt",
+            oh_src.astype(jnp.float32),
+            y_prev,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, K', T), f32
+        oh_p = (
+            p[:, :, None] == jnp.arange(tm1, dtype=p.dtype)[None, None]
+        ).astype(jnp.float32)  # (N, K, T); rows past tm1 reduce to 0
+        old_val = jnp.einsum(
+            "nkt,njt->nkj",
+            oh_p,
+            cols,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (N, K, K')
-        old_val = jnp.where((p >= tm1)[:, :, None], 0, old_val)
+        next_ext_f = next_ext.astype(jnp.float32)
+        next_to_match = jnp.where(
+            p[:, :, None] == q[:, None, :],
+            next_ext_f[:, None, :],
+            old_val,
+        )
+        next_ext_matches = next_to_match == next_ext_f[:, :, None]
     else:
-        cols = jnp.zeros((0, N, K_new), y_prev.dtype)
-        old_val = jnp.zeros((N, K_new, K_new), y_prev.dtype)
-    next_to_match = jnp.where(
-        p[:, :, None] == q[:, None, :], next_ext[:, None, :], old_val
-    )
-    next_ext_matches = next_to_match == next_ext[:, :, None]
+        if tm1:
+            # out[n,k,k'] = y_prev[p_k, n, src_k'] via a streaming column
+            # gather followed by a flat row take: a single two-axis gather
+            # with (N,K,K) arbitrary indices lowers to serialized scalar
+            # loads on TPU (~6x slower than these two single-axis forms,
+            # measured); ``cols`` is also returned so callers maintaining
+            # the path buffer reuse it instead of re-gathering the full
+            # buffer. (A row-take-then-column-select form — avoiding the
+            # O(T N K) cols stream — was measured: take_along_axis columns
+            # serialize (~1000x) and the one-hot-einsum column select blows
+            # XLA compile time up ~30x.)
+            cols = jnp.take_along_axis(y_prev, next_src[None], axis=2)
+            rows_idx = (
+                jnp.clip(p, None, tm1 - 1) * N
+                + jnp.arange(N, dtype=p.dtype)[:, None]
+            )  # (N, K)
+            old_val = jnp.take(
+                cols.reshape(tm1 * N, K_new), rows_idx, axis=0
+            )  # (N, K, K')
+            old_val = jnp.where((p >= tm1)[:, :, None], 0, old_val)
+        else:
+            cols = jnp.zeros((0, N, K_new), y_prev.dtype)
+            old_val = jnp.zeros((N, K_new, K_new), y_prev.dtype)
+        next_to_match = jnp.where(
+            p[:, :, None] == q[:, None, :], next_ext[:, None, :], old_val
+        )
+        next_ext_matches = next_to_match == next_ext[:, :, None]
     next_is_prefix = (
         next_prefix_is_prefix
         & next_len_leq
@@ -1165,7 +1271,17 @@ def _ctc_advance_tail(
         )
         next_src = jnp.concatenate([next_src, zeros_i], 1)
         next_ext = jnp.concatenate([next_ext.astype(jnp.int32), zeros_i], 1)
-        if cols.shape[0]:
+        if batch_major:
+            cols = jnp.concatenate(
+                [
+                    cols,
+                    jnp.broadcast_to(
+                        cols[:, :1], (cols.shape[0], rem, cols.shape[2])
+                    ),
+                ],
+                1,
+            )
+        elif cols.shape[0]:
             cols = jnp.concatenate(
                 [cols, jnp.broadcast_to(cols[:, :, :1], cols.shape[:2] + (rem,))],
                 2,
@@ -1206,6 +1322,22 @@ def _apply_advance_to_buffer(
     # into one streaming pass (the scatter lowers to serialized stores)
     mask = jnp.arange(T, dtype=pos.dtype)[:, None, None] == pos[None]
     return jnp.where(mask, next_ext[None].astype(y_buf.dtype), y_buf)
+
+
+def _apply_advance_to_buffer_nt(
+    y_buf, prefix_lens, next_ext, valid, cols
+):
+    """Batch-major (``(N, W, T)`` float32, time in lanes) variant of
+    :func:`_apply_advance_to_buffer` for the in-loop path: the advance core
+    always supplies the permuted ``cols``, so only the freeze-select and
+    the token write remain — one fused streaming pass, no gathers."""
+    N, W, T = y_buf.shape
+    y_buf = jnp.where(valid[:, :, None], cols, y_buf)
+    pos = jnp.where(valid, prefix_lens, T)  # T -> dropped
+    mask = (
+        jnp.arange(T, dtype=pos.dtype)[None, None, :] == pos[:, :, None]
+    )
+    return jnp.where(mask, next_ext[:, :, None].astype(y_buf.dtype), y_buf)
 
 
 class CTCPrefixSearch:
@@ -1285,6 +1417,11 @@ class CTCPrefixSearch:
             and isinstance(lm, LookupLanguageModel)
             and lm.max_ngram == 1
         )
+        # paths that never hand the buffer to an LM keep it batch-major
+        # (N, T, W) float32 inside the scan: every per-step buffer op is
+        # then a one-hot contraction / mask-select instead of a gather
+        # (token values < 2**24 are exact in f32)
+        stream_buf = not (use_lm and not use_sparse and not use_uni)
 
         if use_lm and not use_sparse and not use_uni:
             probs = jax.nn.softmax(logits, axis=2)
@@ -1379,23 +1516,31 @@ class CTCPrefixSearch:
             sm_stats = jnp.stack([sm_max, sm_den], 2)  # (T, N, 2)
 
         if not use_sparse and not (use_lm and not use_uni):
-            lgts_flat = logits.reshape(T * N * Vp1)
+            iota_vrow = jnp.arange(V, dtype=jnp.int32)
 
-            def am_at_t(t, toks):
-                """Acoustic probabilities of `toks` (N, Q) from raw logits.
-
-                One flat gather over the full (T, N, V+1) buffer plus one
-                row slice of the hoisted softmax stats — the slice-row form
-                cost a (N, V+1) dynamic-slice per decode step. The
-                ``exp(x - max) / den`` sequence bit-matches softmax (the
-                Pallas beam kernel's probability inputs), so keep it —
-                ``exp(x - log_norm)`` does not.
+            def am_row(lgts_row, st, toks):
+                """Acoustic probabilities of `toks` (N, Q) from the step's
+                streamed logits row (N, V + 1) + softmax stats row (N, 2),
+                via a HIGHEST-precision one-hot contraction (bit-exact vs a
+                gather: one nonzero term per dot row) — a flat
+                ``jnp.take`` here cost an index materialization, a gather
+                kernel, and relayout copies every decode step. The ``exp(x
+                - max) / den`` sequence bit-matches softmax (the Pallas
+                beam kernel's probability inputs), so keep it — ``exp(x -
+                log_norm)`` does not. Returns the one-hot too so callers
+                can ride it for more row reads.
                 """
-                rows = t * N + jnp.arange(N, dtype=jnp.int32)[:, None]
-                flat = rows * Vp1 + jnp.clip(toks, 0, V - 1)
-                gath = jnp.take(lgts_flat, flat, axis=0)
-                st = jax.lax.dynamic_slice_in_dim(sm_stats, t, 1, 0)[0]
-                return jnp.exp(gath - st[:, :1]) / st[:, 1:]
+                oh = (
+                    jnp.clip(toks, 0, V - 1)[:, :, None]
+                    == iota_vrow[None, None]
+                ).astype(jnp.float32)
+                raw = jnp.einsum(
+                    "nqv,nv->nq",
+                    oh,
+                    jnp.maximum(lgts_row[:, :V], -1e30),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return jnp.exp(raw - st[:, :1]) / st[:, 1:], oh
 
         if use_sparse:
             Csp = lm.max_corrections
@@ -1466,11 +1611,15 @@ class CTCPrefixSearch:
                 * float(np.exp(-beta * logZ1))
             )
 
-            def p_last_kw(t, y_last):
-                pl = am_at_t(t, y_last)
-                u_at = jnp.take(
-                    uni_dev, jnp.clip(y_last, 0, V - 1).reshape(-1), axis=0
-                ).reshape(y_last.shape)
+            def p_last_kw(lgts_row, st_row, y_last):
+                pl, oh = am_row(lgts_row, st_row, y_last)
+                # the unigram read rides the same one-hot as a second dot
+                u_at = jnp.einsum(
+                    "nqv,v->nq",
+                    oh,
+                    jnp.maximum(uni_dev, -1e30),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 return dict(
                     p_last=pl,
                     p_last_ext=pl * jnp.exp(beta * (u_at - logZ1)),
@@ -1483,8 +1632,8 @@ class CTCPrefixSearch:
                 jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
             )  # (T, N, M)
 
-            def p_last_kw(t, y_last):
-                return dict(p_last=am_at_t(t, y_last))
+            def p_last_kw(lgts_row, st_row, y_last):
+                return dict(p_last=am_row(lgts_row, st_row, y_last)[0])
 
 
         # ---- t = 0 (prefix width 1 -> W) ----
@@ -1543,7 +1692,7 @@ class CTCPrefixSearch:
                 is_prefix0,
                 return_core=True,
                 vocab_size=V,
-                **p_last_kw(jnp.asarray(0, jnp.int32), last0),
+                **p_last_kw(logits[0], sm_stats[0], last0),
             )
         (
             prefix_lens0,
@@ -1558,13 +1707,24 @@ class CTCPrefixSearch:
         ) = advanced0
         state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
         # (int16 tokens were measured neutral-to-slower here: relayouts)
-        y_buf = _apply_advance_to_buffer(
-            jnp.zeros((T, N, W), jnp.int32),
-            prefix_lens0,
-            next_src,
-            next_ext0,
-            jnp.ones((N, 1), bool),
-        )
+        if stream_buf:
+            # build the scan's batch-major f32 buffer directly: seeding it
+            # by transposing a time-major buffer bequeaths a transposed
+            # carry layout that costs a whole-buffer relayout copy every
+            # scan step (the per-step dot emits row-major)
+            zeros_nt = jnp.zeros((N, W, T), jnp.float32)
+            y_buf = _apply_advance_to_buffer_nt(
+                zeros_nt, prefix_lens0, next_ext0,
+                jnp.ones((N, 1), bool), zeros_nt,
+            )
+        else:
+            y_buf = _apply_advance_to_buffer(
+                jnp.zeros((T, N, W), jnp.int32),
+                prefix_lens0,
+                next_src,
+                next_ext0,
+                jnp.ones((N, 1), bool),
+            )
 
         # freeze batch elements with lens == 0
         valid0 = (0 < lens)[:, None]  # (N, 1)
@@ -1605,10 +1765,8 @@ class CTCPrefixSearch:
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx = carry
                 if use_lm and not use_sparse and not use_uni:
                     nonext_t, blank_t, t = xs
-                elif use_sparse:
-                    blank_t, t, top_vals_t, top_inds_t, lgts_t, st_t = xs
                 else:
-                    blank_t, t, top_vals_t, top_inds_t = xs
+                    blank_t, t, top_vals_t, top_inds_t, lgts_t, st_t = xs
                 valid_mask = (t < lens)[:, None]  # (N, 1)
                 if use_sparse:
                     in_next = state
@@ -1627,6 +1785,7 @@ class CTCPrefixSearch:
                         is_prefix,
                         bi=bi_dev,
                         c1=ctx[0],
+                        batch_major=True,
                     )
                 elif use_lm and not use_uni:
                     ext_t, in_next = lm_ext_probs(
@@ -1656,7 +1815,8 @@ class CTCPrefixSearch:
                         is_prefix,
                         return_core=True,
                         vocab_size=V,
-                        **p_last_kw(t, y_last),
+                        batch_major=True,
+                        **p_last_kw(lgts_t, st_t, y_last),
                     )
                 (
                     prefix_lens,
@@ -1674,19 +1834,31 @@ class CTCPrefixSearch:
                 )
                 # reorder/extend the path buffer in place (identity for
                 # frozen batch rows) instead of rewriting it wholesale
-                y_buf = _apply_advance_to_buffer(
-                    y_buf, prefix_lens, next_src, next_ext, valid_mask,
-                    cols=cols,
-                )
+                if stream_buf:
+                    y_buf = _apply_advance_to_buffer_nt(
+                        y_buf, prefix_lens, next_ext, valid_mask, cols
+                    )
+                else:
+                    y_buf = _apply_advance_to_buffer(
+                        y_buf, prefix_lens, next_src, next_ext, valid_mask,
+                        cols=cols,
+                    )
                 y_lens = jnp.where(valid_mask, y_next_lens, y_lens)
                 nb = jnp.where(valid_mask, nb_next, nb)
                 b = jnp.where(valid_mask, b_next, b)
                 if use_sparse:
-                    ctx_src = jnp.take_along_axis(
-                        ctx,
-                        jnp.broadcast_to(next_src[None], (Ng - 1, N, W)),
-                        axis=2,
-                    )
+                    # mask-reduce instead of a per-step gather (see
+                    # _ctc_advance_tail docstring)
+                    ctx_src = jnp.where(
+                        (
+                            next_src[None, :, :, None]
+                            == jnp.arange(W, dtype=next_src.dtype)[
+                                None, None, None
+                            ]
+                        ),
+                        ctx[:, :, None, :],
+                        0,
+                    ).sum(3)
                     ctx_new = jnp.where(
                         next_is_nonext[None],
                         ctx_src,
@@ -1725,10 +1897,10 @@ class CTCPrefixSearch:
                     blank_probs[1:],
                     jnp.arange(1, T, dtype=jnp.int32),
                 )
-            elif use_sparse:
+            else:
                 # the raw logits stream through the scan (sliced views, no
-                # copy): the fused advance reads its per-token acoustic
-                # values straight off the frame via am_from_row
+                # copy): the advance reads its per-token acoustic values
+                # straight off the frame via the shared one-hot
                 xs = (
                     blank_probs[1:],
                     jnp.arange(1, T, dtype=jnp.int32),
@@ -1737,17 +1909,15 @@ class CTCPrefixSearch:
                     logits[1:],
                     sm_stats[1:],
                 )
-            else:
-                xs = (
-                    blank_probs[1:],
-                    jnp.arange(1, T, dtype=jnp.int32),
-                    top_vals[1:],
-                    top_inds[1:],
-                )
             (
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
-            ), _ = jax.lax.scan(step, carry, xs)
+            ), _ = jax.lax.scan(
+                step, carry, xs, unroll=config.DECODE_SCAN_UNROLL
+            )
 
+        if stream_buf:
+            # back to the API's time-major int32 layout (values are exact)
+            y_buf = jnp.transpose(y_buf, (2, 0, 1)).astype(jnp.int32)
         y_probs = nb + b
         # dummy-beam masses are negative (real prefix masses are sums of
         # probability products >= 0): restore the -inf the API promises
