@@ -254,6 +254,30 @@ def test_ctc_prefix_search_parity_fused(ref_torch, beta, valid_mixture):
             )
 
 
+@pytest.mark.parametrize("unroll", [2, 3])
+def test_ctc_prefix_search_unroll_invariant(monkeypatch, unroll):
+    """DECODE_SCAN_UNROLL must not change results — including factors that
+    don't divide T - 1 (XLA compiles a remainder epilogue body)."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(100 + unroll)
+    T, N, V, W = 8, 3, 6, 4  # T - 1 = 7: prime, never divisible
+    logits = rng.randn(T, N, V + 1).astype(np.float32)
+    lens = rng.randint(1, T + 1, (N,))
+    lm = _random_fused_lm(V, 3, seed=unroll)
+    for search in (
+        D.CTCPrefixSearch(W),
+        D.CTCPrefixSearch(W, beta=0.5, lm=lm),
+    ):
+        monkeypatch.setattr(tpu_config, "DECODE_SCAN_UNROLL", 1)
+        y1, l1, p1 = (np.asarray(a) for a in search(logits, lens))
+        monkeypatch.setattr(tpu_config, "DECODE_SCAN_UNROLL", unroll)
+        yu, lu, pu = (np.asarray(a) for a in search(logits, lens))
+        np.testing.assert_array_equal(l1, lu)
+        np.testing.assert_array_equal(p1, pu)
+        np.testing.assert_array_equal(y1, yu)
+
+
 def test_ctc_prefix_width1_matches_greedyish():
     # sanity: the width-1 top path has probability <= 1 and valid tokens
     T, N, V = 8, 3, 4
