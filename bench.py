@@ -217,6 +217,93 @@ def bench_ngram_beam_search():
     return B / dt
 
 
+# peak dense bf16 TFLOP/s per chip by device kind (public TPU specs);
+# used only to convert measured FLOP/s into an MFU fraction
+_PEAK_TFLOPS = (
+    ("v6", 918.0),
+    ("v5p", 459.0),
+    ("v5", 197.0),  # v5e / "TPU v5 lite"
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+)
+
+
+def _chip_peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _PEAK_TFLOPS:
+        if tag in kind:
+            return peak
+    return 0.0
+
+
+def bench_train_mfu(inner=4):
+    """Flagship-model (ConformerCTC, bf16 compute) training-step MFU.
+
+    Measures the full step — SpecAugment, forward, CTC loss, backward,
+    adamw — and reports steps/s, model TFLOP/s, and the fraction of the
+    chip's peak bf16 matmul throughput (MFU). FLOPs come from XLA's own
+    cost analysis of the compiled step, so the number transfers across
+    chips: on a dispatch-throttled dev tunnel the MFU underestimates real
+    hardware, never the reverse.
+    """
+    import optax
+
+    from pydrobert_tpu.models import ConformerConfig, ConformerCTC, make_train_step
+    from pydrobert_tpu.ops.img import spec_augment
+
+    cfg = ConformerConfig(
+        vocab_size=1024, num_filts=80, d_model=256, num_layers=4, num_heads=4
+    )
+    model = ConformerCTC(cfg)
+    B, T, U = 32, 1000, 100
+    rng = np.random.RandomState(5)
+    feats = jnp.asarray(rng.randn(B, T, cfg.num_filts), jnp.float32)
+    feat_lens = jnp.full((B,), T, jnp.int32)
+    refs = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, U)), jnp.int32)
+    ref_lens = jnp.full((B,), U, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens)["params"]
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+
+    def augment(key, f, lens):
+        return spec_augment(
+            key, f, max_time_warp=80.0, max_time_mask=100, max_freq_mask=27,
+            lengths=lens.astype(jnp.float32),
+        )
+
+    step = make_train_step(model, optimizer, augment=augment)
+
+    def run(params, opt_state, key, feats, feat_lens, refs, ref_lens):
+        def body(carry, k):
+            params, opt_state = carry
+            params, opt_state, loss = step(
+                params, opt_state, k, feats, feat_lens, refs, ref_lens
+            )
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, inner)
+        )
+        return losses
+
+    key = jax.random.PRNGKey(1)
+    args = (params, opt_state, key, feats, feat_lens, refs, ref_lens)
+    compiled = jax.jit(run).lower(*args).compile()
+    flops = 0.0
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) / inner
+    except Exception:
+        pass
+    dt = _time(compiled, *args) / inner
+    tflops_per_s = flops / dt / 1e12
+    peak = _chip_peak_tflops()
+    mfu = tflops_per_s / peak if peak else 0.0
+    return 1.0 / dt, round(tflops_per_s, 2), round(mfu, 4)
+
+
 def _guard(fn, default):
     """Never let one sub-benchmark take down the whole JSON line."""
     try:
@@ -260,6 +347,9 @@ def main():
     fused256 = (
         _guard(bench_ctc_beam16_fused_bs256, 0.0) if within() else 0.0
     )
+    train_steps, train_tflops, train_mfu = (
+        _guard(bench_train_mfu, (0.0, 0.0, 0.0)) if within() else (0.0, 0.0, 0.0)
+    )
     print(
         json.dumps(
             {
@@ -276,6 +366,9 @@ def main():
                 "fused_bs256_utt_per_sec": round(fused256, 1),
                 "ngram_beam_search_seq_per_sec": round(beam, 1),
                 "decode_p50_latency_ms_per_utt": round(per_utt * 1e3, 3),
+                "train_step_per_sec": round(train_steps, 2),
+                "train_model_tflops_per_sec": train_tflops,
+                "train_mfu": train_mfu,
                 "decode_kernels_per_step": dec_kernels,
                 "decode_us_per_kernel": dec_upk,
                 "fused_kernels_per_step": fused_kernels,
