@@ -217,6 +217,51 @@ def bench_ngram_beam_search():
     return B / dt
 
 
+def bench_loader(num_utts=256, T=800, F=80):
+    """Host data-pipeline throughput: SpectDataSet batch reads via the
+    native threaded reader vs the per-file Python path (same bytes, same
+    arrays — parity-tested). Utterances are ~250 KB f32 feature matrices;
+    results are warm-cache, so this measures the pipeline, not the disk.
+    """
+    import tempfile
+
+    from pydrobert_tpu.data import SpectDataSet
+    from pydrobert_tpu.utils.serial import save_tensor
+    from pydrobert_tpu import native
+
+    d = tempfile.mkdtemp(prefix="pdt_bench_loader_")
+    os.makedirs(os.path.join(d, "feat"))
+    os.makedirs(os.path.join(d, "ref"))
+    rng = np.random.RandomState(0)
+    for n in range(num_utts):
+        save_tensor(
+            rng.randn(T, F).astype(np.float32),
+            os.path.join(d, "feat", f"u{n:04d}.pt"),
+        )
+        save_tensor(
+            rng.randint(0, 100, (20,)).astype(np.int64),
+            os.path.join(d, "ref", f"u{n:04d}.pt"),
+        )
+    ds = SpectDataSet(d)
+    idxs = list(range(num_utts))
+    py_t = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in idxs:
+            ds[i]
+        py_t.append(time.perf_counter() - t0)
+    nat = 0.0
+    if native.available():
+        ds.native_batch_fetch(idxs)  # warm: index + page cache
+        nat_t = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ds.native_batch_fetch(idxs)
+            nat_t.append(time.perf_counter() - t0)
+        nat = num_utts / statistics.median(nat_t)
+    return nat, num_utts / statistics.median(py_t)
+
+
 # peak dense bf16 TFLOP/s per chip by device kind (public TPU specs);
 # used only to convert measured FLOP/s into an MFU fraction
 _PEAK_TFLOPS = (
@@ -350,6 +395,8 @@ def main():
     train_steps, train_tflops, train_mfu = (
         _guard(bench_train_mfu, (0.0, 0.0, 0.0)) if within() else (0.0, 0.0, 0.0)
     )
+    # host-side, no XLA compile: cheap enough to always run
+    loader_nat, loader_py = _guard(bench_loader, (0.0, 0.0))
     print(
         json.dumps(
             {
@@ -369,6 +416,8 @@ def main():
                 "train_step_per_sec": round(train_steps, 2),
                 "train_model_tflops_per_sec": train_tflops,
                 "train_mfu": train_mfu,
+                "loader_native_utt_per_sec": round(loader_nat, 1),
+                "loader_python_utt_per_sec": round(loader_py, 1),
                 "decode_kernels_per_step": dec_kernels,
                 "decode_us_per_kernel": dec_upk,
                 "fused_kernels_per_step": fused_kernels,

@@ -476,8 +476,15 @@ class _BaseDataLoader:
         )
 
     def __iter__(self):
+        # datasets exposing native_batch_fetch read each batch's files in
+        # one parallel native pass (pydrobert_tpu.native); it returns None
+        # (no native library / disabled) -> per-item Python reads
+        fetch = getattr(self.dataset, "native_batch_fetch", None)
         for batch_idxs in self.batch_sampler:
-            batch = self.collate_fn([self.dataset[i] for i in batch_idxs])
+            items = fetch(batch_idxs) if fetch is not None else None
+            if items is None:
+                items = [self.dataset[i] for i in batch_idxs]
+            batch = self.collate_fn(items)
             yield self._place(batch)
 
     def __len__(self) -> int:

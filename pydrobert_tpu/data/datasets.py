@@ -9,13 +9,15 @@ Byte-compatible with the reference's data-directory convention
 
 import os
 import warnings
-from typing import Any, Dict, Optional, Sequence, Set, Tuple, Union
+from typing import (
+    Any, Dict, List, Optional, Sequence, Set, Tuple, Union,
+)
 
 import numpy as np
 
 from .. import config
 from .params import ContextWindowDataParams, LangDataParams, SpectDataParams
-from ..utils.serial import load_tensor, save_tensor
+from ..utils.serial import TensorEntry, load_tensor, save_tensor, tensor_entry
 
 __all__ = [
     "ContextWindowDataSet",
@@ -69,6 +71,43 @@ def _postprocess_ref(
         else:
             ref = np.concatenate([ref, np.full_like(ref[:1], eos)], 0)
     return ref
+
+
+_ENTRY_CACHE: Dict[str, Tuple[Tuple[int, int], Optional["TensorEntry"]]] = {}
+
+
+def _native_load_many(paths: Sequence[str]) -> Optional[List[np.ndarray]]:
+    """Load many ``.pt`` files via the native threaded reader.
+
+    Returns ``None`` when the native library is unavailable (callers use
+    the per-file Python path). Files whose payload can't be mapped to one
+    contiguous byte range (legacy format, strided tensors, ...) are read
+    with :func:`load_tensor` inside the same batch — identical results,
+    just not threaded. Payload indexes are cached per (path, mtime, size).
+    """
+    from .. import native
+
+    if not native.available():
+        return None
+    out: List[Optional[np.ndarray]] = [None] * len(paths)
+    tasks = []
+    for i, pth in enumerate(paths):
+        st = os.stat(pth)
+        sig = (st.st_mtime_ns, st.st_size)
+        cached = _ENTRY_CACHE.get(pth)
+        if cached is None or cached[0] != sig:
+            cached = (sig, tensor_entry(pth))
+            _ENTRY_CACHE[pth] = cached
+        entry = cached[1]
+        if entry is None:
+            out[i] = load_tensor(pth)
+        else:
+            arr = np.empty(entry.shape, entry.dtype)
+            out[i] = arr
+            tasks.append((pth, entry.payload_offset, arr))
+    if tasks:
+        native.read_batch(tasks)
+    return out  # type: ignore[return-value]
 
 
 def _write_hyp(hyp, pth: str, sos: Optional[int], eos: Optional[int]) -> None:
@@ -133,6 +172,30 @@ class LangDataSet:
             self.params.eos,
         )
         return ref if self.suppress_uttids else (ref, utt_id)
+
+    def native_batch_fetch(self, idxs: Sequence[int]):
+        """Batched :meth:`get_utterance_tuple` via the native threaded
+        reader; ``None`` when native IO is unavailable (callers fall back
+        to per-item indexing)."""
+        paths = [
+            os.path.join(
+                self.data_dir,
+                self.file_prefix + self.utt_ids[i] + self.file_suffix,
+            )
+            for i in idxs
+        ]
+        arrs = _native_load_many(paths)
+        if arrs is None:
+            return None
+        refs = [
+            _postprocess_ref(
+                a, self.tokens_only, self.params.sos, self.params.eos
+            )
+            for a in arrs
+        ]
+        if self.suppress_uttids:
+            return refs
+        return [(r, self.utt_ids[i]) for r, i in zip(refs, idxs)]
 
     def find_utt_ids(self, subset_ids: Set[str] = frozenset()) -> Set[str]:
         """All utterance ids in the data dir (optionally intersected)."""
@@ -316,6 +379,59 @@ class SpectDataSet(_FeatTransformMixin):
         else:
             out = (feat, ali, ref)
         return out if self.suppress_uttids else out + (utt_id,)
+
+    def native_batch_fetch(self, idxs: Sequence[int]):
+        """Batched :meth:`get_utterance_tuple` via the native threaded
+        reader: feats (+ alis/refs when present) for the whole batch are
+        read in one parallel pass, then per-utterance post-processing
+        (MVN/deltas, sos/eos insertion) runs exactly as in the per-item
+        path. ``None`` when native IO is unavailable."""
+        names = [
+            self.file_prefix + self.utt_ids[i] + self.file_suffix
+            for i in idxs
+        ]
+        paths = [
+            os.path.join(self.data_dir, self.feat_subdir, n) for n in names
+        ]
+        n_utt = len(names)
+        if self.has_ali:
+            paths += [
+                os.path.join(self.data_dir, self.ali_subdir, n)
+                for n in names
+            ]
+        if self.has_ref:
+            paths += [
+                os.path.join(self.data_dir, self.ref_subdir, n)
+                for n in names
+            ]
+        arrs = _native_load_many(paths)
+        if arrs is None:
+            return None
+        feats = arrs[:n_utt]
+        if self._mvn is not None or self._deltas is not None:
+            feats = [self._transform(f) for f in feats]
+        pos = n_utt
+        alis: List[Optional[np.ndarray]] = [None] * n_utt
+        if self.has_ali:
+            alis = arrs[pos : pos + n_utt]
+            pos += n_utt
+        refs: List[Optional[np.ndarray]] = [None] * n_utt
+        if self.has_ref:
+            refs = [
+                _postprocess_ref(a, self.tokens_only, self.sos, self.eos)
+                for a in arrs[pos : pos + n_utt]
+            ]
+        out = []
+        for j, i in enumerate(idxs):
+            item = (
+                (feats[j], refs[j])
+                if self.suppress_alis
+                else (feats[j], alis[j], refs[j])
+            )
+            if not self.suppress_uttids:
+                item = item + (self.utt_ids[i],)
+            out.append(item)
+        return out
 
     def write_pdf(
         self, utt: Union[str, int], pdf, pdfs_dir: Optional[str] = None
@@ -580,6 +696,9 @@ class ContextWindowDataSet(SpectDataSet):
     windows is ``(T, 1 + left + right, F)``. Parity: reference
     ``ContextWindowDataSet`` (``_datasets.py:1070-1213``).
     """
+
+    # items are (windows, ali), not the base tuples — no native batch path
+    native_batch_fetch = None
 
     def __init__(
         self,

@@ -17,10 +17,11 @@ import os
 import pickle
 import struct
 import zipfile
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_tensor", "save_tensor"]
+__all__ = ["load_tensor", "save_tensor", "tensor_entry", "TensorEntry"]
 
 try:  # I/O-only optional dependency
     import torch as _torch
@@ -163,6 +164,122 @@ def _save_pure(arr: np.ndarray, path) -> None:
         zf.writestr("archive/data/0", arr.tobytes())
         zf.writestr("archive/version", "3\n")
         zf.writestr("archive/byteorder", "little")
+
+
+class TensorEntry(NamedTuple):
+    """Where a ``.pt`` file's tensor payload lives, for direct byte reads.
+
+    ``payload_offset`` is the absolute byte offset of the (C-contiguous,
+    little-endian) tensor data within the file; a reader that fills an
+    ``np.empty(shape, dtype)`` buffer with ``nbytes`` bytes from that offset
+    reproduces :func:`load_tensor` exactly. Produced by
+    :func:`tensor_entry`; consumed by :mod:`pydrobert_tpu.native`'s threaded
+    batch reader.
+    """
+
+    payload_offset: int
+    dtype: np.dtype
+    shape: Tuple[int, ...]
+
+    @property
+    def nbytes(self) -> int:
+        n = self.dtype.itemsize
+        for s in self.shape:
+            n *= s
+        return n
+
+
+class _TensorDesc:
+    def __init__(self, dtype, key, numel):
+        self.dtype, self.key, self.numel = dtype, key, numel
+
+
+class _HeaderUnpickler(pickle.Unpickler):
+    """Unpickles a torch data.pkl WITHOUT reading storage payloads."""
+
+    def find_class(self, module, name):
+        if name == "_rebuild_tensor_v2":
+            return _header_rebuild
+        if name.endswith("Storage"):
+            return _StorageStub(name)
+        if module == "collections":
+            import collections
+
+            return getattr(collections, name)
+        raise pickle.UnpicklingError(
+            f"header reader cannot resolve {module}.{name}"
+        )
+
+    def persistent_load(self, pid):
+        typename, storage_type, key, _location, numel = pid[:5]
+        assert typename == "storage"
+        if isinstance(storage_type, _StorageStub):
+            dtype = _STORAGE_TO_DTYPE[storage_type.name]
+        else:
+            dtype = _STORAGE_TO_DTYPE[str(storage_type).split(".")[-1]]
+        return _TensorDesc(dtype, key, numel)
+
+
+def _header_rebuild(storage, offset, size, stride, *args):
+    if not isinstance(storage, _TensorDesc):
+        raise pickle.UnpicklingError("unexpected storage object")
+    # only C-contiguous, zero-offset views are direct byte reads (empty
+    # tensors read zero bytes, so any stride qualifies)
+    expect, acc = [], 1
+    for s in reversed(tuple(size)):
+        expect.append(acc)
+        acc *= s
+    contiguous = (
+        tuple(stride) == tuple(reversed(expect)) or acc == 0
+    ) and offset == 0
+    return (storage, tuple(size), contiguous)
+
+
+def tensor_entry(path) -> Optional[TensorEntry]:
+    """Header-only parse of a single-tensor ``.pt`` zip file.
+
+    Returns where the raw payload bytes live (see :class:`TensorEntry`), or
+    ``None`` when the file can't be read as one contiguous byte range
+    (legacy non-zip format, deflated entries, strided/offset tensors,
+    non-tensor pickles) — callers then fall back to :func:`load_tensor`.
+    """
+    try:
+        with zipfile.ZipFile(path) as zf:
+            names = zf.namelist()
+            pkl = next(
+                (n for n in names if n.endswith("/data.pkl")), None
+            )
+            if pkl is None:
+                return None
+            prefix = pkl[: -len("/data.pkl")]
+            with zf.open(pkl) as f:
+                obj = _HeaderUnpickler(f).load()
+            if not (isinstance(obj, tuple) and len(obj) == 3):
+                return None
+            desc, shape, contiguous = obj
+            if not (isinstance(desc, _TensorDesc) and contiguous):
+                return None
+            numel = 1
+            for s in shape:
+                numel *= s
+            if numel > desc.numel:
+                return None
+            info = zf.getinfo(f"{prefix}/data/{desc.key}")
+            if info.compress_type != zipfile.ZIP_STORED:
+                return None
+        # the local header's name/extra lengths may differ from the central
+        # directory's; read them to find where the payload starts
+        with open(path, "rb") as raw:
+            raw.seek(info.header_offset)
+            hdr = raw.read(30)
+            if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
+                return None
+            name_len = int.from_bytes(hdr[26:28], "little")
+            extra_len = int.from_bytes(hdr[28:30], "little")
+        payload = info.header_offset + 30 + name_len + extra_len
+        return TensorEntry(payload, desc.dtype, tuple(shape))
+    except Exception:
+        return None
 
 
 def load_tensor(path, allow_object: bool = False) -> np.ndarray:
