@@ -14,6 +14,8 @@ padded-batch collation. The TPU-native differences:
 
 import abc
 import dataclasses
+import queue
+import threading
 import warnings
 from itertools import islice
 from typing import Dict, Hashable, Iterable, Iterator, List, Optional, Sequence, Set, Union
@@ -449,11 +451,14 @@ class _BaseDataLoader:
     parallelism.
     """
 
-    def __init__(self, dataset, batch_sampler, collate_fn, sharding=None):
+    def __init__(
+        self, dataset, batch_sampler, collate_fn, sharding=None, prefetch=0
+    ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.collate_fn = collate_fn
         self.sharding = sharding
+        self.prefetch = int(prefetch)
 
     @property
     def epoch(self) -> int:
@@ -475,7 +480,7 @@ class _BaseDataLoader:
             for x in batch
         )
 
-    def __iter__(self):
+    def _iter_batches(self):
         # datasets exposing native_batch_fetch read each batch's files in
         # one parallel native pass (pydrobert_tpu.native); it returns None
         # (no native library / disabled) -> per-item Python reads
@@ -486,6 +491,49 @@ class _BaseDataLoader:
                 items = [self.dataset[i] for i in batch_idxs]
             batch = self.collate_fn(items)
             yield self._place(batch)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._iter_batches()
+            return
+        # background-thread prefetch (the torch DataLoader worker analogue):
+        # batch N+1..N+prefetch assemble on the host while the consumer
+        # computes on batch N. device_put is thread-safe; order preserved.
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        sentinel = object()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for batch in self._iter_batches():
+                    if not put(batch):
+                        return
+                put(sentinel)
+            except BaseException as e:  # propagate into the consumer
+                put(e)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            thread.join(timeout=5)
 
     def __len__(self) -> int:
         if isinstance(self.batch_sampler, BucketBatchSampler):
@@ -577,6 +625,7 @@ class LangDataLoader(_BaseDataLoader):
         on_uneven_distributed: str = "raise",
         seed: Optional[int] = None,
         sharding=None,
+        prefetch: int = 0,
         **ds_kwargs,
     ):
         params = LangDataLoaderParams() if params is None else params
@@ -602,6 +651,7 @@ class LangDataLoader(_BaseDataLoader):
             ),
             collate,
             sharding,
+            prefetch,
         )
 
 
@@ -621,6 +671,7 @@ class SpectDataLoader(_BaseDataLoader):
         on_uneven_distributed: str = "raise",
         seed: Optional[int] = None,
         sharding=None,
+        prefetch: int = 0,
         **ds_kwargs,
     ):
         params = SpectDataLoaderParams() if params is None else params
@@ -649,6 +700,7 @@ class SpectDataLoader(_BaseDataLoader):
             ),
             collate,
             sharding,
+            prefetch,
         )
 
 
@@ -666,6 +718,7 @@ class ContextWindowDataLoader(_BaseDataLoader):
         on_uneven_distributed: str = "raise",
         seed: Optional[int] = None,
         sharding=None,
+        prefetch: int = 0,
         **ds_kwargs,
     ):
         params = ContextWindowDataLoaderParams() if params is None else params
@@ -689,4 +742,5 @@ class ContextWindowDataLoader(_BaseDataLoader):
             ),
             collate,
             sharding,
+            prefetch,
         )

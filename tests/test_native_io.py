@@ -135,3 +135,52 @@ def test_index_cache_invalidates_on_rewrite(tmp_path):
     save_tensor(np.arange(9, dtype=np.int64) * 2, pth)
     (second,) = _native_load_many([pth])
     np.testing.assert_array_equal(second, np.arange(9) * 2)
+
+
+def test_loader_prefetch_matches_sync(populate_data_dir):
+    from pydrobert_tpu.data import SpectDataLoaderParams
+
+    root, *_ = populate_data_dir(num_utts=11)
+    params = SpectDataLoaderParams(batch_size=3)
+
+    def batches(prefetch):
+        loader = SpectDataLoader(
+            root, params=params, shuffle=True, seed=3, prefetch=prefetch
+        )
+        return [tuple(np.asarray(x) for x in b) for b in loader]
+
+    for a, b in zip(batches(0), batches(2)):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_loader_prefetch_propagates_errors(populate_data_dir):
+    from pydrobert_tpu.data import SpectDataLoaderParams
+
+    root, *_ = populate_data_dir(num_utts=6)
+    params = SpectDataLoaderParams(batch_size=2)
+    loader = SpectDataLoader(root, params=params, prefetch=2)
+
+    def bad_collate(seq):
+        raise RuntimeError("boom")
+
+    loader.collate_fn = bad_collate
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_loader_prefetch_early_break_stops_worker(populate_data_dir):
+    import threading
+
+    from pydrobert_tpu.data import SpectDataLoaderParams
+
+    root, *_ = populate_data_dir(num_utts=12)
+    params = SpectDataLoaderParams(batch_size=2)
+    loader = SpectDataLoader(root, params=params, prefetch=1)
+    before = threading.active_count()
+    for i, _ in enumerate(loader):
+        if i == 1:
+            break
+    # generator close -> stop flag -> worker exits (joined with timeout)
+    assert threading.active_count() <= before + 1
