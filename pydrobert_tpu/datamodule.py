@@ -155,6 +155,7 @@ class SpectDataModule:
         on_uneven_distributed: str = "raise",
         seed: Optional[int] = None,
         sharding=None,
+        prefetch: int = 0,
     ):
         self.params = data_params
         self.batch_first = batch_first
@@ -167,6 +168,7 @@ class SpectDataModule:
         self.on_uneven_distributed = on_uneven_distributed
         self.seed = seed
         self.sharding = sharding
+        self.prefetch = prefetch
         self._info_dict: Optional[Dict[str, int]] = None
         self._mvn_mean = self._mvn_std = None
         self._datasets: Dict[str, SpectDataSet] = {}
@@ -275,6 +277,7 @@ class SpectDataModule:
             on_uneven_distributed=self.on_uneven_distributed,
             seed=self.seed,
             sharding=self.sharding,
+            prefetch=self.prefetch,
         )
 
     def train_dataloader(self, epoch: int = 0) -> SpectDataLoader:
