@@ -223,6 +223,7 @@ def bench_loader(num_utts=256, T=800, F=80):
     arrays — parity-tested). Utterances are ~250 KB f32 feature matrices;
     results are warm-cache, so this measures the pipeline, not the disk.
     """
+    import shutil
     import tempfile
 
     from pydrobert_tpu.data import SpectDataSet
@@ -230,6 +231,17 @@ def bench_loader(num_utts=256, T=800, F=80):
     from pydrobert_tpu import native
 
     d = tempfile.mkdtemp(prefix="pdt_bench_loader_")
+    try:
+        return _bench_loader_in(d, num_utts, T, F)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _bench_loader_in(d, num_utts, T, F):
+    from pydrobert_tpu.data import SpectDataSet
+    from pydrobert_tpu.utils.serial import save_tensor
+    from pydrobert_tpu import native
+
     os.makedirs(os.path.join(d, "feat"))
     os.makedirs(os.path.join(d, "ref"))
     rng = np.random.RandomState(0)

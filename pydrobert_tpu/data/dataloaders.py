@@ -480,11 +480,39 @@ class _BaseDataLoader:
             for x in batch
         )
 
+    def _native_fetch(self):
+        """The dataset's native_batch_fetch, unless a subclass overrode item
+        access BELOW the class providing the fetch — then the fetch would
+        silently bypass the override (e.g. a user subclass adding a
+        per-item transform), so fall back to per-item indexing."""
+        fetch = getattr(self.dataset, "native_batch_fetch", None)
+        if fetch is None:
+            return None
+        cls = type(self.dataset)
+
+        def owner(name):
+            for c in cls.__mro__:
+                if name in c.__dict__:
+                    return c
+            return None
+
+        fetch_owner = owner("native_batch_fetch")
+        for name in ("__getitem__", "get_utterance_tuple"):
+            item_owner = owner(name)
+            if (
+                item_owner is not None
+                and fetch_owner is not None
+                and item_owner is not fetch_owner
+                and issubclass(item_owner, fetch_owner)
+            ):
+                return None
+        return fetch
+
     def _iter_batches(self):
         # datasets exposing native_batch_fetch read each batch's files in
         # one parallel native pass (pydrobert_tpu.native); it returns None
         # (no native library / disabled) -> per-item Python reads
-        fetch = getattr(self.dataset, "native_batch_fetch", None)
+        fetch = self._native_fetch()
         for batch_idxs in self.batch_sampler:
             items = fetch(batch_idxs) if fetch is not None else None
             if items is None:

@@ -9,6 +9,7 @@ Byte-compatible with the reference's data-directory convention
 
 import os
 import warnings
+from itertools import islice
 from typing import (
     Any, Dict, List, Optional, Sequence, Set, Tuple, Union,
 )
@@ -74,6 +75,11 @@ def _postprocess_ref(
 
 
 _ENTRY_CACHE: Dict[str, Tuple[Tuple[int, int], Optional["TensorEntry"]]] = {}
+# ~200 B/entry -> <=50 MB; beyond the cap the OLDEST entries (dict insertion
+# order) are dropped — re-indexing a file later is one cheap header parse
+_ENTRY_CACHE_MAX = int(
+    os.environ.get("PYDROBERT_TPU_ENTRY_CACHE_MAX", "250000")
+)
 
 
 def _native_load_many(paths: Sequence[str]) -> Optional[List[np.ndarray]]:
@@ -97,6 +103,10 @@ def _native_load_many(paths: Sequence[str]) -> Optional[List[np.ndarray]]:
         cached = _ENTRY_CACHE.get(pth)
         if cached is None or cached[0] != sig:
             cached = (sig, tensor_entry(pth))
+            if len(_ENTRY_CACHE) >= _ENTRY_CACHE_MAX:
+                drop = max(1, _ENTRY_CACHE_MAX // 10)
+                for k in list(islice(iter(_ENTRY_CACHE), drop)):
+                    del _ENTRY_CACHE[k]
             _ENTRY_CACHE[pth] = cached
         entry = cached[1]
         if entry is None:

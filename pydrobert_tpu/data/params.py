@@ -119,7 +119,8 @@ def serialize_params_to_file(path: str, params: Parameterized) -> None:
     elif ext == ".ini":
         import configparser
 
-        cp = configparser.ConfigParser()
+        # interpolation=None: values are json-encoded and may contain '%'
+        cp = configparser.ConfigParser(interpolation=None)
 
         def add(section: str, sub: Dict[str, Any]):
             flat = {}
@@ -152,7 +153,8 @@ def deserialize_params_from_file(path: str, cls) -> Parameterized:
     elif ext == ".ini":
         import configparser
 
-        cp = configparser.ConfigParser()
+        # interpolation=None: values are json-encoded and may contain '%'
+        cp = configparser.ConfigParser(interpolation=None)
         if not cp.read(path):
             raise IOError(f"could not read params file {path!r}")
         d: Dict[str, Any] = {}

@@ -17,6 +17,7 @@ are jit-constant).
 """
 
 import abc
+import warnings
 from logging import Logger
 from typing import Any, Dict, List, Optional, Tuple, Union
 
@@ -1076,6 +1077,36 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             return t
 
         self._ctx_tables = [load(i) for i in range(self.max_ngram - 1)]
+        if self.max_ngram > 1 and any(
+            getattr(t, "logz_slot", None) is None for t in self._ctx_tables
+        ):
+            # state dicts saved before stored-logZ: recompute the exact
+            # normalizers once at load (same host-side recursion as the
+            # build) instead of silently losing the combined-dense fast
+            # path for every decode afterwards
+            warnings.warn(
+                "LookupLanguageModel state dict predates stored "
+                "normalizers; recomputing exact logZ tables (one-time, "
+                "host-side). Re-save with state_dict() to skip this."
+            )
+            kid_maps, logb_maps = [], []
+            for t in self._ctx_tables:
+                kids, logbs = {}, {}
+                for slot in np.nonzero(t.keys[:, 0] != _EMPTY_KEY)[0]:
+                    ctx = tuple(int(x) for x in t.keys[slot])
+                    start, length = (int(x) for x in t.ivals[slot])
+                    logbs[ctx] = float(t.fvals[slot])
+                    if length:
+                        kids[ctx] = [
+                            (
+                                int(t.child_tok[start + j]),
+                                float(t.child_logp[start + j]),
+                            )
+                            for j in range(length)
+                        ]
+                kid_maps.append(kids)
+                logb_maps.append(logbs)
+            self._store_logzs(kid_maps, logb_maps)
         self._combined_cache = None
         self._order2_cache = None
 

@@ -1072,8 +1072,9 @@ def _ctc_advance_tail(
     ``(next_src, next_ext)``), so callers can maintain the ``(T, N, K)``
     buffer themselves without per-step full-buffer rewrites.
 
-    With ``batch_major`` the path buffer is ``(N, T, K)`` float32 (token
-    values are exact small ints) and every per-beam pick lowers as a
+    With ``batch_major`` the path buffer is ``(N, K, T)`` float32 — time in
+    the minor (lane) dimension — (token values are exact small ints) and
+    every per-beam pick lowers as a
     one-hot mask-reduce or HIGHEST-precision one-hot contraction instead of
     a gather: inside a decode loop each ``take_along_axis`` costs an index
     reshape, a gather kernel, and layout copies on its consumers every
@@ -1418,7 +1419,7 @@ class CTCPrefixSearch:
             and lm.max_ngram == 1
         )
         # paths that never hand the buffer to an LM keep it batch-major
-        # (N, T, W) float32 inside the scan: every per-step buffer op is
+        # (N, W, T) float32 inside the scan: every per-step buffer op is
         # then a one-hot contraction / mask-select instead of a gather
         # (token values < 2**24 are exact in f32)
         stream_buf = not (use_lm and not use_sparse and not use_uni)
@@ -1514,21 +1515,30 @@ class CTCPrefixSearch:
         # exp-normalization applied to the M selected values only.
         if not (use_lm and not use_sparse and not use_uni):
             sm_stats = jnp.stack([sm_max, sm_den], 2)  # (T, N, 2)
-
-        if not use_sparse and not (use_lm and not use_uni):
+            uni_dev = (
+                jnp.asarray(lm._uni_logp)
+                if (use_sparse or use_uni)
+                else None
+            )
             iota_vrow = jnp.arange(V, dtype=jnp.int32)
 
             def am_row(lgts_row, st, toks):
-                """Acoustic probabilities of `toks` (N, Q) from the step's
+                """Acoustic probabilities (and unigram log-probs, when an
+                n-gram LM is fused) of `toks` (N, Q) from the step's
                 streamed logits row (N, V + 1) + softmax stats row (N, 2),
-                via a HIGHEST-precision one-hot contraction (bit-exact vs a
-                gather: one nonzero term per dot row) — a flat
+                via HIGHEST-precision one-hot contractions: a flat
                 ``jnp.take`` here cost an index materialization, a gather
-                kernel, and relayout copies every decode step. The ``exp(x
-                - max) / den`` sequence bit-matches softmax (the Pallas
-                beam kernel's probability inputs), so keep it — ``exp(x -
-                log_norm)`` does not. Returns the one-hot too so callers
-                can ride it for more row reads.
+                kernel, and relayout copies every decode step (gather cost
+                grows superlinearly with index count on TPU), while the
+                one-hot dot is MXU work that fuses. One nonzero term per
+                dot row keeps it bit-exact vs the gather (x + 0 == x); the
+                clamp keeps user-masked -inf logits from turning 0 * -inf
+                into NaN (exp(-1e30 - max) == exp(-inf - max) == 0 either
+                way). The ``exp(x - max) / den`` sequence bit-matches
+                softmax (the Pallas beam kernel's probability inputs), so
+                keep it — ``exp(x - log_norm)`` does not. The unigram read
+                rides the same one-hot as a second dot (a ``jnp.take(uni,
+                toks)`` measured ~7 dispatched kernels per decode step).
                 """
                 oh = (
                     jnp.clip(toks, 0, V - 1)[:, :, None]
@@ -1540,49 +1550,21 @@ class CTCPrefixSearch:
                     jnp.maximum(lgts_row[:, :V], -1e30),
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                return jnp.exp(raw - st[:, :1]) / st[:, 1:], oh
-
-        if use_sparse:
-            Csp = lm.max_corrections
-            Ng = lm.max_ngram
-            M = min(V, 2 * W + Csp)
-            uni_dev = jnp.asarray(lm._uni_logp)
-            iota_vrow = jnp.arange(V, dtype=jnp.int32)
-
-            def am_from_row(lgts_row, st, toks):
-                """Acoustic probabilities of `toks` (N, Q) from the step's
-                streamed logits row (N, V + 1) + softmax stats row (N, 2).
-
-                The fused advance reads ~W * (C + 1) acoustic values per
-                beam; a flat gather of that many indices from the (T, N,
-                V + 1) buffer dominates the fused step on TPU (gather cost
-                grows superlinearly with index count), while a
-                HIGHEST-precision one-hot contraction against the frame is
-                MXU work and near-free. One nonzero term per row keeps the
-                dot bit-exact vs the gather (x + 0 == x); the clamp keeps
-                user-masked -inf logits from turning 0 * -inf into NaN
-                (exp(-1e30 - max) == exp(-inf - max) == 0 either way).
-                """
-                oh = (
-                    jnp.clip(toks, 0, V - 1)[:, :, None]
-                    == iota_vrow[None, None]
-                ).astype(jnp.float32)
-                raw = jnp.einsum(
-                    "nqv,nv->nq",
-                    oh,
-                    jnp.maximum(lgts_row[:, :V], -1e30),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                # the unigram read rides the same one-hot as a second dot:
-                # a jnp.take(uni, toks) here measured ~7 dispatched kernels
-                # per decode step (index materialization + relayouts)
+                probs = jnp.exp(raw - st[:, :1]) / st[:, 1:]
+                if uni_dev is None:
+                    return probs, None
                 uni_raw = jnp.einsum(
                     "nqv,v->nq",
                     oh,
                     jnp.maximum(uni_dev, -1e30),
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                return jnp.exp(raw - st[:, :1]) / st[:, 1:], uni_raw
+                return probs, uni_raw
+
+        if use_sparse:
+            Csp = lm.max_corrections
+            Ng = lm.max_ngram
+            M = min(V, 2 * W + Csp)
             bi_dev = (
                 lm.order2_values() if config.SPARSE_MEMBERSHIP_GATHER else None
             )
@@ -1601,7 +1583,6 @@ class CTCPrefixSearch:
 
         elif use_uni:
             M = min(V, 2 * W)
-            uni_dev = jnp.asarray(lm._uni_logp)
             logZ1 = float(np.log(lm._sum_u)) if lm._sum_u > 0 else 0.0
             g_lgts = logits[..., :V] + beta * uni_dev[None, None]
             top_lgts, top_inds = exact_top_k(g_lgts, M)
@@ -1612,14 +1593,7 @@ class CTCPrefixSearch:
             )
 
             def p_last_kw(lgts_row, st_row, y_last):
-                pl, oh = am_row(lgts_row, st_row, y_last)
-                # the unigram read rides the same one-hot as a second dot
-                u_at = jnp.einsum(
-                    "nqv,v->nq",
-                    oh,
-                    jnp.maximum(uni_dev, -1e30),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                pl, u_at = am_row(lgts_row, st_row, y_last)
                 return dict(
                     p_last=pl,
                     p_last_ext=pl * jnp.exp(beta * (u_at - logZ1)),
@@ -1649,7 +1623,7 @@ class CTCPrefixSearch:
             in_next0 = prev
             advanced0 = _ctc_prefix_search_advance_sparse(
                 (top_vals[0], top_inds[0]),
-                partial(am_from_row, logits[0], sm_stats[0]),
+                partial(am_row, logits[0], sm_stats[0]),
                 uni_dev,
                 blank_probs[0],
                 beta,
@@ -1772,7 +1746,7 @@ class CTCPrefixSearch:
                     in_next = state
                     advanced = _ctc_prefix_search_advance_sparse(
                         (top_vals_t, top_inds_t),
-                        partial(am_from_row, lgts_t, st_t),
+                        partial(am_row, lgts_t, st_t),
                         uni_dev,
                         blank_t,
                         beta,

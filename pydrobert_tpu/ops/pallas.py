@@ -774,12 +774,15 @@ def beam_kernel_preferred() -> bool:
     from .. import config
 
     mode = config.USE_PALLAS_BEAM
-    if mode in (True, 1, "1", "true", "on"):
-        return True
     if mode in (False, 0, None, "0", "false", "off"):
         return False
     if not tpu_available():
+        # forced-on is still a no-op off TPU: the kernel can't lower there
+        # and the XLA scan is the only correct path (a TPU job script's
+        # exported USE_PALLAS_BEAM=1 must not crash a CPU dev box)
         return False
+    if mode in (True, 1, "1", "true", "on"):
+        return True
     try:
         d = jax.devices()[0]
         key = f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"

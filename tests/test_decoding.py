@@ -413,20 +413,29 @@ def test_ctc_prefix_search_tiny_vocab_wide_beam(ref_torch, seeded, jit_fn):
 
 
 def test_beam_kernel_gate_modes(monkeypatch):
-    """beam_kernel_preferred honors forced modes and is a cheap False on
-    non-TPU backends under 'auto' (no calibration attempted)."""
+    """beam_kernel_preferred honors forced modes — but forced-on is still a
+    no-op off TPU (the kernel can't lower there; an exported
+    USE_PALLAS_BEAM=1 from a TPU job script must not crash a CPU box) —
+    and is a cheap False on non-TPU backends under 'auto' (no calibration
+    attempted)."""
     from pydrobert_tpu import config
     from pydrobert_tpu.ops import pallas
 
+    on_tpu = pallas.tpu_available()
     monkeypatch.setattr(config, "USE_PALLAS_BEAM", "1")
-    assert pallas.beam_kernel_preferred() is True
+    assert pallas.beam_kernel_preferred() is on_tpu
     monkeypatch.setattr(config, "USE_PALLAS_BEAM", True)
-    assert pallas.beam_kernel_preferred() is True
+    assert pallas.beam_kernel_preferred() is on_tpu
     monkeypatch.setattr(config, "USE_PALLAS_BEAM", "0")
     assert pallas.beam_kernel_preferred() is False
     monkeypatch.setattr(config, "USE_PALLAS_BEAM", "auto")
-    if not pallas.tpu_available():
+    if not on_tpu:
         assert pallas.beam_kernel_preferred() is False
+        # the forced path must also leave the search usable end-to-end
+        monkeypatch.setattr(config, "USE_PALLAS_BEAM", "1")
+        logits = np.random.randn(6, 2, 5).astype(np.float32)
+        y, lens, probs = D.CTCPrefixSearch(2)(logits)
+        assert np.isfinite(np.asarray(probs)).all()
 
 
 @pytest.mark.parametrize("shape", [(12, 4, 16, 4), (20, 3, 32, 8), (15, 5, 8, 4)])

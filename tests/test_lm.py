@@ -406,3 +406,34 @@ def test_lookup_language_model_republic():
     keep = np.arange(S)[:, None] <= lens[None]
     got = np.where(keep, lp, 0.0).sum(0)
     np.testing.assert_allclose(got, np.asarray(exp), atol=1e-4)
+
+
+def test_lookup_lm_legacy_state_dict_regains_dense_path(seeded):
+    """Pre-logZ state dicts (no ctx{i}_logz keys) trigger a one-time exact
+    logZ recomputation at load: scores stay identical AND the combined
+    dense fast path is available again (VERDICT-style regression: the old
+    behavior silently fell back to hash probing forever)."""
+    V, N = 9, 3
+    prob_dicts = _random_backoff_lm(V, N, seeded % 2**31, sos=V)
+    lm_a = LookupLanguageModel(V, sos=V, prob_dicts=prob_dicts)
+    d = lm_a.state_dict()
+    legacy = {k: v for k, v in d.items() if "_logz" not in k}
+    lm_b = LookupLanguageModel(V, sos=V)
+    with pytest.warns(UserWarning, match="predates stored"):
+        lm_b.load_state_dict(legacy)
+    assert lm_b._combined_tables() is not None
+    for i, t in enumerate(lm_b._ctx_tables):
+        np.testing.assert_allclose(
+            t.logz_slot, lm_a._ctx_tables[i].logz_slot, rtol=1e-6
+        )
+    hist = jnp.asarray(np.random.randint(0, V, (6, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(lm_a(hist)), np.asarray(lm_b(hist))
+    )
+    # the sparse-correction epilogue reads the recomputed logZ
+    ctx = jnp.asarray(np.random.randint(0, V, (N - 1, 5)), jnp.int32)
+    for a, b in zip(
+        lm_a.sparse_corrections(ctx), lm_b.sparse_corrections(ctx)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+

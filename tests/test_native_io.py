@@ -184,3 +184,24 @@ def test_loader_prefetch_early_break_stops_worker(populate_data_dir):
             break
     # generator close -> stop flag -> worker exits (joined with timeout)
     assert threading.active_count() <= before + 1
+
+
+def test_loader_respects_subclass_getitem_override(populate_data_dir):
+    from pydrobert_tpu.data import SpectDataLoaderParams
+
+    root, *_ = populate_data_dir(num_utts=6)
+
+    class Doubled(SpectDataSet):
+        def get_utterance_tuple(self, idx):
+            feat, ref = super().get_utterance_tuple(idx)
+            return feat * 2, ref
+
+    params = SpectDataLoaderParams(batch_size=3)
+    base = SpectDataSet(root)
+    loader = SpectDataLoader(Doubled(root), params=params, shuffle=False)
+    ref_loader = SpectDataLoader(base, params=params, shuffle=False)
+    # the subclass override must win over the inherited native fetch
+    assert loader._native_fetch() is None
+    assert ref_loader._native_fetch() is not None
+    for (f2, *_), (f1, *_) in zip(loader, ref_loader):
+        np.testing.assert_allclose(np.asarray(f2), 2 * np.asarray(f1))

@@ -92,3 +92,14 @@ def test_argparse_dir_overload(tmp_path):
     )
     dm = SpectDataModule.from_argparse_args(ns)
     assert dm.params.train_dir == "/other"
+
+
+def test_ini_round_trip_percent_values(tmp_path):
+    # '%' in string values must survive ini round-trip (interpolation off)
+    from pydrobert_tpu.data import LangDataParams
+
+    p = LangDataParams(subset_ids=["utt%04d_", "a%20b"])
+    pth = str(tmp_path / "p.ini")
+    p.to_file(pth)
+    q = LangDataParams.from_file(pth)
+    assert q.subset_ids == p.subset_ids
