@@ -372,73 +372,121 @@ def _guard(fn, default):
         return default
 
 
+_RESULTS = {
+    "metric": "ctc_prefix_beam16_decode_throughput",
+    "value": 0.0,
+    "unit": "utt/sec/chip",
+    "vs_baseline": 0.0,
+}
+_PRINTED = False
+
+
+def _print_results():
+    global _PRINTED
+    if not _PRINTED:
+        _PRINTED = True
+        print(json.dumps(_RESULTS), flush=True)
+
+
+def _watchdog(deadline_s: float):
+    """Print whatever has been collected and exit if main wedges.
+
+    A dead/hung device tunnel can block the FIRST compile (or even
+    ``jax.devices()``) indefinitely; the driver kills the process at its
+    own timeout and no JSON line ever prints. The watchdog guarantees the
+    line (with zeros + an error note for whatever didn't run).
+    """
+    import threading
+
+    def fire():
+        _RESULTS.setdefault(
+            "error", f"watchdog: bench exceeded {deadline_s:.0f}s (device hang?)"
+        )
+        _print_results()
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     # gate EVERY benchmark on a wall-clock budget: remote-tunnel XLA compile
     # walls swing ~80-400s by phase (compilation runs server-side, so the
     # local persistent cache can't always absorb it), and a JSON line with a
     # missing field beats being killed by the driver's timeout before the
     # line prints. Ordered headline-first so the cut always lands on the
-    # least important remaining field.
+    # least important remaining field. A watchdog guarantees the line even
+    # if the device tunnel wedges mid-compile.
     t0 = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    _watchdog(budget * 1.35)
 
     def within(frac=1.0):
         return time.monotonic() - t0 < budget * frac
 
+    # host-side, no XLA compile, can't hang on the device: run FIRST so the
+    # line carries something even when the tunnel is dead
+    loader_nat, loader_py = _guard(bench_loader, (0.0, 0.0))
+    _RESULTS["loader_native_utt_per_sec"] = round(loader_nat, 1)
+    _RESULTS["loader_python_utt_per_sec"] = round(loader_py, 1)
+
     dec, per_utt, dec_kernels, dec_upk = _guard(
         bench_ctc_beam16, (0.0, float("inf"), 0, 0.0)
     )
-    sa, sa_bytes, sa16 = (
-        _guard(bench_spec_augment, (0.0, 0.0, 0.0))
-        if within()
-        else (0.0, 0.0, 0.0)
+    _RESULTS.update(
+        value=round(dec, 1),
+        vs_baseline=round(dec / DECODE_TARGET, 3),
+        decode_p50_latency_ms_per_utt=round(per_utt * 1e3, 3),
+        decode_kernels_per_step=dec_kernels,
+        decode_us_per_kernel=dec_upk,
     )
-    fused, fused_kernels, fused_upk = (
-        _guard(bench_ctc_beam16_fused, (0.0, 0, 0.0))
-        if within()
-        else (0.0, 0, 0.0)
-    )
-    # cheap-compile bench first; the expensive-compile ones take the cut
-    beam = _guard(bench_ngram_beam_search, 0.0) if within() else 0.0
-    dec256 = _guard(bench_ctc_beam16_bs256, 0.0) if within() else 0.0
-    fused256 = (
-        _guard(bench_ctc_beam16_fused_bs256, 0.0) if within() else 0.0
-    )
-    train_steps, train_tflops, train_mfu = (
-        _guard(bench_train_mfu, (0.0, 0.0, 0.0)) if within() else (0.0, 0.0, 0.0)
-    )
-    # host-side, no XLA compile: cheap enough to always run
-    loader_nat, loader_py = _guard(bench_loader, (0.0, 0.0))
-    print(
-        json.dumps(
-            {
-                "metric": "ctc_prefix_beam16_decode_throughput",
-                "value": round(dec, 1),
-                "unit": "utt/sec/chip",
-                "vs_baseline": round(dec / DECODE_TARGET, 3),
-                "specaugment_utt_per_sec": round(sa, 1),
-                "specaugment_vs_baseline": round(sa / SPECAUG_TARGET, 3),
-                "specaugment_bytes_per_utt": round(sa_bytes, 1),
-                "specaugment_bf16_utt_per_sec": round(sa16, 1),
-                "fused_ngram_decode_utt_per_sec": round(fused, 1),
-                "decode_bs256_utt_per_sec": round(dec256, 1),
-                "fused_bs256_utt_per_sec": round(fused256, 1),
-                "ngram_beam_search_seq_per_sec": round(beam, 1),
-                "decode_p50_latency_ms_per_utt": round(per_utt * 1e3, 3),
-                "train_step_per_sec": round(train_steps, 2),
-                "train_model_tflops_per_sec": train_tflops,
-                "train_mfu": train_mfu,
-                "loader_native_utt_per_sec": round(loader_nat, 1),
-                "loader_python_utt_per_sec": round(loader_py, 1),
-                "decode_kernels_per_step": dec_kernels,
-                "decode_us_per_kernel": dec_upk,
-                "fused_kernels_per_step": fused_kernels,
-                "fused_us_per_kernel": fused_upk,
-                "timing": "median of >=3 reps, device-synced",
-                "device": jax.devices()[0].platform,
-            }
+    if within():
+        sa, sa_bytes, sa16 = _guard(bench_spec_augment, (0.0, 0.0, 0.0))
+        _RESULTS.update(
+            specaugment_utt_per_sec=round(sa, 1),
+            specaugment_vs_baseline=round(sa / SPECAUG_TARGET, 3),
+            specaugment_bytes_per_utt=round(sa_bytes, 1),
+            specaugment_bf16_utt_per_sec=round(sa16, 1),
         )
-    )
+    if within():
+        fused, fused_kernels, fused_upk = _guard(
+            bench_ctc_beam16_fused, (0.0, 0, 0.0)
+        )
+        _RESULTS.update(
+            fused_ngram_decode_utt_per_sec=round(fused, 1),
+            fused_kernels_per_step=fused_kernels,
+            fused_us_per_kernel=fused_upk,
+        )
+    # cheap-compile bench first; the expensive-compile ones take the cut
+    if within():
+        _RESULTS["ngram_beam_search_seq_per_sec"] = round(
+            _guard(bench_ngram_beam_search, 0.0), 1
+        )
+    if within():
+        _RESULTS["decode_bs256_utt_per_sec"] = round(
+            _guard(bench_ctc_beam16_bs256, 0.0), 1
+        )
+    if within():
+        _RESULTS["fused_bs256_utt_per_sec"] = round(
+            _guard(bench_ctc_beam16_fused_bs256, 0.0), 1
+        )
+    if within():
+        train_steps, train_tflops, train_mfu = _guard(
+            bench_train_mfu, (0.0, 0.0, 0.0)
+        )
+        _RESULTS.update(
+            train_step_per_sec=round(train_steps, 2),
+            train_model_tflops_per_sec=train_tflops,
+            train_mfu=train_mfu,
+        )
+    _RESULTS["timing"] = "median of >=3 reps, device-synced"
+    try:
+        _RESULTS["device"] = jax.devices()[0].platform
+    except Exception:
+        pass
+    _print_results()
 
 
 if __name__ == "__main__":
