@@ -869,3 +869,51 @@ def test_exact_top_k_neg_inf_rows(seeded):
     gv, gi = jax.jit(exact_top_k, static_argnums=1)(x, 24)
     assert (gv == wv).all()
     assert (gi == wi).all()
+
+
+@pytest.mark.slow
+def test_decode_scan_body_kernel_budget():
+    """Tripwire on the decode scans' per-step op counts (CPU optimized
+    HLO). The transferable perf quantity is kernels/step (TODO.md); a
+    reintroduced in-loop gather/relayout cascade shows up here as several
+    extra ops per step. Budgets carry ~60% headroom over measured counts
+    (no-LM 24, fused 42 on CPU at these shapes)."""
+    from pydrobert_tpu.lm import LookupLanguageModel
+    from pydrobert_tpu.utils.hlostats import count_body_kernels
+
+    rng = np.random.RandomState(0)
+    V = 64
+    logits = jnp.asarray(rng.randn(20, 4, V + 1), jnp.float32)
+    lens = jnp.asarray(rng.randint(10, 21, (4,)).astype(np.int32))
+
+    def body_kernels(search):
+        txt = (
+            jax.jit(lambda l, n: search(l, n))
+            .lower(logits, lens)
+            .compile()
+            .as_text()
+        )
+        bodies = count_body_kernels(txt)
+        assert bodies, "no while body found in compiled HLO"
+        return max(b["kernels"] for b in bodies.values())
+
+    assert body_kernels(D.CTCPrefixSearch(8)) <= 40
+    uni = {
+        w: (float(-rng.rand() * 5 - 0.1), float(-rng.rand()))
+        for w in range(V)
+    }
+    uni[V] = (float("-inf"), -0.5)
+    bi = {
+        (int(rng.randint(V + 1)), int(rng.randint(V))): (
+            float(-rng.rand() * 3 - 0.1), float(-rng.rand())
+        )
+        for _ in range(300)
+    }
+    tri = {
+        (
+            int(rng.randint(V + 1)), int(rng.randint(V)), int(rng.randint(V))
+        ): float(-rng.rand() * 3 - 0.1)
+        for _ in range(400)
+    }
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
+    assert body_kernels(D.CTCPrefixSearch(8, beta=0.5, lm=lm)) <= 70
