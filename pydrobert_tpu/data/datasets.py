@@ -898,6 +898,76 @@ class SpectTarDataSet(_FeatTransformMixin):
     def __getitem__(self, idx: int):
         return self.get_utterance_tuple(idx)
 
+    def _native_tar_entry(self, si: int, member):
+        """Absolute payload byte range of a member's tensor within tar
+        `si` — ``(abs_offset, TensorEntry)`` — or ``None`` when the shard
+        is compressed / the member isn't one contiguous range."""
+        cache = getattr(self, "_native_entries", None)
+        if cache is None:
+            cache = self._native_entries = {}
+            self._native_tar_ok: Dict[int, bool] = {}
+        key = (si, member.name)
+        if key in cache:
+            return cache[key]
+        out = None
+        ok = self._native_tar_ok.get(si)
+        if ok is None:
+            # member.offset_data is a raw file offset only for uncompressed
+            # tars: verify the raw bytes there start the member's zip
+            try:
+                with open(self.tar_paths[si], "rb") as raw:
+                    raw.seek(member.offset_data)
+                    ok = raw.read(4) == b"PK\x03\x04"
+            except OSError:
+                ok = False
+            self._native_tar_ok[si] = ok
+        if ok:
+            f = self._tars[si].extractfile(member)
+            if f is not None:
+                e = tensor_entry(f)
+                if e is not None:
+                    out = (member.offset_data + e.payload_offset, e)
+        cache[key] = out
+        return out
+
+    def native_batch_fetch(self, idxs: Sequence[int]):
+        """Batched :meth:`get_utterance_tuple` via the native threaded
+        reader, preading tensor payloads straight out of the (uncompressed)
+        tar shards. ``None`` when native IO is unavailable; compressed
+        shards and unmappable members fall back member-by-member."""
+        from .. import native
+
+        if not native.available():
+            return None
+        tasks, per_utt = [], []
+        kinds = ("feat",)
+        if self.has_ali:
+            kinds += ("ali",)
+        if self.has_ref:
+            kinds += ("ref",)
+        for i in idxs:
+            utt_id = self.utt_ids[i]
+            entry = self._index[utt_id]
+            got: Dict[str, np.ndarray] = {}
+            for kind in kinds:
+                if kind not in entry:
+                    continue
+                si, member = entry[kind]
+                ne = self._native_tar_entry(si, member)
+                if ne is None:
+                    got[kind] = _load_tensor_member(
+                        self._tars[si], member
+                    )
+                else:
+                    off, e = ne
+                    arr = np.empty(e.shape, e.dtype)
+                    got[kind] = arr
+                    tasks.append((self.tar_paths[si], off, arr))
+            per_utt.append((utt_id, got))
+        if tasks:
+            native.read_batch(tasks)
+        return [self._assemble(u, g) for u, g in per_utt]
+
     def _fill_missing_from_index(self, utt_id: str, got):
         """Random-access any member the stream's shard lacked (an utt's
         kinds can be split across shards)."""

@@ -235,16 +235,22 @@ def _header_rebuild(storage, offset, size, stride, *args):
     return (storage, tuple(size), contiguous)
 
 
-def tensor_entry(path) -> Optional[TensorEntry]:
+def tensor_entry(path_or_fileobj) -> Optional[TensorEntry]:
     """Header-only parse of a single-tensor ``.pt`` zip file.
 
-    Returns where the raw payload bytes live (see :class:`TensorEntry`), or
-    ``None`` when the file can't be read as one contiguous byte range
-    (legacy non-zip format, deflated entries, strided/offset tensors,
-    non-tensor pickles) — callers then fall back to :func:`load_tensor`.
+    Accepts a path or a seekable binary file object (e.g. an uncompressed
+    tar member); offsets are relative to the object's byte 0. Returns where
+    the raw payload bytes live (see :class:`TensorEntry`), or ``None`` when
+    the file can't be read as one contiguous byte range (legacy non-zip
+    format, deflated entries, strided/offset tensors, non-tensor pickles)
+    — callers then fall back to :func:`load_tensor`.
     """
     try:
-        with zipfile.ZipFile(path) as zf:
+        if isinstance(path_or_fileobj, (str, os.PathLike)):
+            with open(path_or_fileobj, "rb") as raw:
+                return tensor_entry(raw)
+        raw = path_or_fileobj
+        with zipfile.ZipFile(raw) as zf:
             names = zf.namelist()
             pkl = next(
                 (n for n in names if n.endswith("/data.pkl")), None
@@ -269,13 +275,12 @@ def tensor_entry(path) -> Optional[TensorEntry]:
                 return None
         # the local header's name/extra lengths may differ from the central
         # directory's; read them to find where the payload starts
-        with open(path, "rb") as raw:
-            raw.seek(info.header_offset)
-            hdr = raw.read(30)
-            if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
-                return None
-            name_len = int.from_bytes(hdr[26:28], "little")
-            extra_len = int.from_bytes(hdr[28:30], "little")
+        raw.seek(info.header_offset)
+        hdr = raw.read(30)
+        if len(hdr) != 30 or hdr[:4] != b"PK\x03\x04":
+            return None
+        name_len = int.from_bytes(hdr[26:28], "little")
+        extra_len = int.from_bytes(hdr[28:30], "little")
         payload = info.header_offset + 30 + name_len + extra_len
         return TensorEntry(payload, desc.dtype, tuple(shape))
     except Exception:
