@@ -707,9 +707,6 @@ class ContextWindowDataSet(SpectDataSet):
     ``ContextWindowDataSet`` (``_datasets.py:1070-1213``).
     """
 
-    # items are (windows, ali), not the base tuples — no native batch path
-    native_batch_fetch = None
-
     def __init__(
         self,
         data_dir: str,
@@ -747,10 +744,9 @@ class ContextWindowDataSet(SpectDataSet):
         self.right = params.context_right if right is None else right
         self.reverse = params.reverse if reverse is None else reverse
 
-    def get_utterance_tuple(self, idx: int) -> Tuple:
-        out = super().get_utterance_tuple(idx)
-        feat, ali = out[0], out[1]
-        utt_id = out[-1] if not self.suppress_uttids else None
+    def _windowed(self, item: Tuple) -> Tuple:
+        feat, ali = item[0], item[1]
+        utt_id = item[-1] if not self.suppress_uttids else None
         T = feat.shape[0]
         windows = np.stack(
             [
@@ -763,6 +759,17 @@ class ContextWindowDataSet(SpectDataSet):
         if self.suppress_uttids:
             return windows, ali
         return windows, ali, utt_id
+
+    def get_utterance_tuple(self, idx: int) -> Tuple:
+        return self._windowed(super().get_utterance_tuple(idx))
+
+    def native_batch_fetch(self, idxs: Sequence[int]):
+        """Batched windows via the base class's native threaded reads; the
+        per-utterance window extraction is unchanged."""
+        base = SpectDataSet.native_batch_fetch(self, idxs)
+        if base is None:
+            return None
+        return [self._windowed(item) for item in base]
 
 
 def _load_tensor_member(tf_handle, member) -> np.ndarray:

@@ -256,3 +256,18 @@ def test_tar_native_fetch_compressed_falls_back(populate_data_dir, tmp_path):
             else:
                 np.testing.assert_array_equal(np.asarray(e), np.asarray(a))
     tds.close()
+
+
+def test_context_window_native_fetch_matches_items(populate_data_dir):
+    from pydrobert_tpu.data import ContextWindowDataSet
+
+    root, *_ = populate_data_dir(num_utts=5)
+    ds = ContextWindowDataSet(root, left=2, right=1)
+    fetched = ds.native_batch_fetch(range(len(ds)))
+    assert fetched is not None
+    for j in range(len(ds)):
+        for e, a in zip(ds[j], fetched[j]):
+            if e is None:
+                assert a is None
+            else:
+                np.testing.assert_array_equal(np.asarray(e), np.asarray(a))
