@@ -285,6 +285,86 @@ _DUMMY = -1.0e30
 _NEG_INF_F = -float("inf")
 
 
+def _rank_top_w(scores, *, W, S):
+    """Global top-``W`` of a ``(N, W, S)`` candidate grid with
+    ``lax.top_k`` tie semantics (ties -> lowest flat index ``k * S + s``),
+    as a two-level RANK computation instead of the old iterative top-1 x W
+    loop (VERDICT/TODO "known fix"): per-beam all-pairs ranks prune each
+    beam to its top-``min(W, S)``, then a log2(W)-round tournament of
+    batched sorted-list merges produces the global order. ~a dozen
+    moderately-sized ops per round on (N, P, L, L) tensors vs ~8 tiny ops x
+    W iterations — per-op issue overhead dominates small in-kernel ops, so
+    fewer/bigger wins. Strict total order (value desc, flat index asc)
+    makes every rank unique; one-hot rank extraction is therefore exact.
+    Mosaic-friendliness: minor-axis reductions only, no transposes, no
+    lane-collapsing reshapes, int32 (not bool) arithmetic where selects
+    feed reductions. Returns ``(vals, flat_inds)``, each ``(N, W)``.
+    """
+    N = scores.shape[0]
+    iota_f = (
+        jax.lax.broadcasted_iota(jnp.int32, (N, W, S), 1) * S
+        + jax.lax.broadcasted_iota(jnp.int32, (N, W, S), 2)
+    )
+
+    # --- level 1: rank within each beam's S slots (challenger s' minor)
+    va = scores[:, :, :, None]  # target s
+    vb = scores[:, :, None, :]  # challenger s'
+    ia = jax.lax.broadcasted_iota(jnp.int32, (N, W, S, S), 2)
+    ib = jax.lax.broadcasted_iota(jnp.int32, (N, W, S, S), 3)
+    beats = ((vb > va) | ((vb == va) & (ib < ia))).astype(jnp.int32)
+    r1 = jnp.sum(beats, 3)  # (N, W, S)
+
+    # compact each beam's top-W by rank (one true per (beam, rank))
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (N, W, W, S), 2)
+    sel = r1[:, :, None, :] == iota_r  # (N, W(beam), W(rank), S)
+    val2 = jnp.sum(jnp.where(sel, scores[:, :, None, :], 0.0), 3)
+    idx2 = jnp.sum(jnp.where(sel, iota_f[:, :, None, :], 0), 3)
+    if W > S:
+        # ranks >= S never match: fill with candidates that lose every
+        # comparison (value -inf AND a flat index past every real one)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (N, W, W), 2)
+        val2 = jnp.where(rr < S, val2, _NEG_INF_F)
+        idx2 = jnp.where(rr < S, idx2, W * S)
+
+    # --- level 2: tournament of batched pairwise sorted-list merges.
+    # Lists ride as (N, P, L) (L = W, descending by (value, -index));
+    # each round merges the first half against the second, keeping top-W.
+    mval, midx = val2, idx2
+    while mval.shape[1] > 1:
+        P = mval.shape[1]
+        P2 = P // 2
+        L = mval.shape[2]
+        a_v, b_v = mval[:, :P2], mval[:, P2 : 2 * P2]
+        a_i, b_i = midx[:, :P2], midx[:, P2 : 2 * P2]
+        # [i, j] grid, challenger j minor: does b_j beat a_i?
+        bva = (
+            (b_v[:, :, None, :] > a_v[:, :, :, None])
+            | (
+                (b_v[:, :, None, :] == a_v[:, :, :, None])
+                & (b_i[:, :, None, :] < a_i[:, :, :, None])
+            )
+        ).astype(jnp.int32)  # (N, P2, L, L)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (N, P2, L), 2)
+        rank_a = pos + jnp.sum(bva, 3)
+        # strict total order: [a_i beats b_j] = 1 - [b_j beats a_i]
+        rank_b = pos + L - jnp.sum(bva, 2)
+        # one-hot rank extraction, source position minor
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (N, P2, W, L), 2)
+        sel_a = rank_a[:, :, None, :] == iota_m
+        sel_b = rank_b[:, :, None, :] == iota_m
+        new_v = jnp.sum(jnp.where(sel_a, a_v[:, :, None, :], 0.0), 3) + (
+            jnp.sum(jnp.where(sel_b, b_v[:, :, None, :], 0.0), 3)
+        )
+        new_i = jnp.sum(jnp.where(sel_a, a_i[:, :, None, :], 0), 3) + (
+            jnp.sum(jnp.where(sel_b, b_i[:, :, None, :], 0), 3)
+        )
+        if P % 2:  # odd list gets a bye (already top-W sorted)
+            new_v = jnp.concatenate([new_v, mval[:, 2 * P2 :, :W]], 1)
+            new_i = jnp.concatenate([new_i, midx[:, 2 * P2 :, :W]], 1)
+        mval, midx = new_v, new_i
+    return mval[:, 0], midx[:, 0]
+
+
 def _ctc_beam_select(carry, xs, *, W, M):
     """Candidate scoring + top-W selection + source gathers (no path
     buffer). carry: nb, b (N, W) f32; lens, last (N, W) i32; ip (N, W, W)
@@ -353,29 +433,7 @@ def _ctc_beam_select(carry, xs, *, W, M):
         [ext_scores, (nb_ne + b_ne)[:, :, None]], 2
     )  # (N, W, S); kept 3-D (Mosaic can't collapse non-lane-aligned dims)
 
-    # iterative top-W with lax.top_k tie semantics (lowest flat index first)
-    iota_f = (
-        jax.lax.broadcasted_iota(jnp.int32, (N, W, S), 1) * S
-        + jax.lax.broadcasted_iota(jnp.int32, (N, W, S), 2)
-    )
-    vals, inds = [], []
-    for _ in range(W):
-        # nested single-axis keepdims reductions (multi-axis reduces lower
-        # through a rank-1 intermediate that crashes Mosaic layout inference)
-        m3 = jnp.max(
-            jnp.max(scores, 2, keepdims=True), 1, keepdims=True
-        )  # (N, 1, 1)
-        at_max = scores == m3
-        idx3 = jnp.min(
-            jnp.min(jnp.where(at_max, iota_f, W * S), 2, keepdims=True),
-            1,
-            keepdims=True,
-        )
-        vals.append(m3[:, 0, :])  # (N, 1); squeeze the sublane
-        inds.append(idx3[:, 0, :])  # dim (lane squeezes crash Mosaic)
-        scores = jnp.where(iota_f == idx3, _NEG_INF_F, scores)
-    val = jnp.concatenate(vals, 1)  # (N, W)
-    next_ind = jnp.concatenate(inds, 1)  # (N, W)
+    val, next_ind = _rank_top_w(scores, W=W, S=S)
 
     slot = next_ind % S
     src = next_ind // S

@@ -917,3 +917,30 @@ def test_decode_scan_body_kernel_budget():
     }
     lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi, tri])
     assert body_kernels(D.CTCPrefixSearch(8, beta=0.5, lm=lm)) <= 70
+
+
+@pytest.mark.parametrize("W,S", [(1, 3), (2, 1), (3, 7), (5, 3), (8, 20), (16, 34)])
+def test_rank_top_w_matches_exact_topk_semantics(W, S):
+    """The kernel's two-level rank-based top-W must match lax.top_k tie
+    semantics (lowest flat index first) exactly — fuzzed with heavy ties
+    and -inf padding, odd widths, and S < W."""
+    import functools
+
+    from pydrobert_tpu.ops.pallas import _rank_top_w
+
+    fn = jax.jit(functools.partial(_rank_top_w, W=W, S=S))
+    rng = np.random.RandomState(7000 + W * 100 + S)
+    for _ in range(8):
+        N = 4
+        vals = rng.choice(
+            [-np.inf, -1e30, 0.0, 0.25, 0.5, 1.0], size=(N, W, S)
+        ).astype(np.float32)
+        out_v, out_i = fn(jnp.asarray(vals))
+        out_v, out_i = np.asarray(out_v), np.asarray(out_i)
+        flat = vals.reshape(N, W * S)
+        for n in range(N):
+            order = np.lexsort((np.arange(W * S), -flat[n]))[:W]
+            np.testing.assert_array_equal(
+                out_i[n], order, err_msg=f"W={W} S={S} n={n}"
+            )
+            np.testing.assert_array_equal(out_v[n], flat[n][order])
