@@ -762,6 +762,22 @@ def _beam_gate_path() -> str:
     )
 
 
+def _beam_kernel_rev() -> str:
+    """Hash of the kernel-relevant source: cached gate decisions timed a
+    specific kernel implementation, so any edit must re-calibrate."""
+    import hashlib
+    import inspect
+
+    src = "".join(
+        inspect.getsource(f)
+        for f in (
+            _rank_top_w, _ctc_beam_select, _ctc_beam_apply,
+            _ctc_beam_buf_step, _ctc_beam_kernel, ctc_beam_search_pallas,
+        )
+    )
+    return hashlib.sha1(src.encode()).hexdigest()[:10]
+
+
 def _calibrate_beam_kernel(key: str) -> bool:
     """Time BOTH no-LM beam-search paths on a small representative decode
     and return whether the Pallas whole-loop kernel wins. Medians of 3
@@ -843,7 +859,10 @@ def beam_kernel_preferred() -> bool:
         return True
     try:
         d = jax.devices()[0]
-        key = f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
+        key = (
+            f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
+            f":{_beam_kernel_rev()}"
+        )
     except Exception:  # pragma: no cover
         return False
     if key in _BEAM_GATE_CACHE:
