@@ -810,10 +810,18 @@ def _calibrate_beam_kernel(key: str) -> bool:
         jax.jit(ctc_beam_search_reference, static_argnums=3),
         nonext, blank, lens, W,
     )
-    t_pl = timed(
-        jax.jit(ctc_beam_search_pallas, static_argnums=3),
-        nonext, blank, lens, W,
-    )
+    err = None
+    try:
+        t_pl = timed(
+            jax.jit(ctc_beam_search_pallas, static_argnums=3),
+            nonext, blank, lens, W,
+        )
+    except Exception as e:  # Mosaic lowering/compile failure: never crash
+        # the user's decode from inside auto-calibration — the XLA scan is
+        # always available
+        t_pl = float("inf")
+        err = f"{type(e).__name__}: {e}"[:500]
+        log.warning("beam kernel failed to compile; using XLA scan: %s", err)
     use = t_pl < t_xla
     log.info(
         "beam-kernel calibration on %s: pallas %.2f ms vs xla-scan %.2f ms "
@@ -831,6 +839,8 @@ def _calibrate_beam_kernel(key: str) -> bool:
             "pallas_ms": round(t_pl * 1e3, 3),
             "xla_ms": round(t_xla * 1e3, 3),
         }
+        if err is not None:
+            disk[key]["error"] = err
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             json.dump(disk, f, indent=1)

@@ -944,3 +944,24 @@ def test_rank_top_w_matches_exact_topk_semantics(W, S):
                 out_i[n], order, err_msg=f"W={W} S={S} n={n}"
             )
             np.testing.assert_array_equal(out_v[n], flat[n][order])
+
+
+def test_beam_gate_calibration_survives_kernel_failure(monkeypatch, tmp_path):
+    """A Mosaic lowering/compile failure inside auto-calibration must pick
+    the XLA scan, not crash the user's decode."""
+    from pydrobert_tpu.ops import pallas
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic says no")
+
+    monkeypatch.setattr(pallas, "ctc_beam_search_pallas", boom)
+    monkeypatch.setattr(
+        pallas, "_beam_gate_path",
+        lambda: str(tmp_path / "gate.json"),
+    )
+    assert pallas._calibrate_beam_kernel("test:fake:rev") is False
+    import json as _json
+
+    with open(tmp_path / "gate.json") as f:
+        rec = _json.load(f)["test:fake:rev"]
+    assert rec["use_pallas"] is False and "error" in rec
