@@ -682,14 +682,18 @@ def _ctc_beam_kernel(
             y_ref[...] = ybuf_a[...]
 
 
-def ctc_beam_search_pallas(nonext_probs, blank_probs, lens, width):
+def ctc_beam_search_pallas(
+    nonext_probs, blank_probs, lens, width, interpret=False
+):
     """Whole-loop CTC prefix beam search kernel (no-LM factored path).
 
     ``nonext_probs`` (T, N, V) f32, ``blank_probs`` (T, N) f32, ``lens``
     (N,) i32, static ``width``. Returns ``(y (T, N, W) i32, y_lens (N, W)
     i32, y_probs (N, W) f32)`` identical to ``CTCPrefixSearch.__call__``'s
     outputs on the same inputs (token paths semantically equal up to each
-    returned length).
+    returned length). ``interpret=True`` runs the kernel in the Pallas
+    interpreter (CPU-testable parity of the exact kernel body; Mosaic
+    lowering itself still needs a TPU).
     """
     T, N, V = nonext_probs.shape
     W = width
@@ -736,6 +740,7 @@ def ctc_beam_search_pallas(nonext_probs, blank_probs, lens, width):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(tv, ti, nonext_probs, blank_probs[:, :, None], valid)
     y = jnp.transpose(y, (2, 1, 0))  # (W, N, T) -> (T, N, W)
     return _ctc_beam_finish(nb, b, lens_o, y, lens, W)

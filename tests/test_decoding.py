@@ -965,3 +965,33 @@ def test_beam_gate_calibration_survives_kernel_failure(monkeypatch, tmp_path):
     with open(tmp_path / "gate.json") as f:
         rec = _json.load(f)["test:fake:rev"]
     assert rec["use_pallas"] is False and "error" in rec
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape", [(12, 3, 9, 4), (7, 2, 3, 8)])
+def test_ctc_beam_kernel_interpret_matches_search(shape):
+    """The EXACT kernel body (not just the shared math) in Pallas
+    interpret mode vs CTCPrefixSearch — CPU-testable kernel parity so
+    kernel edits can't only be validated on a TPU."""
+    from pydrobert_tpu.ops.pallas import ctc_beam_search_pallas
+
+    T, N, V, W = shape
+    rng = np.random.RandomState(sum(shape))
+    logits = jnp.asarray(rng.randn(T, N, V + 1), jnp.float32)
+    lens = jnp.asarray(rng.randint(1, T + 1, (N,)).astype(np.int32))
+    probs = jax.nn.softmax(logits, 2)
+    y1, l1, p1 = ctc_beam_search_pallas(
+        probs[..., :V], probs[..., V], lens, W, interpret=True
+    )
+    y0, l0, p0 = D.CTCPrefixSearch(W)(logits, lens)
+    y0, l0, p0, y1, l1, p1 = map(np.asarray, (y0, l0, p0, y1, l1, p1))
+    np.testing.assert_array_equal(l0, l1)
+    fin = np.isfinite(p0)
+    assert (np.isfinite(p1) == fin).all()
+    np.testing.assert_allclose(
+        np.where(fin, p0, 0), np.where(fin, p1, 0), rtol=1e-6
+    )
+    for n in range(N):
+        for w in range(W):
+            L = l0[n, w]
+            np.testing.assert_array_equal(y0[:L, n, w], y1[:L, n, w])
