@@ -494,12 +494,15 @@ def _ctc_beam_apply(carry, sel, old_val, valid):
     """
     nb, b, lens, last, ip = carry
     len_leq = sel["lens_n"][:, :, None] <= sel["lens_n"][:, None, :]
+    # old_val arrives f32 from the kernel's MXU interrogation and i32 from
+    # the simulator; compare in f32 (token values are exact small ints)
+    next_ext_f = sel["next_ext"].astype(jnp.float32)
     to_match = jnp.where(
         sel["p"][:, :, None] == sel["q"][:, None, :],
-        sel["next_ext"][:, None, :],
-        old_val,
+        next_ext_f[:, None, :],
+        old_val.astype(jnp.float32),
     )
-    ext_matches = to_match == sel["next_ext"][:, :, None]
+    ext_matches = to_match == next_ext_f[:, :, None]
     # minor-dim insertion on bools is unsupported; go through int32
     is_nonext3 = sel["is_nonext"].astype(jnp.int32)[:, :, None] > 0
     ip_n = sel["ip2"] & len_leq & (is_nonext3 | ext_matches)
@@ -599,30 +602,45 @@ def ctc_beam_search_reference(nonext_probs, blank_probs, lens, width):
 
 
 def _ctc_beam_buf_step(src_ref, dst_ref, old_sc, sel, W, T):
-    """Ref-based path-buffer update in (W, N, T) layout: the beam permute is
-    W whole-buffer FMAs against transposed one-hot masks (W ops on (W, N, T)
-    tensors instead of W^2 per-column ones — per-op overhead dominates), and
-    the token write is one masked select. Writes the permuted+extended
-    buffer into ``dst_ref`` and the ``old_val`` interrogation matrix
-    (``old_val[n, k, j]`` = new beam j's token at position ``p[n, k]``) into
-    ``old_sc``."""
+    """Ref-based path-buffer update in (N, W, T) f32 layout (time in
+    lanes): the beam permute and the old-token interrogation are
+    HIGHEST-precision one-hot MXU contractions — exact (one nonzero term
+    per dot row; token values are small ints, exact in f32) and mirroring
+    the XLA batch-major scan path — instead of the previous W whole-buffer
+    VPU FMAs plus W masked reductions (per-op issue overhead dominated the
+    ablation's permute+apply cost). Both dots contract canonically (the
+    second with BOTH operands' contracting dim minor). Writes the
+    permuted+extended buffer into ``dst_ref`` and the ``old_val``
+    interrogation matrix (``old_val[n, k, j]`` = new beam j's token at
+    position ``p[n, k]``) into ``old_sc`` (f32)."""
     N = sel["p"].shape[0]
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
-    src_T = jnp.transpose(sel["src_eff"])  # (W, N) int32 (i1 won't lower)
-    pos_T = jnp.transpose(sel["pos_eff"])[:, :, None]  # (W, N, 1)
-    ext_T = jnp.transpose(sel["next_ext"])[:, :, None]
-    old = src_ref[...]  # (W, N, T)
-    acc = jnp.zeros((W, N, T), jnp.int32)
-    for jp in range(W):
-        acc = acc + (src_T == jp).astype(jnp.int32)[:, :, None] * old[jp][None]
-    acc = jnp.where(iota_t[None] == pos_T, ext_T, acc)
+    old = src_ref[...]  # (N, W, T) f32
+    oh_src = (
+        sel["src_eff"][:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (N, W, W), 2)
+    ).astype(jnp.float32)  # (N, K, J)
+    acc = jax.lax.dot_general(
+        oh_src,
+        old,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, K, T)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (N, W, T), 2)
+    acc = jnp.where(
+        iota_t == sel["pos_eff"][:, :, None],
+        sel["next_ext"].astype(jnp.float32)[:, :, None],
+        acc,
+    )
     dst_ref[...] = acc
-    ovs = []
-    for k in range(W):
-        mask = (iota_t == sel["p"][:, k : k + 1]).astype(jnp.int32)
-        red = jnp.sum(acc * mask[None], 2)  # (W', N)
-        ovs.append(jnp.transpose(red)[:, None, :])  # (N, 1, W')
-    old_sc[...] = jnp.concatenate(ovs, 1)  # (N, K, W')
+    oh_p = (iota_t == sel["p"][:, :, None]).astype(jnp.float32)  # (N, K, T)
+    old_sc[...] = jax.lax.dot_general(
+        oh_p,
+        acc,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (N, K, J)
 
 
 def _ctc_beam_kernel(
@@ -642,7 +660,7 @@ def _ctc_beam_kernel(
         lens_sc[...] = lens0
         last_sc[...] = last0
         ip_sc[...] = ip0
-        ybuf_a[...] = jnp.zeros((W, N, T), jnp.int32)
+        ybuf_a[...] = jnp.zeros((N, W, T), jnp.float32)
 
     carry = (nb_sc[...], b_sc[...], lens_sc[...], last_sc[...], ip_sc[...])
     valid = valid_ref[0] != 0
@@ -719,13 +737,13 @@ def ctc_beam_search_pallas(
             pl.BlockSpec((N, W), lambda t: (0, 0)),
             pl.BlockSpec((N, W), lambda t: (0, 0)),
             pl.BlockSpec((N, W), lambda t: (0, 0)),
-            pl.BlockSpec((W, N, T), lambda t: (0, 0, 0)),
+            pl.BlockSpec((N, W, T), lambda t: (0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, W), jnp.float32),
             jax.ShapeDtypeStruct((N, W), jnp.float32),
             jax.ShapeDtypeStruct((N, W), jnp.int32),
-            jax.ShapeDtypeStruct((W, N, T), jnp.int32),
+            jax.ShapeDtypeStruct((N, W, T), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, W), jnp.float32),
@@ -733,16 +751,17 @@ def ctc_beam_search_pallas(
             pltpu.VMEM((N, W), jnp.int32),
             pltpu.VMEM((N, W), jnp.int32),
             pltpu.VMEM((N, W, W), jnp.int32),
-            pltpu.VMEM((N, W, W), jnp.int32),
-            pltpu.VMEM((W, N, T), jnp.int32),
-            pltpu.VMEM((W, N, T), jnp.int32),
+            pltpu.VMEM((N, W, W), jnp.float32),
+            pltpu.VMEM((N, W, T), jnp.float32),
+            pltpu.VMEM((N, W, T), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(tv, ti, nonext_probs, blank_probs[:, :, None], valid)
-    y = jnp.transpose(y, (2, 1, 0))  # (W, N, T) -> (T, N, W)
+    # (N, W, T) f32 -> (T, N, W) i32 (token values exact in f32)
+    y = jnp.transpose(y, (2, 0, 1)).astype(jnp.int32)
     return _ctc_beam_finish(nb, b, lens_o, y, lens, W)
 
 
