@@ -804,19 +804,24 @@ def _beam_kernel_rev() -> str:
 
 def _calibrate_beam_kernel(key: str) -> bool:
     """Time BOTH no-LM beam-search paths on a small representative decode
-    and return whether the Pallas whole-loop kernel wins. Medians of 3
-    device-synced reps; both timings are logged and persisted."""
+    and return whether the Pallas whole-loop kernel wins. Each path is the
+    REAL user-visible one — ``CTCPrefixSearch`` with ``USE_PALLAS_BEAM``
+    forced off/on (the forced modes short-circuit the gate, so no
+    recursion) — not a simulator proxy. Medians of 3 device-synced reps;
+    both timings are logged and persisted."""
     import logging
     import statistics
     import time as _time
+
+    from .. import config as _config
+    from .decoding import CTCPrefixSearch
 
     log = logging.getLogger(__name__)
     T, N, V, W = 64, 8, 128, 8
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(T, N, V + 1), jnp.float32)
     lens = jnp.full((N,), T, jnp.int32)
-    probs = jax.nn.softmax(logits, 2)
-    nonext, blank = probs[..., :V], probs[..., V]
+    search = CTCPrefixSearch(W)
 
     def timed(fn, *args):
         out = fn(*args)
@@ -829,23 +834,24 @@ def _calibrate_beam_kernel(key: str) -> bool:
             reps.append(_time.perf_counter() - t0)
         return statistics.median(reps)
 
-    # the pure-XLA simulator is step-for-step the scan the search runs
-    t_xla = timed(
-        jax.jit(ctc_beam_search_reference, static_argnums=3),
-        nonext, blank, lens, W,
-    )
-    err = None
+    old_mode = _config.USE_PALLAS_BEAM
     try:
-        t_pl = timed(
-            jax.jit(ctc_beam_search_pallas, static_argnums=3),
-            nonext, blank, lens, W,
-        )
-    except Exception as e:  # Mosaic lowering/compile failure: never crash
-        # the user's decode from inside auto-calibration — the XLA scan is
-        # always available
-        t_pl = float("inf")
-        err = f"{type(e).__name__}: {e}"[:500]
-        log.warning("beam kernel failed to compile; using XLA scan: %s", err)
+        _config.USE_PALLAS_BEAM = "0"
+        t_xla = timed(jax.jit(lambda l, n: search(l, n)), logits, lens)
+        err = None
+        try:
+            _config.USE_PALLAS_BEAM = "1"
+            t_pl = timed(jax.jit(lambda l, n: search(l, n)), logits, lens)
+        except Exception as e:  # Mosaic lowering/compile failure: never
+            # crash the user's decode from inside auto-calibration — the
+            # XLA scan is always available
+            t_pl = float("inf")
+            err = f"{type(e).__name__}: {e}"[:500]
+            log.warning(
+                "beam kernel failed to compile; using XLA scan: %s", err
+            )
+    finally:
+        _config.USE_PALLAS_BEAM = old_mode
     use = t_pl < t_xla
     log.info(
         "beam-kernel calibration on %s: pallas %.2f ms vs xla-scan %.2f ms "

@@ -955,6 +955,8 @@ def test_beam_gate_calibration_survives_kernel_failure(monkeypatch, tmp_path):
         raise RuntimeError("mosaic says no")
 
     monkeypatch.setattr(pallas, "ctc_beam_search_pallas", boom)
+    # pretend we're on TPU so the forced-on path actually tries the kernel
+    monkeypatch.setattr(pallas, "tpu_available", lambda: True)
     monkeypatch.setattr(
         pallas, "_beam_gate_path",
         lambda: str(tmp_path / "gate.json"),
