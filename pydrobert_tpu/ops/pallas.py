@@ -768,12 +768,19 @@ def ctc_beam_search_pallas(
 def ctc_beam_search_vmem_ok(T, N, V, width) -> bool:
     """Whether the kernel's VMEM residents fit comfortably."""
     M = min(V, 2 * width)
+    S = M + 2
     buf = 3 * width * N * T * 4  # 2 ping-pong scratch + y output block
     frame = N * (V + 2 * M + 2) * 4 * 2
     # declared scratch: nb/b/lens/last (N,W) x4 + ip_sc/old_sc (N,W,W) x2
     state = N * width * (2 * width + 16) * 4
-    # _ctc_beam_select's rank-4 intermediates: (N,W,M+1,W) and (N,W,W,?)
-    inter = N * width * (M + 1 + width) * width * 4 * 2
+    # _rank_top_w's rank-4 intermediates: level-1 all-pairs (N,W,S,S) and
+    # the (N,W,W,S) compaction one-hots; plus the select's (N,W,M+1,W)
+    # absorption-removal block
+    inter = (
+        N * width * S * S * 4 * 2
+        + N * width * width * S * 4 * 2
+        + N * width * (M + 1) * width * 4
+    )
     return buf + frame + state + inter <= 24 * 1024 * 1024
 
 
