@@ -1091,38 +1091,55 @@ def _ctc_advance_tail(
         tm1, N, Kp = y_prev.shape
     K_new = next_src.shape[1]
     if batch_major:
-        # shared one-hot over the source beams; every per-beam pick rides it
+        # shared one-hot over the source beams; ALL per-beam picks (four
+        # scalars-per-beam plus the prefix matrix's Kp-wide rows) ride ONE
+        # HIGHEST-precision contraction against a packed (N, Kp, 4 + Kp)
+        # value block — the batch-major analogue of the time-major path's
+        # single packed gather. Exact: one nonzero term per dot row picks
+        # each value verbatim (1 * x + 0s == x), ints are < 2**24.
         oh_src = (
             next_src[:, :, None]
             == jnp.arange(Kp, dtype=next_src.dtype)[None, None]
         )  # (N, K, Kp)
-
-        def pick(row):  # row (N, Kp) -> (N, K): row[n, src[n, k]]
-            return jnp.where(oh_src, row[:, None, :], 0).sum(2)
-
-        y_next_prefix_lens = pick(y_prev_lens.astype(jnp.int32))
+        oh_src_f = oh_src.astype(jnp.float32)
+        packed_vals = jnp.concatenate(
+            [
+                y_prev_lens.astype(jnp.float32)[:, :, None],
+                nb_nonext_probs_cand.astype(jnp.float32)[:, :, None],
+                b_nonext_probs_cand.astype(jnp.float32)[:, :, None],
+                y_prev_last.astype(jnp.float32)[:, :, None],
+                prev_is_prefix.astype(jnp.float32),  # rides the same dot
+            ],
+            2,
+        )  # (N, Kp, 4 + Kp)
+        picked = jnp.einsum(
+            "nkj,njc->nkc",
+            oh_src_f,
+            packed_vals,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, K, 4 + Kp)
+        y_next_prefix_lens = picked[..., 0].astype(jnp.int32)
         y_next_lens = y_next_prefix_lens + (~next_is_nonext)
-        nb_nonext_probs_next = pick(
-            nb_nonext_probs_cand.astype(jnp.float32)
-        )
         nb_probs_next = jnp.where(
-            next_is_nonext, nb_nonext_probs_next, nb_ext_sel
+            next_is_nonext, picked[..., 1], nb_ext_sel
         )
-        b_probs_next = (
-            pick(b_nonext_probs_cand.astype(jnp.float32)) * next_is_nonext
-        )
-        last_src = pick(y_prev_last.astype(jnp.int32))
+        b_probs_next = picked[..., 2] * next_is_nonext
+        last_src = picked[..., 3].astype(jnp.int32)
         y_next_last = last_src * next_is_nonext + next_ext * (
             ~next_is_nonext
         )
-        # ip[n, src_k, src_j] via two mask-reduces sharing oh_src
-        ip_rows = (
-            jnp.where(oh_src[:, :, :, None], prev_is_prefix[:, None], False)
-            .any(2)
-        )  # (N, K, Kp) = ip[n, src_k, :]
+        ip_rows = picked[..., 4:]  # (N, K, Kp) = ip[n, src_k, :], 0/1 f32
+        # column pick ip[n, src_k, src_j]: second contraction over Kp
+        # (contracting dim minor on both operands)
         next_prefix_is_prefix = (
-            jnp.where(oh_src[:, None], ip_rows[:, :, None, :], False).any(3)
-        )  # (N, K, K') = ip[n, src_k, src_j]
+            jnp.einsum(
+                "nKj,nkj->nkK",
+                oh_src_f,
+                ip_rows,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            > 0
+        )  # (N, K, K')
     else:
         # four per-beam source gathers share the same indices: pack them
         # into one (N, Kp, 4) int32 row (float values as bits) so XLA
@@ -1821,18 +1838,19 @@ class CTCPrefixSearch:
                 nb = jnp.where(valid_mask, nb_next, nb)
                 b = jnp.where(valid_mask, b_next, b)
                 if use_sparse:
-                    # mask-reduce instead of a per-step gather (see
-                    # _ctc_advance_tail docstring)
-                    ctx_src = jnp.where(
-                        (
-                            next_src[None, :, :, None]
-                            == jnp.arange(W, dtype=next_src.dtype)[
-                                None, None, None
-                            ]
-                        ),
-                        ctx[:, :, None, :],
-                        0,
-                    ).sum(3)
+                    # one-hot contraction instead of a per-step gather (see
+                    # _ctc_advance_tail docstring); exact (one nonzero term
+                    # per dot row, token ids < 2**24)
+                    oh_ctx = (
+                        next_src[:, :, None]
+                        == jnp.arange(W, dtype=next_src.dtype)[None, None]
+                    ).astype(jnp.float32)  # (N, K, j)
+                    ctx_src = jnp.einsum(
+                        "nkj,gnj->gnk",
+                        oh_ctx,
+                        ctx.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(ctx.dtype)
                     ctx_new = jnp.where(
                         next_is_nonext[None],
                         ctx_src,
