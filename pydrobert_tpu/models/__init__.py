@@ -17,7 +17,12 @@ from .conformer import (  # noqa: F401
     ConformerConfig,
     ConformerCTC,
     conformer_partition_rules,
+    make_pipeline_train_step,
+    make_pipelined_forward,
     make_train_step,
+    pipeline_partition_rules,
+    stack_block_params,
+    unstack_block_params,
 )
 
 __all__ = [
@@ -28,5 +33,10 @@ __all__ = [
     "ConformerConfig",
     "ConformerCTC",
     "conformer_partition_rules",
+    "make_pipeline_train_step",
+    "make_pipelined_forward",
     "make_train_step",
+    "pipeline_partition_rules",
+    "stack_block_params",
+    "unstack_block_params",
 ]

@@ -26,6 +26,11 @@ __all__ = [
     "ConformerCTC",
     "conformer_partition_rules",
     "make_train_step",
+    "make_pipelined_forward",
+    "make_pipeline_train_step",
+    "pipeline_partition_rules",
+    "stack_block_params",
+    "unstack_block_params",
 ]
 
 
@@ -242,6 +247,150 @@ def conformer_partition_rules(
         if "ctc_head" in joined:
             return PartitionSpec(None, "model")
     return PartitionSpec()
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism: the conformer block stack as GPipe stages
+# (pydrobert_tpu.parallel.pipeline) with the subsampler/CTC head outside the
+# pipeline (where the tensor-parallel rules above still apply).
+# ---------------------------------------------------------------------------
+
+
+def stack_block_params(params, pipeline_parallelism: int):
+    """ConformerCTC params -> pipeline form.
+
+    The per-layer ``block_i`` subtrees become one ``blocks`` subtree whose
+    leaves carry leading dims ``(pp, layers_per_stage, ...)`` — stage-major,
+    ready to shard as ``PartitionSpec("pipe")`` (see
+    :func:`pipeline_partition_rules`); all other subtrees are unchanged.
+    ``num_layers`` must be divisible by `pipeline_parallelism`.
+    """
+    pp = pipeline_parallelism
+    names = sorted(
+        (k for k in params if k.startswith("block_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    L = len(names)
+    if not L or L % pp:
+        raise ValueError(f"num_layers {L} not divisible by pipeline {pp}")
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack(xs).reshape((pp, L // pp) + xs[0].shape),
+        *(params[k] for k in names),
+    )
+    out = {k: v for k, v in params.items() if not k.startswith("block_")}
+    out["blocks"] = stacked
+    return out
+
+
+def unstack_block_params(pparams):
+    """Inverse of :func:`stack_block_params` (back to ``block_i`` subtrees)."""
+    out = {k: v for k, v in pparams.items() if k != "blocks"}
+    blocks = pparams["blocks"]
+    shape = jax.tree_util.tree_leaves(blocks)[0].shape
+    L = shape[0] * shape[1]
+    flat = jax.tree.map(lambda a: a.reshape((L,) + a.shape[2:]), blocks)
+    for i in range(L):
+        out[f"block_{i}"] = jax.tree.map(lambda a: a[i], flat)
+    return out
+
+
+def pipeline_partition_rules(
+    path: Tuple[Any, ...], leaf: jax.Array
+) -> PartitionSpec:
+    """Partition rules for pipeline-form params: block stacks shard their
+    stage dim over ``pipe``; everything outside the pipelined stack keeps
+    the tensor-parallel layout of :func:`conformer_partition_rules`."""
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    if names and str(names[0]) == "blocks":
+        return PartitionSpec("pipe")
+    return conformer_partition_rules(path, leaf)
+
+
+def _pipeline_pre(cfg, pparams, feats, lens):
+    """Shared (un-pipelined) front: mask, subsample, posemb. Mirrors
+    :meth:`ConformerCTC.__call__` exactly (parity-pinned in tests)."""
+    in_mask = jnp.arange(feats.shape[1])[None] < lens[:, None]
+    feats = feats * in_mask[..., None].astype(feats.dtype)
+    x = _ConvSubsample(cfg).apply(
+        {"params": pparams["subsample"]}, feats.astype(cfg.dtype)
+    )
+    out_lens = -(-(-(-lens // 2)) // 2)
+    T4 = x.shape[1]
+    pad_mask = jnp.arange(T4)[None] < out_lens[:, None]
+    x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
+    return x, pad_mask, out_lens
+
+
+def make_pipelined_forward(model: "ConformerCTC", mesh, n_microbatches: int):
+    """Build ``fwd(pparams, feats, lens) -> (logits, out_lens)`` running the
+    block stack as a GPipe pipeline over `mesh`'s ``pipe`` axis.
+
+    `pparams` is pipeline-form (:func:`stack_block_params`). The forward is
+    deterministic (no dropout — pipelined training regularizes via the data
+    augmentation hook instead; see :func:`make_pipeline_train_step`).
+    Numerically identical to ``model.apply`` with the unstacked params.
+    """
+    from ..parallel.pipeline import pipeline_apply
+
+    cfg = model.cfg
+
+    def stage_fn(blk_params, x, pad_mask):
+        def body(h, p):
+            h = _ConformerBlock(cfg).apply({"params": p}, h, pad_mask, True)
+            return h, None
+        h, _ = jax.lax.scan(body, x, blk_params)
+        return h
+
+    def fwd(pparams, feats, lens):
+        x, pad_mask, out_lens = _pipeline_pre(cfg, pparams, feats, lens)
+        x = pipeline_apply(
+            stage_fn,
+            pparams["blocks"],
+            x,
+            extras=pad_mask,
+            mesh=mesh,
+            n_microbatches=n_microbatches,
+        )
+        logits = nn.Dense(cfg.vocab_size + 1, dtype=jnp.float32).apply(
+            {"params": pparams["ctc_head"]}, x.astype(jnp.float32)
+        )
+        return logits, out_lens
+
+    return fwd
+
+
+def make_pipeline_train_step(
+    model: "ConformerCTC",
+    optimizer: optax.GradientTransformation,
+    mesh,
+    n_microbatches: int,
+    augment: Optional[Callable] = None,
+) -> Callable:
+    """Pipeline-parallel variant of :func:`make_train_step`.
+
+    Operates on pipeline-form params (:func:`stack_block_params`); gradients
+    run the backward pipeline through the same ``ppermute`` schedule, so one
+    jitted call is the full dp x tp x pp training step.
+    """
+    blank_id = model.cfg.vocab_size
+
+    def loss_fn(pparams, fwd, key, feats, feat_lens, refs, ref_lens):
+        if augment is not None:
+            feats = augment(key, feats, feat_lens)
+        logits, out_lens = fwd(pparams, feats, feat_lens)
+        return ctc_loss(logits, out_lens, refs, ref_lens, blank_id)
+
+    fwd = make_pipelined_forward(model, mesh, n_microbatches)
+
+    def step(pparams, opt_state, key, feats, feat_lens, refs, ref_lens):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            pparams, fwd, key, feats, feat_lens, refs, ref_lens
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, pparams)
+        pparams = optax.apply_updates(pparams, updates)
+        return pparams, opt_state, loss
+
+    return step
 
 
 def ctc_loss(

@@ -19,14 +19,22 @@ from .mesh import (  # noqa: F401
     replicated_sharding,
     shard_params,
 )
+from .pipeline import (  # noqa: F401
+    PIPE_AXIS,
+    make_pipeline_mesh,
+    pipeline_apply,
+)
 
 __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
+    "PIPE_AXIS",
     "all_reduce_metrics",
     "batch_sharding",
     "host_shard_info",
     "make_mesh",
+    "make_pipeline_mesh",
+    "pipeline_apply",
     "replicated_sharding",
     "shard_params",
 ]
