@@ -48,6 +48,14 @@ class ConformerConfig:
     subsample_channels: int = 128
     dropout: float = 0.1
     dtype: Any = jnp.bfloat16  # compute dtype; params stay float32
+    # sequence parallelism: a sharding (e.g. NamedSharding(mesh,
+    # PartitionSpec("data", "model")) from
+    # :func:`pydrobert_tpu.parallel.sequence_sharding`) constrained onto the
+    # (N, T', d_model) activations at every block boundary. The per-position
+    # work (layernorms, residuals, dropout) then runs with the time axis
+    # sharded over the tensor-parallel chips; XLA inserts the
+    # all-gather/reduce-scatter pairs around the attention/FFN matmuls.
+    seq_sharding: Any = None
 
     @property
     def subsampling(self) -> int:
@@ -211,6 +219,8 @@ class ConformerCTC(nn.Module):
         x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
         x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
         for i in range(cfg.num_layers):
+            if cfg.seq_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, cfg.seq_sharding)
             x = _ConformerBlock(cfg, name=f"block_{i}")(
                 x, pad_mask, deterministic
             )

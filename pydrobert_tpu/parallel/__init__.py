@@ -17,6 +17,7 @@ from .mesh import (  # noqa: F401
     host_shard_info,
     make_mesh,
     replicated_sharding,
+    sequence_sharding,
     shard_params,
 )
 from .pipeline import (  # noqa: F401
@@ -36,5 +37,6 @@ __all__ = [
     "make_pipeline_mesh",
     "pipeline_apply",
     "replicated_sharding",
+    "sequence_sharding",
     "shard_params",
 ]

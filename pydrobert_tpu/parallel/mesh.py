@@ -70,6 +70,20 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(axis_name))
 
 
+def sequence_sharding(
+    mesh: Mesh,
+    batch_axis: str = DATA_AXIS,
+    seq_axis: str = MODEL_AXIS,
+) -> NamedSharding:
+    """Sequence-parallel activation sharding: ``(batch, time, ...)`` arrays
+    split their batch dim over the data axis AND their time dim over the
+    model axis. Constrained onto activations between blocks (e.g.
+    ``ConformerConfig.seq_sharding``), it makes per-position work
+    (layernorms, residuals, dropout) tensor-parallel too; XLA inserts the
+    gather/scatter collectives around the attention/FFN matmuls."""
+    return NamedSharding(mesh, PartitionSpec(batch_axis, seq_axis))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding that replicates an array over every device in the mesh."""
     return NamedSharding(mesh, PartitionSpec())

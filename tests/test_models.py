@@ -117,6 +117,33 @@ def test_sharded_train_step_matches_single_device(key):
     )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sequence_parallel_forward_matches_unsharded(key):
+    """seq_sharding (time over the model axis between blocks) is
+    numerics-preserving: XLA only inserts collectives."""
+    import dataclasses
+
+    from pydrobert_tpu.parallel import sequence_sharding
+
+    model, params, feats, lens = _init(key, N=8, T=64)
+    logits_r, lens_r = model.apply({"params": params}, feats, lens)
+
+    mesh = make_mesh(model_parallelism=2)
+    cfg_sp = dataclasses.replace(CFG, seq_sharding=sequence_sharding(mesh))
+    model_sp = ConformerCTC(cfg_sp)
+    sp = shard_params(params, mesh, conformer_partition_rules)
+    bs = batch_sharding(mesh)
+    sfeats = jax.device_put(feats, bs)
+    slens = jax.device_put(lens, bs)
+    logits_s, lens_s = jax.jit(
+        lambda p, f, l: model_sp.apply({"params": p}, f, l)
+    )(sp, sfeats, slens)
+    np.testing.assert_array_equal(np.asarray(lens_s), np.asarray(lens_r))
+    np.testing.assert_allclose(
+        np.asarray(logits_s), np.asarray(logits_r), atol=2e-5
+    )
+
+
 def test_seq2seq_beam_search_and_mer(key):
     import optax
 
