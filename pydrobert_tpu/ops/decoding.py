@@ -333,9 +333,20 @@ class BeamSearch:
                 Ssl = cand.shape[2]
                 lp_next, ind = jax.lax.top_k(cand.reshape(N, Kp * Ssl), K)
                 next_src = ind // Ssl
-                y_tok = jnp.take_along_axis(
-                    toks.reshape(N, Kp * Ssl), ind, axis=1
-                ).astype(jnp.int32)
+                # mask-reduce instead of a gather: a standalone in-loop
+                # take_along_axis dispatches its own (relayout-flanked)
+                # kernel per step; the compare+sum fuses (exact: one
+                # nonzero term per row, token ids < 2**24)
+                y_tok = (
+                    jnp.where(
+                        ind[:, :, None]
+                        == jnp.arange(Kp * Ssl, dtype=ind.dtype)[None, None],
+                        toks.reshape(N, 1, Kp * Ssl),
+                        0,
+                    )
+                    .sum(2)
+                    .astype(jnp.int32)
+                )
                 return lp_next, next_src, y_tok
 
             ctx = jnp.full((Ng - 1, N, 1), lm.sos, jnp.int32)
@@ -374,7 +385,18 @@ class BeamSearch:
                 [log_probs, jnp.full((N, W - K), NEG_INF)], 1
             )
             y_t = jnp.concatenate([y_t, jnp.zeros((N, W - K), jnp.int32)], 1)
-        y_buf = jnp.broadcast_to(y_buf, (S, N, W)).at[0].set(y_t)
+        if use_sparse:
+            # batch-major (N, W, S) float32 path buffer: every per-step
+            # buffer op below is then a one-hot MXU contraction or a fused
+            # mask-select instead of a gather/scatter (token values < 2**24
+            # are exact in f32; converted back once after the loop)
+            y_buf = jnp.where(
+                jnp.arange(S, dtype=jnp.int32)[None, None] == 0,
+                y_t[:, :, None].astype(jnp.float32),
+                float(self.pad_value),
+            )
+        else:
+            y_buf = jnp.broadcast_to(y_buf, (S, N, W)).at[0].set(y_t)
         y_lens = jnp.concatenate(
             [
                 jnp.ones((N, K), jnp.int32),
@@ -427,32 +449,63 @@ class BeamSearch:
                 lp_next, next_ind = jax.lax.top_k(cand, W)
                 next_src = next_ind // V
                 y_t = (next_ind % V).astype(jnp.int32)[None]  # (1, N, W)
-            y_next = jnp.take_along_axis(y_buf, next_src[None], axis=2)
-            lens_prefix = jnp.take_along_axis(y_lens, next_src, axis=1)
-            y_next = _scatter_token_rows(y_next, lens_prefix, y_t)
-            lens_next = lens_prefix + 1
-            if eos is not None:
-                lens_next = lens_next - jnp.take_along_axis(
-                    eos_mask.astype(jnp.int32), next_src, axis=1
+            if use_sparse:
+                # every per-beam pick rides ONE one-hot: buffer permute and
+                # ctx permute as MXU contractions, lens/eos picks as small
+                # dots — no in-loop gathers (see _ctc_advance_tail docstring)
+                hp = jax.lax.Precision.HIGHEST
+                oh_src = (
+                    next_src[:, :, None]
+                    == jnp.arange(W, dtype=next_src.dtype)[None, None]
+                ).astype(jnp.float32)  # (N, W, Wprev)
+                y_next = jnp.einsum(
+                    "nkj,njs->nks", oh_src, y_buf, precision=hp
                 )
+                lens_prefix = jnp.einsum(
+                    "nkj,nj->nk", oh_src, y_lens.astype(jnp.float32),
+                    precision=hp,
+                ).astype(jnp.int32)
+                y_next = jnp.where(
+                    jnp.arange(S, dtype=jnp.int32)[None, None]
+                    == lens_prefix[:, :, None],
+                    y_t[0][:, :, None].astype(jnp.float32),
+                    y_next,
+                )
+                lens_next = lens_prefix + 1
+                if eos is not None:
+                    lens_next = lens_next - jnp.einsum(
+                        "nkj,nj->nk", oh_src, eos_mask.astype(jnp.float32),
+                        precision=hp,
+                    ).astype(jnp.int32)
+            else:
+                y_next = jnp.take_along_axis(y_buf, next_src[None], axis=2)
+                lens_prefix = jnp.take_along_axis(y_lens, next_src, axis=1)
+                y_next = _scatter_token_rows(y_next, lens_prefix, y_t)
+                lens_next = lens_prefix + 1
+                if eos is not None:
+                    lens_next = lens_next - jnp.take_along_axis(
+                        eos_mask.astype(jnp.int32), next_src, axis=1
+                    )
             flat_src = (
                 jnp.arange(N, dtype=jnp.int32)[:, None] * W + next_src
             ).reshape(-1)
             state_next = lm.extract_by_src(in_next, flat_src)
 
             if use_sparse:
-                ctx_src = jnp.take_along_axis(
-                    ctx,
-                    jnp.broadcast_to(next_src[None], (Ng - 1, N, W)),
-                    axis=2,
-                )
+                ctx_src = jnp.einsum(
+                    "nkj,gnj->gnk", oh_src, ctx.astype(jnp.float32),
+                    precision=hp,
+                ).astype(ctx.dtype)
                 ctx_next = jnp.concatenate([y_t, ctx_src[:-1]], 0)
                 ctx_next = jnp.where(done_mask[None], ctx, ctx_next)
             else:
                 ctx_next = ctx
 
             # freeze finished batch elements
-            y_next = jnp.where(done_mask[None], y_buf, y_next)
+            if use_sparse:
+                y_next = jnp.where(done_mask[:, :, None], y_buf, y_next)
+            else:
+                y_next = jnp.where(done_mask[None], y_buf, y_next)
             lens_next = jnp.where(done_mask, y_lens, lens_next)
             lp_next = jnp.where(done_mask, log_probs, lp_next)
             if eos is not None and not use_sparse:
@@ -490,6 +543,9 @@ class BeamSearch:
         _, y_buf, y_lens, log_probs, _, _, _ = jax.lax.while_loop(
             cond, body, carry
         )
+        if use_sparse:
+            # back to the API's time-major int32 layout (values are exact)
+            y_buf = jnp.transpose(y_buf, (2, 0, 1)).astype(jnp.int32)
 
         if batch_size is None:
             return y_buf[:, 0], y_lens[0], log_probs[0]
