@@ -13,6 +13,11 @@ from .seq2seq import (  # noqa: F401
     Seq2SeqDecoderLM,
     make_mer_train_step,
 )
+from .transducer import (  # noqa: F401
+    ConformerTransducer,
+    TransducerConfig,
+    make_transducer_train_step,
+)
 from .conformer import (  # noqa: F401
     ConformerConfig,
     ConformerCTC,
@@ -27,8 +32,11 @@ from .conformer import (  # noqa: F401
 
 __all__ = [
     "AttentionSeq2Seq",
+    "ConformerTransducer",
     "Seq2SeqConfig",
     "Seq2SeqDecoderLM",
+    "TransducerConfig",
+    "make_transducer_train_step",
     "make_mer_train_step",
     "ConformerConfig",
     "ConformerCTC",

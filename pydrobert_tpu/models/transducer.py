@@ -1,0 +1,248 @@
+"""Conformer-Transducer (RNN-T) acoustic model, TPU-first.
+
+Same conformer encoder as :class:`pydrobert_tpu.models.ConformerCTC`, plus
+an LSTM prediction network and an additive joint. The transducer's memory
+wall — the ``(N, T, U+1, V+1)`` joint tensor (3+ GB at serving shapes) — is
+avoided by *streaming the joint over time*: a ``lax.scan`` over encoder
+frames evaluates one ``(N, U+1, V+1)`` joint slab per step under
+``jax.checkpoint``, reducing it immediately to the ``(N, U+1)`` blank and
+``(N, U)`` label log-probabilities that
+:func:`pydrobert_tpu.ops.transducer.transducer_loss` consumes (the slab is
+rematerialized in the backward pass instead of stored). Greedy decoding
+rides :func:`pydrobert_tpu.ops.transducer.transducer_greedy_search` with the
+LSTM advanced one emitted token at a time.
+"""
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.transducer import transducer_greedy_search, transducer_loss
+from .conformer import (
+    ConformerConfig,
+    _ConformerBlock,
+    _ConvSubsample,
+    _sinusoidal_pos_emb,
+)
+
+__all__ = [
+    "TransducerConfig",
+    "ConformerTransducer",
+    "make_transducer_train_step",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransducerConfig:
+    """Hyperparameters for :class:`ConformerTransducer`."""
+
+    encoder: ConformerConfig = ConformerConfig()
+    pred_dim: int = 256
+    joint_dim: int = 256
+
+    @property
+    def vocab_size(self) -> int:
+        return self.encoder.vocab_size  # blank = vocab_size (last index)
+
+
+class _Encoder(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats, lens, deterministic: bool = True):
+        cfg = self.cfg
+        in_mask = jnp.arange(feats.shape[1])[None] < lens[:, None]
+        feats = feats * in_mask[..., None].astype(feats.dtype)
+        x = _ConvSubsample(cfg, name="subsample")(feats.astype(cfg.dtype))
+        out_lens = -(-(-(-lens // 2)) // 2)
+        T4 = x.shape[1]
+        pad_mask = jnp.arange(T4)[None] < out_lens[:, None]
+        x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
+        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        for i in range(cfg.num_layers):
+            if cfg.seq_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, cfg.seq_sharding)
+            x = _ConformerBlock(cfg, name=f"block_{i}")(
+                x, pad_mask, deterministic
+            )
+        return x.astype(jnp.float32), out_lens
+
+
+class _Predictor(nn.Module):
+    """Embedding + unidirectional LSTM over blank-prefixed label history."""
+
+    cfg: TransducerConfig
+
+    def setup(self):
+        V = self.cfg.vocab_size
+        self.embed = nn.Embed(V + 1, self.cfg.pred_dim, name="embed")
+        self.cell = nn.OptimizedLSTMCell(self.cfg.pred_dim, name="lstm")
+
+    def __call__(self, toks):
+        """Full-sequence pass for training: `toks` (N, U) -> (N, U+1, P)
+        outputs at each prefix (position 0 = blank-only history)."""
+        N = toks.shape[0]
+        start = jnp.full((N, 1), self.cfg.vocab_size, jnp.int32)  # blank/sos
+        x = self.embed(jnp.concatenate([start, toks], 1))  # (N, U+1, P)
+        carry = self.cell.initialize_carry(
+            jax.random.PRNGKey(0), (N, self.cfg.pred_dim)
+        )
+
+        def body(cell, carry, x_t):
+            return cell(carry, x_t)
+
+        scan = nn.scan(
+            body, variable_broadcast="params", split_rngs={"params": False},
+            in_axes=1, out_axes=1,
+        )
+        _, out = scan(self.cell, carry, x)
+        return out  # (N, U+1, P)
+
+    def step(self, tok, carry):
+        """One decode step: advance on emitted token `tok` (N,)."""
+        x = self.embed(tok)
+        carry, out = self.cell(carry, x)
+        return out, carry
+
+    def init_carry(self, N):
+        return self.cell.initialize_carry(
+            jax.random.PRNGKey(0), (N, self.cfg.pred_dim)
+        )
+
+
+class _Joint(nn.Module):
+    cfg: TransducerConfig
+
+    @nn.compact
+    def __call__(self, enc_t, pred_u):
+        """Additive joint: broadcast-sum of projections -> logits (..., V+1).
+
+        `enc_t` ``(..., D)`` and `pred_u` ``(..., P)`` must already be
+        broadcast-compatible in their leading dims."""
+        h = nn.Dense(self.cfg.joint_dim, name="enc_proj")(enc_t) + nn.Dense(
+            self.cfg.joint_dim, name="pred_proj"
+        )(pred_u)
+        return nn.Dense(self.cfg.vocab_size + 1, name="out")(jnp.tanh(h))
+
+
+class ConformerTransducer(nn.Module):
+    """Conformer encoder + LSTM predictor + additive joint.
+
+    ``apply(vars, feats, lens, refs, ref_lens)`` returns the mean
+    transducer loss; ``method="greedy"`` decodes, ``method="encode"``
+    exposes the encoder. The blank is index ``vocab_size``.
+    """
+
+    cfg: TransducerConfig
+
+    def setup(self):
+        self.encoder = _Encoder(self.cfg.encoder)
+        self.predictor = _Predictor(self.cfg)
+        self.joint = _Joint(self.cfg)
+
+    def __call__(
+        self, feats, lens, refs, ref_lens, deterministic: bool = True
+    ):
+        enc, enc_lens = self.encoder(feats, lens, deterministic)
+        pred = self.predictor(refs)  # (N, U+1, P)
+        blank_lp, emit_lp = self._node_log_probs(enc, pred, refs)
+        return transducer_loss(blank_lp, emit_lp, enc_lens, ref_lens)
+
+    def _node_log_probs(self, enc, pred, refs):
+        """Stream the joint over time: one (N, U+1, V+1) slab per frame,
+        reduced immediately; slabs recompute in the backward pass."""
+        V = self.cfg.vocab_size
+        oh = jax.nn.one_hot(refs, V + 1, dtype=jnp.float32)  # (N, U, V+1)
+
+        def reduce_slab(lp):
+            """(N, U+1, V+1) joint log-probs -> blank (N, U+1), emit (N, U)."""
+            return lp[..., V], jnp.einsum("nuv,nuv->nu", lp[:, :-1], oh)
+
+        if self.is_initializing():
+            # one direct slab so every joint param is created without
+            # materializing (or scanning) the full lattice
+            b0, e0 = reduce_slab(
+                jax.nn.log_softmax(self.joint(enc[:, 0][:, None], pred), -1)
+            )
+            T = enc.shape[1]
+            return (
+                jnp.broadcast_to(b0[:, None], (b0.shape[0], T, b0.shape[1])),
+                jnp.broadcast_to(e0[:, None], (e0.shape[0], T, e0.shape[1])),
+            )
+
+        # pure re-applyable joint (bound-module calls can't sit under
+        # jax.checkpoint; a functional apply over its captured params can)
+        jparams = self.joint.variables["params"]
+        jdef = _Joint(self.cfg, parent=None)  # detached: pure apply only
+
+        @jax.checkpoint
+        def frame(enc_t):
+            lp = jax.nn.log_softmax(
+                jdef.apply({"params": jparams}, enc_t[:, None], pred), axis=-1
+            )
+            return reduce_slab(lp)
+
+        blank_lp, emit_lp = jax.lax.map(frame, jnp.moveaxis(enc, 1, 0))
+        return jnp.moveaxis(blank_lp, 0, 1), jnp.moveaxis(emit_lp, 0, 1)
+
+    def encode(self, feats, lens, deterministic: bool = True):
+        return self.encoder(feats, lens, deterministic)
+
+    def greedy(self, feats, lens, max_symbols_per_frame: int = 4):
+        """Greedy RNN-T decode: ``(hyps (N, U_max), hyp_lens (N,))``."""
+        enc, enc_lens = self.encoder(feats, lens, True)
+        N = enc.shape[0]
+
+        def pred_step(tok, carry):
+            return self.predictor.step(tok, carry)
+
+        def joint_fn(enc_t, pred_out):
+            return self.joint(enc_t, pred_out)
+
+        return transducer_greedy_search(
+            enc,
+            enc_lens,
+            pred_step,
+            joint_fn,
+            self.predictor.init_carry(N),
+            blank_idx=self.cfg.vocab_size,
+            max_symbols_per_frame=max_symbols_per_frame,
+        )
+
+
+def make_transducer_train_step(
+    model: ConformerTransducer,
+    optimizer: optax.GradientTransformation,
+    augment: Optional[Callable] = None,
+) -> Callable:
+    """``step(params, opt_state, key, feats, feat_lens, refs, ref_lens) ->
+    (params, opt_state, loss)`` — jittable, shardable like
+    :func:`pydrobert_tpu.models.make_train_step`."""
+
+    def loss_fn(params, key, feats, feat_lens, refs, ref_lens):
+        k_aug, k_drop = jax.random.split(key)
+        if augment is not None:
+            feats = augment(k_aug, feats, feat_lens)
+        return model.apply(
+            {"params": params},
+            feats,
+            feat_lens,
+            refs,
+            ref_lens,
+            deterministic=False,
+            rngs={"dropout": k_drop},
+        )
+
+    def step(params, opt_state, key, feats, feat_lens, refs, ref_lens):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, key, feats, feat_lens, refs, ref_lens
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

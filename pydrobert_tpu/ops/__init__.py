@@ -11,5 +11,6 @@ submodules here group implementations by domain:
 - :mod:`pydrobert_tpu.ops.combinatorics` — enumeration and sampling
 - :mod:`pydrobert_tpu.ops.rl` — reinforcement-learning returns
 - :mod:`pydrobert_tpu.ops.decoding` — search steps and loops
+- :mod:`pydrobert_tpu.ops.transducer` — RNN-T loss and greedy search
 - :mod:`pydrobert_tpu.ops.pallas` — hand-written TPU kernels
 """

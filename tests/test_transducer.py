@@ -1,0 +1,190 @@
+"""RNN-Transducer family: loss vs brute-force lattice DP, streamed vs
+materialized joint, greedy search vs a per-sample Python oracle, training
+descent. (Beyond-reference model family; see models/transducer.py.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pydrobert_tpu.models.conformer import ConformerConfig
+from pydrobert_tpu.models.transducer import (
+    ConformerTransducer,
+    TransducerConfig,
+    make_transducer_train_step,
+)
+from pydrobert_tpu.ops.transducer import (
+    transducer_greedy_search,
+    transducer_loss,
+    transducer_loss_from_joint,
+)
+
+
+def _oracle_loss(blank, emit, Tl, Ul):
+    """Brute-force float64 lattice DP (Graves 2012 eq. for alpha)."""
+    T, U1 = blank.shape
+    a = np.full((T, U1), -np.inf)
+    a[0, 0] = 0.0
+    for u in range(1, Ul + 1):
+        a[0, u] = a[0, u - 1] + emit[0, u - 1]
+    for t in range(1, Tl):
+        a[t, 0] = a[t - 1, 0] + blank[t - 1, 0]
+        for u in range(1, Ul + 1):
+            a[t, u] = np.logaddexp(
+                a[t - 1, u] + blank[t - 1, u], a[t, u - 1] + emit[t, u - 1]
+            )
+    return -(a[Tl - 1, Ul] + blank[Tl - 1, Ul])
+
+
+def test_transducer_loss_matches_brute_force(jit_fn):
+    rng = np.random.RandomState(0)
+    N, T, U = 5, 7, 4
+    blank = np.log(rng.rand(N, T, U + 1))
+    emit = np.log(rng.rand(N, T, U))
+    Tl = rng.randint(2, T + 1, N).astype(np.int32)
+    Ul = rng.randint(0, U + 1, N).astype(np.int32)
+    want = np.array(
+        [_oracle_loss(blank[n], emit[n], Tl[n], Ul[n]) for n in range(N)]
+    )
+    fn = jit_fn(
+        lambda b, e, tl, ul: transducer_loss(b, e, tl, ul, reduction="none")
+    )
+    got = fn(
+        jnp.asarray(blank, jnp.float32),
+        jnp.asarray(emit, jnp.float32),
+        jnp.asarray(Tl),
+        jnp.asarray(Ul),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_transducer_loss_from_joint_matches_and_grads(key):
+    rng = np.random.RandomState(1)
+    N, T, U, V = 4, 6, 3, 11
+    jl = jnp.asarray(rng.randn(N, T, U + 1, V), jnp.float32)
+    refs = jnp.asarray(rng.randint(0, V - 1, (N, U)), jnp.int32)
+    Tl = jnp.asarray(rng.randint(2, T + 1, N), jnp.int32)
+    Ul = jnp.asarray(rng.randint(1, U + 1, N), jnp.int32)
+    lp = np.asarray(jax.nn.log_softmax(jl, -1), np.float64)
+    bl = lp[..., V - 1]
+    em = np.take_along_axis(
+        lp[:, :, :U], np.asarray(refs)[:, None, :, None], axis=3
+    )[..., 0]
+    want = np.array(
+        [
+            _oracle_loss(bl[n], em[n], int(Tl[n]), int(Ul[n]))
+            for n in range(N)
+        ]
+    ).mean()
+    got, g = jax.value_and_grad(
+        lambda j: transducer_loss_from_joint(j, refs, Tl, Ul, blank_idx=-1)
+    )(jl)
+    np.testing.assert_allclose(float(got), want, atol=1e-4)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_transducer_greedy_matches_python_oracle(jit_fn):
+    rng = np.random.RandomState(2)
+    N, T, D, V = 4, 6, 8, 9
+    blank = V - 1
+    enc = jnp.asarray(rng.randn(N, T, D), jnp.float32)
+    enc_lens = jnp.asarray(rng.randint(1, T + 1, N), jnp.int32)
+    W1 = jnp.asarray(rng.randn(D, V) * 0.7, jnp.float32)
+    W2 = jnp.asarray(rng.randn(V, V) * 0.7, jnp.float32)
+    Emb = jnp.asarray(rng.randn(V, V) * 0.7, jnp.float32)
+
+    def pred_step(tok, state):
+        new = 0.5 * state + Emb[tok]
+        return new, new
+
+    def joint_fn(enc_t, pred_out):
+        return jnp.tanh(enc_t @ W1) + jnp.tanh(pred_out @ W2)
+
+    state0 = jnp.zeros((N, V), jnp.float32)
+    hyps, lens = jit_fn(
+        lambda e, el: transducer_greedy_search(
+            e, el, pred_step, joint_fn, state0, blank,
+            max_symbols_per_frame=3,
+        )
+    )(enc, enc_lens)
+    for n in range(N):
+        st = np.zeros((V,), np.float32)
+        po = 0.5 * st + np.asarray(Emb)[blank]
+        st = po.copy()
+        out, t, k = [], 0, 0
+        while t < int(enc_lens[n]):
+            lg = np.tanh(np.asarray(enc)[n, t] @ np.asarray(W1)) + np.tanh(
+                po @ np.asarray(W2)
+            )
+            tok = int(lg.argmax())
+            if tok != blank and k < 3:
+                out.append(tok)
+                st = 0.5 * st + np.asarray(Emb)[tok]
+                po = st.copy()
+                k += 1
+            else:
+                t += 1
+                k = 0
+        assert hyps[n, : int(lens[n])].tolist() == out, n
+
+
+_ENC = ConformerConfig(
+    vocab_size=16, num_filts=8, d_model=16, num_layers=2, num_heads=2,
+    subsample_channels=4, conv_kernel=5, dropout=0.0, dtype=jnp.float32,
+)
+_CFG = TransducerConfig(encoder=_ENC, pred_dim=12, joint_dim=12)
+
+
+def _model_setup(seed=0, N=4, T=24, U=5):
+    model = ConformerTransducer(_CFG)
+    rng = np.random.RandomState(seed)
+    feats = jnp.asarray(rng.randn(N, T, 8), jnp.float32)
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, N), jnp.int32)
+    refs = jnp.asarray(rng.randint(0, 16, (N, U)), jnp.int32)
+    ref_lens = jnp.asarray(rng.randint(1, U + 1, N), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), feats, lens, refs, ref_lens)
+    return model, variables, feats, lens, refs, ref_lens
+
+
+def test_model_streamed_loss_matches_materialized_joint():
+    model, variables, feats, lens, refs, ref_lens = _model_setup()
+    loss = model.apply(variables, feats, lens, refs, ref_lens)
+    enc, enc_lens = model.apply(variables, feats, lens, method="encode")
+    pred = model.apply(variables, refs, method=lambda m, r: m.predictor(r))
+    full = model.apply(
+        variables, enc[:, :, None, :], pred[:, None],
+        method=lambda m, e, p: m.joint(e, p),
+    )
+    want = transducer_loss_from_joint(
+        full, refs, enc_lens, ref_lens, blank_idx=_CFG.vocab_size
+    )
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+
+
+def test_model_train_step_descends_and_greedy_decodes(key):
+    model, variables, feats, lens, refs, ref_lens = _model_setup()
+    optimizer = optax.adam(5e-3)
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_transducer_train_step(model, optimizer))
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(key, i),
+            feats, lens, refs, ref_lens,
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    hyps, hyp_lens = jax.jit(
+        lambda p, f, l: model.apply({"params": p}, f, l, method="greedy")
+    )(params, feats, lens)
+    N, T = feats.shape[:2]
+    T4 = -(-(-(-T // 2)) // 2)
+    assert hyps.shape == (N, 4 * T4)
+    assert bool((hyp_lens >= 0).all()) and bool(
+        (hyp_lens <= 4 * T4).all()
+    )
+    # decoded tokens within the vocab (padding = blank)
+    assert bool((hyps >= 0).all()) and bool((hyps <= _CFG.vocab_size).all())
