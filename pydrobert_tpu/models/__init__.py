@@ -17,6 +17,7 @@ from .transducer import (  # noqa: F401
     ConformerTransducer,
     TransducerConfig,
     make_transducer_train_step,
+    transducer_partition_rules,
 )
 from .conformer import (  # noqa: F401
     ConformerConfig,
@@ -37,6 +38,7 @@ __all__ = [
     "Seq2SeqDecoderLM",
     "TransducerConfig",
     "make_transducer_train_step",
+    "transducer_partition_rules",
     "make_mer_train_step",
     "ConformerConfig",
     "ConformerCTC",

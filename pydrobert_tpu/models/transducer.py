@@ -33,6 +33,7 @@ __all__ = [
     "TransducerConfig",
     "ConformerTransducer",
     "make_transducer_train_step",
+    "transducer_partition_rules",
 ]
 
 
@@ -212,6 +213,33 @@ class ConformerTransducer(nn.Module):
             blank_idx=self.cfg.vocab_size,
             max_symbols_per_frame=max_symbols_per_frame,
         )
+
+
+def transducer_partition_rules(path, leaf):
+    """Tensor-parallel PartitionSpec for a ConformerTransducer param path.
+
+    The encoder subtree reuses
+    :func:`pydrobert_tpu.models.conformer.conformer_partition_rules`
+    (Megatron-style expand/contract splits). In the joint, ``enc_proj`` /
+    ``pred_proj`` split their *output* features and ``out`` its *input*
+    features over the ``model`` axis (one psum per joint evaluation, which
+    XLA derives from the shardings). The embedding and LSTM stay replicated
+    (the LSTM's recurrence is serial — sharding its gates would put a
+    collective inside every scan step)."""
+    from jax.sharding import PartitionSpec
+
+    from .conformer import conformer_partition_rules
+
+    names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+    joined = "/".join(names)
+    if names and names[0] == "encoder":
+        return conformer_partition_rules(path[1:], leaf)
+    if leaf.ndim == 2 and names[-1] == "kernel":
+        if "enc_proj" in joined or "pred_proj" in joined:
+            return PartitionSpec(None, "model")
+        if joined.endswith("out/kernel"):
+            return PartitionSpec("model", None)
+    return PartitionSpec()
 
 
 def make_transducer_train_step(

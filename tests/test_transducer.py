@@ -162,6 +162,48 @@ def test_model_streamed_loss_matches_materialized_joint():
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_transducer_train_step_matches_single_device(key):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from pydrobert_tpu.models import transducer_partition_rules
+    from pydrobert_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+        shard_params,
+    )
+
+    model, variables, feats, lens, refs, ref_lens = _model_setup(N=8)
+    params = variables["params"]
+    optimizer = optax.sgd(1e-2)
+    step = make_transducer_train_step(model, optimizer)
+
+    p1, _, loss1 = jax.jit(step)(
+        params, optimizer.init(params), key, feats, lens, refs, ref_lens
+    )
+
+    mesh = make_mesh(model_parallelism=2)
+    sp = shard_params(params, mesh, transducer_partition_rules)
+    sopt = jax.device_put(optimizer.init(sp), replicated_sharding(mesh))
+    bs = batch_sharding(mesh)
+    sfeats, slens, srefs, sref_lens = (
+        jax.device_put(x, bs) for x in (feats, lens, refs, ref_lens)
+    )
+    skey = jax.device_put(key, replicated_sharding(mesh))
+    p8, _, loss8 = jax.jit(step)(
+        sp, sopt, skey, sfeats, slens, srefs, sref_lens
+    )
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        p1,
+        jax.device_get(p8),
+    )
+
+
 def test_model_train_step_descends_and_greedy_decodes(key):
     model, variables, feats, lens, refs, ref_lens = _model_setup()
     optimizer = optax.adam(5e-3)
