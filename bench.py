@@ -361,6 +361,37 @@ def bench_train_mfu(inner=4):
     return 1.0 / dt, round(tflops_per_s, 2), round(mfu, 4)
 
 
+def bench_transducer_greedy(B=32, T=500, F=80):
+    """Conformer-Transducer batched greedy decode throughput (feats in,
+    hypotheses out): the whole search is one jitted while_loop — one fused
+    joint evaluation per emitted-symbol-or-frame-advance across the batch.
+    """
+    from pydrobert_tpu.models import ConformerConfig, ConformerTransducer
+    from pydrobert_tpu.models import TransducerConfig
+
+    enc_cfg = ConformerConfig(
+        vocab_size=1024, num_filts=F, d_model=256, num_layers=4, num_heads=4
+    )
+    cfg = TransducerConfig(encoder=enc_cfg, pred_dim=256, joint_dim=256)
+    model = ConformerTransducer(cfg)
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(B, T, F), jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    refs = jnp.asarray(rng.randint(0, 1024, (B, 8)), jnp.int32)
+    ref_lens = jnp.full((B,), 8, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), feats[:2], lens[:2],
+                           refs[:2], ref_lens[:2])
+
+    @jax.jit
+    def run(params, feats, lens):
+        return model.apply(
+            {"params": params}, feats, lens, 2, method="greedy"
+        )
+
+    dt = _time(run, variables["params"], feats, lens)
+    return B / dt
+
+
 def _guard(fn, default):
     """Never let one sub-benchmark take down the whole JSON line."""
     try:
@@ -484,6 +515,10 @@ def main():
             train_step_per_sec=round(train_steps, 2),
             train_model_tflops_per_sec=train_tflops,
             train_mfu=train_mfu,
+        )
+    if within():
+        _RESULTS["transducer_greedy_utt_per_sec"] = round(
+            _guard(bench_transducer_greedy, 0.0), 1
         )
     _RESULTS["timing"] = "median of >=3 reps, device-synced"
     try:
