@@ -41,6 +41,7 @@ __all__ = [
     "USE_JIT",
     "USE_PALLAS",
     "USE_PALLAS_BEAM",
+    "USE_PALLAS_TOPM",
 ]
 
 INDEX_PAD_VALUE = -100
@@ -83,6 +84,18 @@ per-step HBM traffic and op-dispatch cost on production TPUs, but lose on
 dev chips where Pallas grid-step overhead dominates — hence measurement,
 not a blind default.
 """
+
+USE_PALLAS_TOPM = os.environ.get("PYDROBERT_TPU_PALLAS_TOPM", "auto")
+"""Route the decode prologues' hoisted whole-``(T, N, V)`` top-M through
+the single-pass Pallas selection kernel
+(:func:`pydrobert_tpu.ops.pallas.top_m_pallas`): ``"1"``/``True`` forces
+the kernel, ``"0"``/``False`` forces the stable-sort form
+(:func:`pydrobert_tpu.ops.topk.exact_top_k`), and ``"auto"`` (default)
+runs a one-time per-device-kind calibration of both, cached alongside the
+beam-gate decisions. The kernel reads the logits once through VMEM and
+writes only the winners; the sort lowering makes several full-width HBM
+passes — which wins depends on the chip's sort throughput vs its Pallas
+op overhead, hence measurement."""
 
 DECODE_SCAN_UNROLL = int(
     os.environ.get("PYDROBERT_TPU_DECODE_SCAN_UNROLL", "1")

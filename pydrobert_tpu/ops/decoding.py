@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from .topk import exact_top_k
+from .topk import hoisted_top_k
 from ..lm import (
     ExtractableSequentialLanguageModel,
     MixableSequentialLanguageModel,
@@ -1646,7 +1646,7 @@ class CTCPrefixSearch:
             # g = am * exp(beta * uni); per-(t, n) softmax constants don't
             # change the order, so top-M runs on logits + beta * uni
             g_lgts = logits[..., :V] + beta * uni_dev[None, None]
-            top_lgts, top_inds = exact_top_k(g_lgts, M)
+            top_lgts, top_inds = hoisted_top_k(g_lgts, M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
             )  # (T, N, M)
@@ -1658,7 +1658,7 @@ class CTCPrefixSearch:
             M = min(V, 2 * W)
             logZ1 = float(np.log(lm._sum_u)) if lm._sum_u > 0 else 0.0
             g_lgts = logits[..., :V] + beta * uni_dev[None, None]
-            top_lgts, top_inds = exact_top_k(g_lgts, M)
+            top_lgts, top_inds = hoisted_top_k(g_lgts, M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None])
                 / sm_den[..., None]
@@ -1674,7 +1674,7 @@ class CTCPrefixSearch:
 
         elif not use_lm:
             M = min(V, 2 * W)
-            top_lgts, top_inds = exact_top_k(logits[..., :V], M)
+            top_lgts, top_inds = hoisted_top_k(logits[..., :V], M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
             )  # (T, N, M)

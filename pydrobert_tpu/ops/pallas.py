@@ -933,3 +933,224 @@ __all__ += [
     "ctc_beam_search_pallas",
     "ctc_beam_search_reference",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Hoisted top-M selection kernel
+#
+# The decode prologues take an exact top-M over the whole (T, N, V) logits
+# (ops/topk.exact_top_k). XLA's stable-sort lowering reads AND writes the
+# full (T, N, V) keys and index payloads several times through HBM; at the
+# headline decode shape that one op measured ~60% of no-LM decode time. This
+# kernel streams each (BLOCK_ROWS, V) tile through VMEM once and emits only
+# the (BLOCK_ROWS, M) winners: M statically-unrolled masked-max rounds on
+# the same sign-flipped total-order integer keys exact_top_k sorts by, so
+# values, indices, and tie-breaking (equal values -> lowest index) match
+# lax.top_k bit-for-bit. Auto-gated like the beam kernel: on sort-fast /
+# op-overhead-heavy devices the XLA sort stays.
+# ---------------------------------------------------------------------------
+
+
+def _topm_kernel(x_ref, vals_ref, idx_ref, *, M, V):
+    top = jnp.uint32(0x80000000)
+    u = jax.lax.bitcast_convert_type(x_ref[:], jnp.uint32)
+    # ascending IEEE-total-order key (bigger key <=> bigger float)
+    key = jnp.where(u >= top, ~u, u | top)
+    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    # physical lane padding past V must never win a round
+    key = jnp.where(iota < V, key, jnp.uint32(0))
+    key_cols, idx_cols = [], []
+    for _ in range(M):
+        k = key.max(1)  # (RB,)
+        hit = key == k[:, None]
+        i = jnp.where(hit, iota, key.shape[1]).min(1)
+        key_cols.append(k[:, None])
+        idx_cols.append(i[:, None])
+        key = jnp.where(hit & (iota == i[:, None]), jnp.uint32(0), key)
+    keys = jnp.concatenate(key_cols, 1)  # (RB, M)
+    vals_ref[:, :M] = jax.lax.bitcast_convert_type(
+        jnp.where(keys >= top, keys ^ top, ~keys), jnp.float32
+    )
+    idx_ref[:, :M] = jnp.concatenate(idx_cols, 1)
+    if vals_ref.shape[1] > M:  # lane padding of the output block
+        vals_ref[:, M:] = jnp.zeros(
+            (keys.shape[0], vals_ref.shape[1] - M), jnp.float32
+        )
+        idx_ref[:, M:] = jnp.zeros(
+            (keys.shape[0], idx_ref.shape[1] - M), jnp.int32
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "block_rows", "interpret")
+)
+def top_m_pallas(
+    x: jax.Array, m: int, block_rows: int = 256, interpret: bool = False
+):
+    """``jax.lax.top_k(x, m)`` over the trailing axis as a Pallas kernel.
+
+    One HBM read of ``x`` and an (rows, M)-sized write, vs the sort
+    lowering's multiple full-width passes. Exact ``lax.top_k`` value,
+    index, and tie semantics (same total-order keys as
+    :func:`pydrobert_tpu.ops.topk.exact_top_k`; parity-pinned in tests).
+    float32 only.
+    """
+    if x.dtype != jnp.float32:
+        raise TypeError("top_m_pallas is float32-only")
+    V = x.shape[-1]
+    m = int(m)
+    lead = x.shape[:-1]
+    R = 1
+    for d in lead:
+        R *= d
+    x2 = x.reshape(R, V)
+    Vp = -(-V // 128) * 128
+    if Vp != V:
+        x2 = jnp.pad(x2, ((0, 0), (0, Vp - V)))
+    RB = min(block_rows, max(8, -(-R // 8) * 8))
+    pad_r = (-R) % RB
+    if pad_r:
+        x2 = jnp.pad(x2, ((0, pad_r), (0, 0)))
+    RP = R + pad_r
+    Mp = -(-m // 128) * 128
+    kernel = functools.partial(_topm_kernel, M=m, V=V)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(RP // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, Vp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((RB, Mp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, Mp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RP, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((RP, Mp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x2)
+    return (
+        vals[:R, :m].reshape(lead + (m,)),
+        idx[:R, :m].reshape(lead + (m,)),
+    )
+
+
+def top_m_vmem_ok(V: int, block_rows: int = 256) -> bool:
+    """Whether the top-M kernel's working tiles fit comfortably in VMEM."""
+    Vp = -(-V // 128) * 128
+    # x tile + uint key copy + a couple of live temporaries per round
+    return block_rows * Vp * 4 * 4 <= 24 * 1024 * 1024
+
+
+def _topm_rev() -> str:
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(_topm_kernel) + inspect.getsource(top_m_pallas)
+    return hashlib.sha1(src.encode()).hexdigest()[:10]
+
+
+def _calibrate_topm(key: str) -> bool:
+    """Time kernel vs sort-based exact_top_k at a representative decode
+    prologue shape; cache the winner next to the beam-gate decisions."""
+    import logging
+    import statistics
+    import time as _time
+
+    from .topk import exact_top_k
+
+    log = logging.getLogger(__name__)
+    R, V, M = 4096, 1024, 32
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(R, V), jnp.float32)
+
+    def timed(fn):
+        out = fn(x)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+        reps = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            out = fn(x)
+            np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+            reps.append(_time.perf_counter() - t0)
+        return statistics.median(reps)
+
+    t_sort = timed(jax.jit(lambda a: exact_top_k(a, M)))
+    err = None
+    try:
+        t_pl = timed(jax.jit(lambda a: top_m_pallas(a, M)))
+    except Exception as e:  # pragma: no cover - device-dependent
+        t_pl = float("inf")
+        err = f"{type(e).__name__}: {e}"[:500]
+        log.warning("top-M kernel failed to compile; using sort: %s", err)
+    use = t_pl < t_sort
+    log.info(
+        "top-M calibration on %s: pallas %.2f ms vs sort %.2f ms -> %s",
+        key, t_pl * 1e3, t_sort * 1e3, "pallas kernel" if use else "xla sort",
+    )
+    path = _beam_gate_path()
+    try:
+        disk = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                disk = json.load(f)
+        disk[key] = {
+            "use_pallas": bool(use),
+            "pallas_ms": round(t_pl * 1e3, 3),
+            "sort_ms": round(t_sort * 1e3, 3),
+        }
+        if err is not None:
+            disk[key]["error"] = err
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(disk, f, indent=1)
+    except OSError:  # pragma: no cover
+        pass
+    return bool(use)
+
+
+_TOPM_GATE_CACHE = {}
+
+
+def topm_kernel_preferred() -> bool:
+    """Whether hoisted decode top-M calls should use the Pallas kernel.
+
+    Honors ``config.USE_PALLAS_TOPM``: "1"/"0" force, "auto" runs a
+    one-time per-device-kind calibration (cached in-process and on disk).
+    Always False off-TPU.
+    """
+    from .. import config
+
+    mode = getattr(config, "USE_PALLAS_TOPM", "auto")
+    if mode in (False, 0, None, "0", "false", "off"):
+        return False
+    if not tpu_available():
+        return False
+    if mode in (True, 1, "1", "true", "on"):
+        return True
+    try:
+        d = jax.devices()[0]
+        key = (
+            f"topm:{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
+            f":{_topm_rev()}"
+        )
+    except Exception:  # pragma: no cover
+        return False
+    if key in _TOPM_GATE_CACHE:
+        return _TOPM_GATE_CACHE[key]
+    try:
+        with open(_beam_gate_path()) as f:
+            disk = json.load(f)
+        if key in disk:
+            use = bool(disk[key]["use_pallas"])
+            _TOPM_GATE_CACHE[key] = use
+            return use
+    except (OSError, ValueError, KeyError):
+        pass
+    use = _calibrate_topm(key)
+    _TOPM_GATE_CACHE[key] = use
+    return use
+
+
+__all__ += ["top_m_pallas", "top_m_vmem_ok", "topm_kernel_preferred"]

@@ -68,3 +68,29 @@ def exact_top_k(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
         jnp.where(asc >= top, asc ^ top, ~asc), jnp.float32
     )
     return vals, idx[..., :k]
+
+
+def hoisted_top_k(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """:func:`exact_top_k`, routed through the Pallas selection kernel when
+    the per-device calibration prefers it (``config.USE_PALLAS_TOPM``).
+
+    For the decode prologues' hoisted whole-``(T, N, V)`` calls. The kernel
+    engages only for float32 rows wide enough to be bandwidth-bound, small
+    enough ``k`` that its unrolled selection rounds stay cheap, and tiles
+    that fit VMEM; everything else (and every non-TPU backend) takes the
+    stable-sort form. Identical values/indices/ties either way.
+    """
+    from .pallas import top_m_pallas, top_m_vmem_ok, topm_kernel_preferred
+
+    if (
+        x.dtype == jnp.float32
+        and x.shape[-1] >= 256
+        and 0 < k <= min(64, x.shape[-1])
+        and top_m_vmem_ok(x.shape[-1])
+        and topm_kernel_preferred()
+    ):
+        return top_m_pallas(x, k)
+    return exact_top_k(x, k)
+
+
+__all__.append("hoisted_top_k")

@@ -871,6 +871,50 @@ def test_exact_top_k_neg_inf_rows(seeded):
     assert (gi == wi).all()
 
 
+@pytest.mark.parametrize(
+    "shape,k", [((5, 300), 7), ((3, 4, 257), 16), ((37, 1024), 32)]
+)
+def test_top_m_pallas_interpret_matches_lax_top_k(seeded, shape, k):
+    """The Pallas top-M selection kernel (interpret mode) == lax.top_k
+    bit-for-bit, including tie order, -inf-masked lanes, and non-multiple
+    row/lane counts."""
+    from pydrobert_tpu.ops.pallas import top_m_pallas
+
+    x = jnp.asarray(np.random.randn(*shape), jnp.float32)
+    V = shape[-1]
+    for arr in (
+        x,
+        jnp.round(x * 2) / 2,  # heavy ties incl. -0.0/+0.0 total order
+        x.at[..., V - V // 4:].set(-jnp.inf),
+        jnp.zeros_like(x),
+    ):
+        wv, wi = jax.lax.top_k(arr, k)
+        gv, gi = top_m_pallas(arr, k, block_rows=16, interpret=True)
+        assert (np.asarray(gv) == np.asarray(wv)).all()
+        assert (np.asarray(gi) == np.asarray(wi)).all()
+
+
+def test_hoisted_top_k_dispatch(seeded, monkeypatch):
+    """hoisted_top_k prefers the kernel exactly when the gate says so (and
+    never off-TPU via topm_kernel_preferred's platform check)."""
+    from pydrobert_tpu.ops import pallas, topk
+
+    x = jnp.asarray(np.random.randn(6, 512), jnp.float32)
+    calls = []
+    monkeypatch.setattr(
+        pallas, "top_m_pallas",
+        lambda a, k_, **kw: (calls.append(k_), jax.lax.top_k(a, k_))[1],
+    )
+    monkeypatch.setattr(pallas, "topm_kernel_preferred", lambda: True)
+    wv, wi = jax.lax.top_k(x, 8)
+    gv, gi = topk.hoisted_top_k(x, 8)
+    assert calls == [8] and (gv == wv).all() and (gi == wi).all()
+    monkeypatch.setattr(pallas, "topm_kernel_preferred", lambda: False)
+    gv, gi = topk.hoisted_top_k(x, 8)
+    assert calls == [8]  # kernel not called again
+    assert (gv == wv).all() and (gi == wi).all()
+
+
 @pytest.mark.slow
 def test_decode_scan_body_kernel_budget():
     """Tripwire on the decode scans' per-step op counts (CPU optimized

@@ -117,3 +117,15 @@ def test_ctc_prefix_search_beam_gate(seeded, monkeypatch):
     gated = jax.jit(lambda l, ln: search(l, ln))(logits, lens)
     assert _beam_outputs_equal(base, gated)
 
+
+
+@pytest.mark.parametrize("shape,k", [((500 * 4, 1024), 32), ((37, 300), 7)])
+def test_top_m_pallas_matches_lax_top_k_on_tpu(seeded, shape, k):
+    from pydrobert_tpu.ops.pallas import top_m_pallas
+
+    x = jnp.asarray(np.random.randn(*shape), jnp.float32)
+    for arr in (x, jnp.round(x * 2) / 2):
+        wv, wi = jax.lax.top_k(arr, k)
+        gv, gi = top_m_pallas(arr, k)
+        assert (np.asarray(gv) == np.asarray(wv)).all()
+        assert (np.asarray(gi) == np.asarray(wi)).all()
