@@ -84,6 +84,46 @@ def _sparse_at(lm, ctx, N, Kp):
     )
 
 
+def _decode_prologue(logits, M, g_bias=None):
+    """Hoisted decode prologue: ``(top_lgts, top_inds, sm_max, sm_den,
+    blank_probs)`` from time-major ``logits (T, N, V + 1)``.
+
+    Top-M runs over ``logits[..., :V] (+ g_bias)``; softmax stats cover all
+    ``V + 1`` lanes. When the top-M kernel gate prefers it the WHOLE
+    prologue is one Pallas pass over the logits
+    (:func:`pydrobert_tpu.ops.pallas.decode_prologue_pallas`) — the largest
+    single component of decode wall-clock was this prologue's sort +
+    reduction passes. ``sm_den``'s reduction order may differ in the last
+    ulp between paths; it scales every candidate of a frame uniformly, so
+    selections are unaffected.
+    """
+    T, N, Vp1 = logits.shape
+    V = Vp1 - 1
+    from .pallas import (
+        decode_prologue_pallas, top_m_vmem_ok, topm_kernel_preferred,
+    )
+
+    if (
+        logits.dtype == jnp.float32
+        and Vp1 >= 256
+        and 0 < M <= min(64, V)
+        and top_m_vmem_ok(Vp1)
+        and topm_kernel_preferred()
+    ):
+        tl, ti, mx, den, blank = decode_prologue_pallas(logits, M, g_bias)
+        return tl, ti, mx, den, jnp.exp(blank - mx) / den
+    sm_max = logits.max(2)  # (T, N)
+    sm_den = jnp.exp(logits - sm_max[..., None]).sum(2)  # (T, N)
+    blank_probs = jnp.exp(logits[..., V] - sm_max) / sm_den
+    g = (
+        logits[..., :V]
+        if g_bias is None
+        else logits[..., :V] + g_bias[None, None]
+    )
+    tl, ti = hoisted_top_k(g, M)
+    return tl, ti, sm_max, sm_den, blank_probs
+
+
 def _scatter_token_rows(y_ext, lens, y_t):
     """Write ``y_t`` (1, N, K) into ``y_ext`` (S1, N, K) at row ``lens[n,k]``."""
     S1 = y_ext.shape[0]
@@ -1497,21 +1537,6 @@ class CTCPrefixSearch:
         # (token values < 2**24 are exact in f32)
         stream_buf = not (use_lm and not use_sparse and not use_uni)
 
-        if use_lm and not use_sparse and not use_uni:
-            probs = jax.nn.softmax(logits, axis=2)
-            blank_probs = probs[..., V]  # (T, N)
-            nonext_probs = probs[..., :V]  # (T, N, V)
-        else:
-            # probability-space values are only ever needed at the hoisted
-            # top-M tokens, the blank, and per-step last-token gathers:
-            # normalize those on the fly from raw logits instead of
-            # materializing the (T, N, V) softmax (saves a full write+read
-            # of the biggest tensor in the decode). exp(x - max) / denom is
-            # softmax's own op sequence, so the values bit-match it.
-            sm_max = logits.max(2)  # (T, N)
-            sm_den = jnp.exp(logits - sm_max[..., None]).sum(2)  # (T, N)
-            blank_probs = jnp.exp(logits[..., V] - sm_max) / sm_den
-
         # whole-loop Pallas kernel (state + path buffer resident in VMEM
         # across frames); identical results to the XLA scan below up to f32
         # reduction order. Auto-gated: beam_kernel_preferred() runs a
@@ -1530,6 +1555,9 @@ class CTCPrefixSearch:
             and ctc_beam_search_vmem_ok(T, N, V, W)
             and beam_kernel_preferred()
         ):
+            sm_max = logits.max(2)  # (T, N)
+            sm_den = jnp.exp(logits - sm_max[..., None]).sum(2)  # (T, N)
+            blank_probs = jnp.exp(logits[..., V] - sm_max) / sm_den
             nonext_probs = (
                 jnp.exp(logits[..., :V] - sm_max[..., None])
                 / sm_den[..., None]
@@ -1544,6 +1572,28 @@ class CTCPrefixSearch:
             y_lens = jnp.zeros((N, W), jnp.int32)
             y_probs = jnp.full((N, W), NEG_INF).at[:, 0].set(1.0)
             return y, y_lens, y_probs
+
+        if use_lm and not use_sparse and not use_uni:
+            probs = jax.nn.softmax(logits, axis=2)
+            blank_probs = probs[..., V]  # (T, N)
+            nonext_probs = probs[..., :V]  # (T, N, V)
+        else:
+            # probability-space values are only ever needed at the hoisted
+            # top-M tokens, the blank, and per-step last-token gathers:
+            # normalize those on the fly from raw logits instead of
+            # materializing the (T, N, V) softmax (saves a full write+read
+            # of the biggest tensor in the decode); the whole prologue
+            # (stats + blank + top-M) fuses into ONE pass over the logits
+            # when the top-M kernel gate prefers it
+            if use_sparse or use_uni:
+                uni_dev = jnp.asarray(lm._uni_logp)
+                g_bias = beta * uni_dev
+            else:
+                uni_dev = g_bias = None
+            M = min(V, 2 * W + (lm.max_corrections if use_sparse else 0))
+            (
+                top_lgts, top_inds, sm_max, sm_den, blank_probs,
+            ) = _decode_prologue(logits, M, g_bias)
 
         def lm_ext_probs(y_buf, y_lens_flat, prev_state, nonext_t, blank_t, Kp):
             """Extension probabilities, with or without fusion."""
@@ -1588,11 +1638,6 @@ class CTCPrefixSearch:
         # exp-normalization applied to the M selected values only.
         if not (use_lm and not use_sparse and not use_uni):
             sm_stats = jnp.stack([sm_max, sm_den], 2)  # (T, N, 2)
-            uni_dev = (
-                jnp.asarray(lm._uni_logp)
-                if (use_sparse or use_uni)
-                else None
-            )
             iota_vrow = jnp.arange(V, dtype=jnp.int32)
 
             def am_row(lgts_row, st, toks):
@@ -1634,6 +1679,9 @@ class CTCPrefixSearch:
                 )
                 return probs, uni_raw
 
+        # top-M came from the fused prologue above: g = am * exp(beta * uni)
+        # orders like logits + beta * uni (per-(t, n) softmax constants
+        # don't change within-frame order), normalized at the M winners only
         if use_sparse:
             Csp = lm.max_corrections
             Ng = lm.max_ngram
@@ -1643,10 +1691,6 @@ class CTCPrefixSearch:
             )
             if bi_dev is not None:
                 bi_dev = jnp.asarray(bi_dev)
-            # g = am * exp(beta * uni); per-(t, n) softmax constants don't
-            # change the order, so top-M runs on logits + beta * uni
-            g_lgts = logits[..., :V] + beta * uni_dev[None, None]
-            top_lgts, top_inds = hoisted_top_k(g_lgts, M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
             )  # (T, N, M)
@@ -1657,8 +1701,6 @@ class CTCPrefixSearch:
         elif use_uni:
             M = min(V, 2 * W)
             logZ1 = float(np.log(lm._sum_u)) if lm._sum_u > 0 else 0.0
-            g_lgts = logits[..., :V] + beta * uni_dev[None, None]
-            top_lgts, top_inds = hoisted_top_k(g_lgts, M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None])
                 / sm_den[..., None]
@@ -1674,7 +1716,6 @@ class CTCPrefixSearch:
 
         elif not use_lm:
             M = min(V, 2 * W)
-            top_lgts, top_inds = hoisted_top_k(logits[..., :V], M)
             top_vals = (
                 jnp.exp(top_lgts - sm_max[..., None]) / sm_den[..., None]
             )  # (T, N, M)

@@ -1048,6 +1048,9 @@ def _topm_rev() -> str:
     import inspect
 
     src = inspect.getsource(_topm_kernel) + inspect.getsource(top_m_pallas)
+    # the fused prologue kernel shares this gate: its cost profile is the
+    # plain selection kernel's plus strictly-saved stats passes
+    src += inspect.getsource(_prologue_kernel)
     return hashlib.sha1(src.encode()).hexdigest()[:10]
 
 
@@ -1154,3 +1157,120 @@ def topm_kernel_preferred() -> bool:
 
 
 __all__ += ["top_m_pallas", "top_m_vmem_ok", "topm_kernel_preferred"]
+
+
+def _prologue_kernel(
+    x_ref, bias_ref, vals_ref, idx_ref, stats_ref, *, M, V
+):
+    """Fused decode-prologue tile: softmax stats + blank logit + top-M of
+    the biased vocab lanes, all from ONE VMEM-resident read of the block."""
+    x = x_ref[:]  # (RB, Lp) with Lp >= V + 1 physical lanes
+    RB, Lp = x.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (RB, Lp), 1)
+    valid = iota <= V  # the V + 1 real lanes
+    xm = jnp.where(valid, x, -_INF)
+    mx = xm.max(1)  # (RB,) == logits.max over V+1
+    den = jnp.where(valid, jnp.exp(xm - mx[:, None]), 0.0).sum(1)
+    blank = jnp.where(iota == V, xm, 0.0).sum(1)  # raw blank logit
+    top = jnp.uint32(0x80000000)
+    g = x + bias_ref[0][None]
+    u = jax.lax.bitcast_convert_type(g, jnp.uint32)
+    key = jnp.where(u >= top, ~u, u | top)
+    key = jnp.where(iota < V, key, jnp.uint32(0))
+    key_cols, idx_cols = [], []
+    for _ in range(M):
+        k = key.max(1)
+        hit = key == k[:, None]
+        i = jnp.where(hit, iota, Lp).min(1)
+        key_cols.append(k[:, None])
+        idx_cols.append(i[:, None])
+        key = jnp.where(hit & (iota == i[:, None]), jnp.uint32(0), key)
+    keys = jnp.concatenate(key_cols, 1)
+    vals_ref[:, :M] = jax.lax.bitcast_convert_type(
+        jnp.where(keys >= top, keys ^ top, ~keys), jnp.float32
+    )
+    idx_ref[:, :M] = jnp.concatenate(idx_cols, 1)
+    if vals_ref.shape[1] > M:
+        vals_ref[:, M:] = jnp.zeros((RB, vals_ref.shape[1] - M), jnp.float32)
+        idx_ref[:, M:] = jnp.zeros((RB, idx_ref.shape[1] - M), jnp.int32)
+    st_iota = jax.lax.broadcasted_iota(jnp.int32, stats_ref.shape, 1)
+    stats_ref[:] = jnp.where(
+        st_iota == 0,
+        mx[:, None],
+        jnp.where(st_iota == 1, den[:, None], blank[:, None]),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "block_rows", "interpret")
+)
+def decode_prologue_pallas(
+    logits: jax.Array,
+    m: int,
+    g_bias=None,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """The CTC decode prologue in one pass over ``logits (T, N, V + 1)``:
+    returns ``(top_lgts (T,N,m), top_inds, sm_max (T,N), sm_den, blank_lgt)``
+    where the top-M runs over ``logits[..., :V] + g_bias`` (``g_bias``
+    ``(V,)``, e.g. ``beta * uni`` for sparse fusion) and the softmax
+    max/denominator cover all ``V + 1`` lanes — exactly the quantities the
+    XLA prologue computes with a multi-pass sort + separate reductions.
+    Top values/indices/ties match ``lax.top_k`` bit-for-bit; ``sm_den``
+    may differ from XLA's reduction order in the last ulp (it divides
+    every candidate of a frame uniformly, so rankings are unaffected).
+    """
+    if logits.dtype != jnp.float32:
+        raise TypeError("decode_prologue_pallas is float32-only")
+    T, N, Vp1 = logits.shape
+    V = Vp1 - 1
+    m = int(m)
+    R = T * N
+    x2 = logits.reshape(R, Vp1)
+    Lp = -(-Vp1 // 128) * 128
+    if Lp != Vp1:
+        x2 = jnp.pad(x2, ((0, 0), (0, Lp - Vp1)))
+    if g_bias is None:
+        bias = jnp.zeros((1, Lp), jnp.float32)
+    else:
+        bias = jnp.pad(
+            jnp.asarray(g_bias, jnp.float32).reshape(1, V),
+            ((0, 0), (0, Lp - V)),
+        )
+    RB = min(block_rows, max(8, -(-R // 8) * 8))
+    pad_r = (-R) % RB
+    if pad_r:
+        x2 = jnp.pad(x2, ((0, pad_r), (0, 0)))
+    RP = R + pad_r
+    Mp = -(-m // 128) * 128
+    kernel = functools.partial(_prologue_kernel, M=m, V=V)
+    vals, idx, stats = pl.pallas_call(
+        kernel,
+        grid=(RP // RB,),
+        in_specs=[
+            pl.BlockSpec((RB, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RB, Mp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, Mp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((RP, Mp), jnp.float32),
+            jax.ShapeDtypeStruct((RP, Mp), jnp.int32),
+            jax.ShapeDtypeStruct((RP, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2, bias)
+    return (
+        vals[:R, :m].reshape(T, N, m),
+        idx[:R, :m].reshape(T, N, m),
+        stats[:R, 0].reshape(T, N),
+        stats[:R, 1].reshape(T, N),
+        stats[:R, 2].reshape(T, N),
+    )
+
+
+__all__ += ["decode_prologue_pallas"]

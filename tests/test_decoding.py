@@ -894,6 +894,37 @@ def test_top_m_pallas_interpret_matches_lax_top_k(seeded, shape, k):
         assert (np.asarray(gi) == np.asarray(wi)).all()
 
 
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_decode_prologue_pallas_interpret_matches_xla(seeded, with_bias):
+    """The fused prologue kernel (interpret mode) == the XLA prologue:
+    top values/indices bit-exact, softmax stats to reduction-order ulp."""
+    from pydrobert_tpu.ops.pallas import decode_prologue_pallas
+    from pydrobert_tpu.ops.topk import exact_top_k
+
+    T, N, V, M = 5, 3, 300, 16
+    logits = jnp.asarray(np.random.randn(T, N, V + 1), jnp.float32)
+    logits = logits.at[:, :, 5].set(-jnp.inf)  # masked token
+    g_bias = (
+        jnp.asarray(np.random.randn(V), jnp.float32) if with_bias else None
+    )
+    tl, ti, mx, den, blank = decode_prologue_pallas(
+        logits, M, g_bias, block_rows=8, interpret=True
+    )
+    g = logits[..., :V] if g_bias is None else logits[..., :V] + g_bias
+    wl, wi = exact_top_k(g, M)
+    assert (np.asarray(tl) == np.asarray(wl)).all()
+    assert (np.asarray(ti) == np.asarray(wi)).all()
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(logits.max(2)))
+    np.testing.assert_allclose(
+        np.asarray(den),
+        np.asarray(jnp.exp(logits - logits.max(2)[..., None]).sum(2)),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(blank), np.asarray(logits[..., V])
+    )
+
+
 def test_hoisted_top_k_dispatch(seeded, monkeypatch):
     """hoisted_top_k prefers the kernel exactly when the gate says so (and
     never off-TPU via topm_kernel_preferred's platform check)."""
