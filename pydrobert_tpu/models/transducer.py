@@ -21,7 +21,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.transducer import transducer_greedy_search, transducer_loss
+from ..ops.transducer import (
+    transducer_beam_search,
+    transducer_greedy_search,
+    transducer_loss,
+)
 from .conformer import (
     ConformerConfig,
     _ConformerBlock,
@@ -211,6 +215,24 @@ class ConformerTransducer(nn.Module):
             joint_fn,
             self.predictor.init_carry(N),
             blank_idx=self.cfg.vocab_size,
+            max_symbols_per_frame=max_symbols_per_frame,
+        )
+
+    def beam(
+        self, feats, lens, width: int = 4, max_symbols_per_frame: int = 4
+    ):
+        """Time-synchronous RNN-T beam search: ``(hyps (N, W, U_max),
+        hyp_lens (N, W), scores (N, W))`` best-first."""
+        enc, enc_lens = self.encoder(feats, lens, True)
+        N = enc.shape[0]
+        return transducer_beam_search(
+            enc,
+            enc_lens,
+            lambda tok, carry: self.predictor.step(tok, carry),
+            lambda enc_t, pred_out: self.joint(enc_t, pred_out),
+            self.predictor.init_carry(N),
+            blank_idx=self.cfg.vocab_size,
+            width=width,
             max_symbols_per_frame=max_symbols_per_frame,
         )
 

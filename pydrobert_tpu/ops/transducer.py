@@ -246,3 +246,197 @@ def transducer_greedy_search(
     )
     _, _, u, hyps, _, _, _ = jax.lax.while_loop(cond, body, carry)
     return hyps, u
+
+
+def transducer_beam_search(
+    enc: jax.Array,
+    enc_lens: jax.Array,
+    pred_step: Callable,
+    joint_fn: Callable,
+    init_state,
+    blank_idx: int,
+    width: int,
+    max_symbols_per_frame: int = 4,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched time-synchronous RNN-T beam search with fixed expansion.
+
+    The classic transducer beam search (Graves 2012 Alg. 1) grows a
+    dynamic hypothesis set per frame — data-dependent shapes TPUs can't
+    compile. This is the fixed-expansion, time-synchronous formulation
+    (the mAES family): every frame runs exactly ``E =
+    max_symbols_per_frame`` expansion rounds, each one batched joint
+    evaluation + ``top_k`` over a static candidate pool. In a round, every
+    still-*open* hypothesis offers its blank closure (score + blank
+    log-prob; it then waits for the next frame) and its ``width`` best
+    non-blank extensions (which stay open); already-closed hypotheses
+    carry through unchanged. After the rounds, surviving open hypotheses
+    are force-closed with their blank log-prob. Equal prefixes are NOT
+    merged (the standard batched-search trade-off; scores are per-path).
+    With ``width=1`` the emitted token sequence equals
+    :func:`transducer_greedy_search`'s.
+
+    Same callables contract as the greedy search: ``pred_step(tok (B,),
+    state) -> (pred_out (B, P), state)``, ``joint_fn(enc_t, pred_out) ->
+    logits (..., V)`` broadcasting over leading dims. `init_state` must be
+    a per-``(N,)``-batch state; it is tiled across beams internally.
+
+    Returns ``(hyps (N, W, U_max), hyp_lens (N, W), scores (N, W))``
+    sorted best-first (log-probability scores), ``U_max = E * T``, hyps
+    padded with `blank_idx`.
+    """
+    N, T, D = enc.shape
+    W = int(width)
+    E = int(max_symbols_per_frame)
+    U_max = E * T
+    hp = jax.lax.Precision.HIGHEST
+
+    def tile_beams(a):
+        return jnp.broadcast_to(a[:, None], (N, W) + a.shape[1:]).reshape(
+            (N * W,) + a.shape[1:]
+        )
+
+    # beam 0 is the live seed; the rest start at -inf so the first frame's
+    # selection populates them
+    scores0 = jnp.full((N, W), _NEG_INF).at[:, 0].set(0.0)
+    pred_out0, state0 = pred_step(
+        jnp.full((N,), blank_idx, jnp.int32), init_state
+    )
+    pred_out0 = tile_beams(pred_out0)  # (N*W, P)
+    state0 = jax.tree.map(tile_beams, state0)
+    hyps0 = jnp.full((N, W, U_max), float(blank_idx), jnp.float32)
+    lens0 = jnp.zeros((N, W), jnp.int32)
+
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    iota_u = jnp.arange(U_max, dtype=jnp.int32)
+
+    def permute_beams(oh, a):
+        """Pick per-new-beam sources: (N, W, Wsrc) one-hot x (N*W_src, ...)."""
+        flat = a.reshape((N, W) + a.shape[1:])
+        lead = "nj" + "abcdefg"[: flat.ndim - 2]
+        out = jnp.einsum(
+            f"nkj,{lead}->nk{lead[2:]}", oh, flat.astype(jnp.float32),
+            precision=hp,
+        ).astype(a.dtype)
+        return out.reshape((N * W,) + a.shape[1:])
+
+    def frame(carry, xs):
+        scores, hyps, lens, pred_out, state = carry
+        enc_t, active = xs  # (N, D), (N,)
+        open_ = jnp.full((N, W), True)
+
+        def round_body(e, scores, hyps, lens, pred_out, state, open_):
+            lp = jax.nn.log_softmax(
+                joint_fn(enc_t[:, None], pred_out.reshape(N, W, -1)), -1
+            )  # (N, W, V+1)
+            blank_lp = lp[..., blank_idx]
+            # width best non-blank extensions per open beam
+            ext_lp, ext_tok = jax.lax.top_k(
+                jnp.where(
+                    jnp.arange(lp.shape[-1]) == blank_idx, _NEG_INF, lp
+                ),
+                W,
+            )  # (N, W, W)
+            can_ext = open_ & (lens < U_max)
+            ext_sc = jnp.where(
+                can_ext[:, :, None], scores[:, :, None] + ext_lp, _NEG_INF
+            )
+            close_sc = jnp.where(open_, scores + blank_lp, scores)
+            pool = jnp.concatenate(
+                [close_sc, ext_sc.reshape(N, W * W)], 1
+            )  # (N, W + W*W); slot s < W: close beam s; else ext
+            new_sc, pick = jax.lax.top_k(pool, W)
+            is_ext = pick >= W
+            src = jnp.where(is_ext, (pick - W) // W, pick)  # (N, W)
+            tok = jnp.where(is_ext, (pick - W) % W, 0)
+            oh_src = (src[:, :, None] == iota_w[None, None]).astype(
+                jnp.float32
+            )
+            # the chosen extension token, via the shared one-hot + a column
+            # pick (exact: one nonzero per row)
+            tok_oh = (tok[:, :, None] == iota_w[None, None]).astype(
+                jnp.float32
+            )
+            picked_tok = jnp.einsum(
+                "nkj,nkj->nk",
+                tok_oh,
+                jnp.einsum(
+                    "nkj,njq->nkq", oh_src, ext_tok.astype(jnp.float32),
+                    precision=hp,
+                ),
+                precision=hp,
+            )
+            new_lens = jnp.einsum(
+                "nkj,nj->nk", oh_src, lens.astype(jnp.float32), precision=hp
+            ).astype(jnp.int32)
+            new_hyps = jnp.einsum(
+                "nkj,njs->nks", oh_src, hyps, precision=hp
+            )
+            new_hyps = jnp.where(
+                is_ext[:, :, None]
+                & (iota_u[None, None] == new_lens[:, :, None]),
+                picked_tok[:, :, None],
+                new_hyps,
+            )
+            new_lens = new_lens + is_ext.astype(jnp.int32)
+            new_open = is_ext  # closed picks wait for the next frame
+            # advance the prediction net on the picked tokens; keep the
+            # source's outputs where the pick was a closure
+            src_pred = permute_beams(oh_src, pred_out)
+            src_state = jax.tree.map(
+                lambda a: permute_beams(oh_src, a), state
+            )
+            adv_pred, adv_state = pred_step(
+                picked_tok.astype(jnp.int32).reshape(N * W), src_state
+            )
+            emask = is_ext.reshape(N * W)
+            new_pred = jnp.where(emask[:, None], adv_pred, src_pred)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    emask.reshape((N * W,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                adv_state,
+                src_state,
+            )
+            return new_sc, new_hyps, new_lens, new_pred, new_state, new_open
+
+        for e in range(E):
+            out = round_body(e, scores, hyps, lens, pred_out, state, open_)
+            am = active[:, None]
+            scores = jnp.where(am, out[0], scores)
+            hyps = jnp.where(am[..., None], out[1], hyps)
+            lens = jnp.where(am, out[2], lens)
+            amw = jnp.repeat(active, W)
+            pred_out = jnp.where(amw[:, None], out[3], pred_out)
+            state = jax.tree.map(
+                lambda new, old: jnp.where(
+                    amw.reshape((N * W,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                out[4],
+                state,
+            )
+            open_ = jnp.where(am, out[5], jnp.zeros_like(open_))
+        # force-close survivors with their blank log-prob
+        lp = jax.nn.log_softmax(
+            joint_fn(enc_t[:, None], pred_out.reshape(N, W, -1)), -1
+        )
+        scores = jnp.where(
+            active[:, None] & open_, scores + lp[..., blank_idx], scores
+        )
+        return (scores, hyps, lens, pred_out, state), None
+
+    carry = (scores0, hyps0, lens0, pred_out0, state0)
+    active = jnp.arange(T, dtype=jnp.int32)[:, None] < enc_lens[None]  # (T,N)
+    (scores, hyps, lens, _, _), _ = jax.lax.scan(
+        frame, carry, (jnp.moveaxis(enc, 1, 0), active.astype(bool))
+    )
+    # best-first (scores are distinct-path log-probs; stable order)
+    order_sc, order = jax.lax.top_k(scores, W)
+    oh = (order[:, :, None] == iota_w[None, None]).astype(jnp.float32)
+    hyps = jnp.einsum("nkj,njs->nks", oh, hyps, precision=hp)
+    lens = jnp.einsum(
+        "nkj,nj->nk", oh, lens.astype(jnp.float32), precision=hp
+    ).astype(jnp.int32)
+    return hyps.astype(jnp.int32), lens, order_sc
+
+
+__all__.append("transducer_beam_search")

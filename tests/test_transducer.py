@@ -129,6 +129,127 @@ def test_transducer_greedy_matches_python_oracle(jit_fn):
         assert hyps[n, : int(lens[n])].tolist() == out, n
 
 
+def _toy_searchers(seed=1, N=4, T=6, D=8, V=9):
+    rng = np.random.RandomState(seed)
+    enc = jnp.asarray(rng.randn(N, T, D), jnp.float32)
+    enc_lens = jnp.asarray(rng.randint(1, T + 1, N), jnp.int32)
+    W1 = jnp.asarray(rng.randn(D, V) * 0.7, jnp.float32)
+    W2 = jnp.asarray(rng.randn(V, V) * 0.7, jnp.float32)
+    Emb = jnp.asarray(rng.randn(V, V) * 0.7, jnp.float32)
+
+    def pred_step(tok, state):
+        new = 0.5 * state + Emb[tok]
+        return new, new
+
+    def joint_fn(enc_t, pred_out):
+        return jnp.tanh(enc_t @ W1) + jnp.tanh(pred_out @ W2)
+
+    state0 = jnp.zeros((N, V), jnp.float32)
+    return enc, enc_lens, pred_step, joint_fn, state0, (W1, W2, Emb)
+
+
+def test_transducer_beam1_matches_greedy(jit_fn):
+    from pydrobert_tpu.ops.transducer import transducer_beam_search
+
+    enc, enc_lens, pred_step, joint_fn, state0, _ = _toy_searchers()
+    blank = 8
+    gh, gl = jit_fn(
+        lambda e, el: transducer_greedy_search(
+            e, el, pred_step, joint_fn, state0, blank, 3
+        )
+    )(enc, enc_lens)
+    bh, bl, _ = jit_fn(
+        lambda e, el: transducer_beam_search(
+            e, el, pred_step, joint_fn, state0, blank, width=1,
+            max_symbols_per_frame=3,
+        )
+    )(enc, enc_lens)
+    for n in range(enc.shape[0]):
+        assert (
+            gh[n, : int(gl[n])].tolist() == bh[n, 0, : int(bl[n, 0])].tolist()
+        )
+
+
+def test_transducer_beam_matches_python_oracle():
+    """W=2 fixed-expansion search vs an independent per-sample Python
+    implementation of the same rules (tokens AND scores)."""
+    from pydrobert_tpu.ops.transducer import transducer_beam_search
+
+    enc, enc_lens, pred_step, joint_fn, state0, (W1, W2, Emb) = (
+        _toy_searchers()
+    )
+    N, V, blank, W, E = enc.shape[0], 9, 8, 2, 3
+    bh, bl, bs = jax.jit(
+        lambda e, el: transducer_beam_search(
+            e, el, pred_step, joint_fn, state0, blank, width=W,
+            max_symbols_per_frame=E,
+        )
+    )(enc, enc_lens)
+    W1, W2, Emb, enc_np = map(np.asarray, (W1, W2, Emb, enc))
+
+    def logsoft(x):
+        x = x - x.max()
+        return x - np.log(np.exp(x).sum())
+
+    for n in range(N):
+        po0 = 0.5 * np.zeros((V,), np.float32) + Emb[blank]
+        beams = [
+            dict(s=0.0, toks=[], po=po0, st=po0.copy()),
+            dict(s=-1e30, toks=[], po=po0, st=po0.copy()),
+        ]
+        for t in range(int(enc_lens[n])):
+            for b in beams:
+                b["open"] = True
+            for _ in range(E):
+                pool = []
+                for j, b in enumerate(beams):
+                    lp = logsoft(
+                        np.tanh(enc_np[n, t] @ W1) + np.tanh(b["po"] @ W2)
+                    )
+                    if b["open"]:
+                        pool.append((b["s"] + lp[blank], j, None))
+                        nb = sorted(
+                            ((lp[v], v) for v in range(V) if v != blank),
+                            key=lambda x: (-x[0], x[1]),
+                        )
+                        pool.extend(
+                            (b["s"] + lpv, j, v) for lpv, v in nb[:W]
+                        )
+                    else:
+                        pool.append((b["s"], j, None))
+                pool.sort(key=lambda x: -x[0])
+                newb = []
+                for s, j, v in pool[:W]:
+                    src = beams[j]
+                    if v is None:
+                        newb.append(
+                            dict(s=s, toks=list(src["toks"]), po=src["po"],
+                                 st=src["st"], open=False)
+                        )
+                    else:
+                        st = 0.5 * src["st"] + Emb[v]
+                        newb.append(
+                            dict(s=s, toks=src["toks"] + [v], po=st.copy(),
+                                 st=st, open=True)
+                        )
+                beams = newb
+            for b in beams:
+                if b["open"]:
+                    lp = logsoft(
+                        np.tanh(enc_np[n, t] @ W1) + np.tanh(b["po"] @ W2)
+                    )
+                    b["s"] += lp[blank]
+                    b["open"] = False
+        beams.sort(key=lambda b: -b["s"])
+        for w in range(W):
+            assert bh[n, w, : int(bl[n, w])].tolist() == beams[w]["toks"], (
+                n, w,
+            )
+            np.testing.assert_allclose(
+                float(bs[n, w]), beams[w]["s"], atol=1e-3
+            )
+
+
 _ENC = ConformerConfig(
     vocab_size=16, num_filts=8, d_model=16, num_layers=2, num_heads=2,
     subsample_channels=4, conv_kernel=5, dropout=0.0, dtype=jnp.float32,
@@ -230,3 +351,12 @@ def test_model_train_step_descends_and_greedy_decodes(key):
     )
     # decoded tokens within the vocab (padding = blank)
     assert bool((hyps >= 0).all()) and bool((hyps <= _CFG.vocab_size).all())
+    # beam search through the same model: runs, sorted, beam-1 == greedy
+    bh, bl, bsc = jax.jit(
+        lambda p, f, l: model.apply(
+            {"params": p}, f, l, 2, 4, method="beam"
+        )
+    )(params, feats, lens)
+    assert bh.shape[:2] == (N, 2) and bool(
+        (bsc[:, 0] >= bsc[:, 1]).all()
+    )
