@@ -16,6 +16,7 @@ from .seq2seq import (  # noqa: F401
 from .transducer import (  # noqa: F401
     ConformerTransducer,
     TransducerConfig,
+    lookup_lm_fusion,
     make_transducer_train_step,
     transducer_partition_rules,
 )
@@ -37,6 +38,7 @@ __all__ = [
     "Seq2SeqConfig",
     "Seq2SeqDecoderLM",
     "TransducerConfig",
+    "lookup_lm_fusion",
     "make_transducer_train_step",
     "transducer_partition_rules",
     "make_mer_train_step",

@@ -36,9 +36,40 @@ from .conformer import (
 __all__ = [
     "TransducerConfig",
     "ConformerTransducer",
+    "lookup_lm_fusion",
     "make_transducer_train_step",
     "transducer_partition_rules",
 ]
+
+
+def lookup_lm_fusion(lm, batch_size: int, vocab_pad: int = 1):
+    """Shallow-fusion hooks for :func:`transducer_beam_search` from a
+    :class:`pydrobert_tpu.lm.LookupLanguageModel`.
+
+    The LM state is a rolling ``(B, Ng - 1)`` context window (earliest
+    first); each emitted token shifts it and one dense
+    ``calc_idx_log_probs`` row scores the next position. Returned rows are
+    log-softmaxed (the same normalization
+    :class:`~pydrobert_tpu.ops.decoding.CTCPrefixSearch` applies before
+    fusing) and right-padded with `vocab_pad` columns so they align with a
+    joint whose blank sits past the LM vocabulary (the pad is never read).
+    Returns ``(lm_step, init_lp, init_state)``.
+    """
+    import jax.numpy as jnp
+
+    K = max(lm.max_ngram - 1, 1)
+
+    def row(ctx):
+        lp, _ = lm.calc_idx_log_probs(ctx.T, {}, jnp.asarray(K, jnp.int32))
+        lp = jax.nn.log_softmax(lp, -1)
+        return jnp.pad(lp, ((0, 0), (0, vocab_pad)))
+
+    def lm_step(tok, ctx):
+        new_ctx = jnp.concatenate([ctx[:, 1:], tok[:, None]], 1)
+        return row(new_ctx), new_ctx
+
+    ctx0 = jnp.full((batch_size, K), lm.sos, jnp.int32)
+    return lm_step, row(ctx0), ctx0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -219,12 +250,29 @@ class ConformerTransducer(nn.Module):
         )
 
     def beam(
-        self, feats, lens, width: int = 4, max_symbols_per_frame: int = 4
+        self,
+        feats,
+        lens,
+        width: int = 4,
+        max_symbols_per_frame: int = 4,
+        lm=None,
+        lm_weight: float = 0.3,
     ):
         """Time-synchronous RNN-T beam search: ``(hyps (N, W, U_max),
-        hyp_lens (N, W), scores (N, W))`` best-first."""
+        hyp_lens (N, W), scores (N, W))`` best-first. `lm` optionally
+        shallow-fuses an external LM: a
+        :class:`~pydrobert_tpu.lm.LookupLanguageModel` (adapted via
+        :func:`lookup_lm_fusion`) or a prebuilt ``(lm_step, init_lp,
+        init_state)`` triple."""
         enc, enc_lens = self.encoder(feats, lens, True)
         N = enc.shape[0]
+        if lm is not None and not isinstance(lm, tuple):
+            if lm.vocab_size != self.cfg.vocab_size:
+                raise RuntimeError(
+                    f"fused LM vocab {lm.vocab_size} != model vocab "
+                    f"{self.cfg.vocab_size}"
+                )
+            lm = lookup_lm_fusion(lm, N)
         return transducer_beam_search(
             enc,
             enc_lens,
@@ -234,6 +282,8 @@ class ConformerTransducer(nn.Module):
             blank_idx=self.cfg.vocab_size,
             width=width,
             max_symbols_per_frame=max_symbols_per_frame,
+            lm=lm,
+            lm_weight=lm_weight,
         )
 
 

@@ -26,7 +26,7 @@ transducer family is part of this package's model-zoo surface (like
 is expected to serve RNN-T.
 """
 
-from typing import Callable, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -257,6 +257,8 @@ def transducer_beam_search(
     blank_idx: int,
     width: int,
     max_symbols_per_frame: int = 4,
+    lm: Optional[Tuple[Callable, jax.Array, Any]] = None,
+    lm_weight: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched time-synchronous RNN-T beam search with fixed expansion.
 
@@ -279,6 +281,16 @@ def transducer_beam_search(
     state) -> (pred_out (B, P), state)``, ``joint_fn(enc_t, pred_out) ->
     logits (..., V)`` broadcasting over leading dims. `init_state` must be
     a per-``(N,)``-batch state; it is tiled across beams internally.
+
+    External-LM shallow fusion: pass ``lm = (lm_step, init_lp, init_lm_state)``
+    where ``init_lp (N, Vj)`` is the LM's first-token log-prob row aligned
+    with the joint's logit indices (``Vj`` = joint vocab incl. blank; the
+    blank column is never read) and ``lm_step(tok (B,), lm_state) ->
+    (next_lp (B, Vj), lm_state)`` advances on an emitted token. Extension
+    candidates are ranked and scored by ``lp_joint + lm_weight * lp_lm``;
+    blank closures carry no LM term (standard RNN-T shallow fusion). See
+    :func:`pydrobert_tpu.models.transducer.lookup_lm_fusion` for the
+    adapter from a :class:`pydrobert_tpu.lm.LookupLanguageModel`.
 
     Returns ``(hyps (N, W, U_max), hyp_lens (N, W), scores (N, W))``
     sorted best-first (log-probability scores), ``U_max = E * T``, hyps
@@ -305,6 +317,12 @@ def transducer_beam_search(
     state0 = jax.tree.map(tile_beams, state0)
     hyps0 = jnp.full((N, W, U_max), float(blank_idx), jnp.float32)
     lens0 = jnp.zeros((N, W), jnp.int32)
+    if lm is not None:
+        lm_step, lm_lp0, lm_state0 = lm
+        lm_lp0 = tile_beams(jnp.asarray(lm_lp0, jnp.float32))  # (N*W, Vj)
+        lm_state0 = jax.tree.map(tile_beams, lm_state0)
+    else:
+        lm_step, lm_lp0, lm_state0 = None, jnp.zeros((0,)), ()
 
     iota_w = jnp.arange(W, dtype=jnp.int32)
     iota_u = jnp.arange(U_max, dtype=jnp.int32)
@@ -320,19 +338,26 @@ def transducer_beam_search(
         return out.reshape((N * W,) + a.shape[1:])
 
     def frame(carry, xs):
-        scores, hyps, lens, pred_out, state = carry
+        scores, hyps, lens, pred_out, state, lm_lp, lm_state = carry
         enc_t, active = xs  # (N, D), (N,)
         open_ = jnp.full((N, W), True)
 
-        def round_body(e, scores, hyps, lens, pred_out, state, open_):
+        def round_body(
+            scores, hyps, lens, pred_out, state, open_, lm_lp, lm_state
+        ):
             lp = jax.nn.log_softmax(
                 joint_fn(enc_t[:, None], pred_out.reshape(N, W, -1)), -1
             )  # (N, W, V+1)
             blank_lp = lp[..., blank_idx]
-            # width best non-blank extensions per open beam
+            # width best non-blank extensions per open beam, ranked by the
+            # FUSED per-token score when an external LM rides along
+            ext_basis = lp
+            if lm is not None:
+                ext_basis = lp + lm_weight * lm_lp.reshape(N, W, -1)
             ext_lp, ext_tok = jax.lax.top_k(
                 jnp.where(
-                    jnp.arange(lp.shape[-1]) == blank_idx, _NEG_INF, lp
+                    jnp.arange(lp.shape[-1]) == blank_idx, _NEG_INF,
+                    ext_basis,
                 ),
                 W,
             )  # (N, W, W)
@@ -397,10 +422,35 @@ def transducer_beam_search(
                 adv_state,
                 src_state,
             )
-            return new_sc, new_hyps, new_lens, new_pred, new_state, new_open
+            if lm is not None:
+                src_lm_lp = permute_beams(oh_src, lm_lp)
+                src_lm_state = jax.tree.map(
+                    lambda a: permute_beams(oh_src, a), lm_state
+                )
+                adv_lm_lp, adv_lm_state = lm_step(
+                    picked_tok.astype(jnp.int32).reshape(N * W), src_lm_state
+                )
+                new_lm_lp = jnp.where(emask[:, None], adv_lm_lp, src_lm_lp)
+                new_lm_state = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        emask.reshape((N * W,) + (1,) * (new.ndim - 1)),
+                        new,
+                        old,
+                    ),
+                    adv_lm_state,
+                    src_lm_state,
+                )
+            else:
+                new_lm_lp, new_lm_state = lm_lp, lm_state
+            return (
+                new_sc, new_hyps, new_lens, new_pred, new_state, new_open,
+                new_lm_lp, new_lm_state,
+            )
 
-        for e in range(E):
-            out = round_body(e, scores, hyps, lens, pred_out, state, open_)
+        for _ in range(E):
+            out = round_body(
+                scores, hyps, lens, pred_out, state, open_, lm_lp, lm_state
+            )
             am = active[:, None]
             scores = jnp.where(am, out[0], scores)
             hyps = jnp.where(am[..., None], out[1], hyps)
@@ -415,6 +465,17 @@ def transducer_beam_search(
                 state,
             )
             open_ = jnp.where(am, out[5], jnp.zeros_like(open_))
+            if lm is not None:
+                lm_lp = jnp.where(amw[:, None], out[6], lm_lp)
+                lm_state = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        amw.reshape((N * W,) + (1,) * (new.ndim - 1)),
+                        new,
+                        old,
+                    ),
+                    out[7],
+                    lm_state,
+                )
         # force-close survivors with their blank log-prob
         lp = jax.nn.log_softmax(
             joint_fn(enc_t[:, None], pred_out.reshape(N, W, -1)), -1
@@ -422,11 +483,11 @@ def transducer_beam_search(
         scores = jnp.where(
             active[:, None] & open_, scores + lp[..., blank_idx], scores
         )
-        return (scores, hyps, lens, pred_out, state), None
+        return (scores, hyps, lens, pred_out, state, lm_lp, lm_state), None
 
-    carry = (scores0, hyps0, lens0, pred_out0, state0)
+    carry = (scores0, hyps0, lens0, pred_out0, state0, lm_lp0, lm_state0)
     active = jnp.arange(T, dtype=jnp.int32)[:, None] < enc_lens[None]  # (T,N)
-    (scores, hyps, lens, _, _), _ = jax.lax.scan(
+    (scores, hyps, lens, _, _, _, _), _ = jax.lax.scan(
         frame, carry, (jnp.moveaxis(enc, 1, 0), active.astype(bool))
     )
     # best-first (scores are distinct-path log-probs; stable order)

@@ -250,6 +250,114 @@ def test_transducer_beam_matches_python_oracle():
             )
 
 
+def test_transducer_beam_lm_fusion_matches_python_oracle():
+    """Shallow fusion: weight 0 reproduces the unfused search exactly;
+    a toy last-token-table LM matches the extended Python oracle."""
+    from pydrobert_tpu.ops.transducer import transducer_beam_search
+
+    enc, enc_lens, pred_step, joint_fn, state0, (W1, W2, Emb) = (
+        _toy_searchers()
+    )
+    N, V, blank, W, E = enc.shape[0], 9, 8, 2, 3
+    rng = np.random.RandomState(9)
+    Tbl = jnp.asarray(rng.randn(V, V), jnp.float32)  # next_lp by last token
+
+    def lm_step(tok, last):
+        return Tbl[tok], tok
+
+    lm0 = (lm_step, jnp.broadcast_to(Tbl[blank - 1], (N, V)),
+           jnp.zeros((N,), jnp.int32))
+
+    base = jax.jit(
+        lambda e, el: transducer_beam_search(
+            e, el, pred_step, joint_fn, state0, blank, width=W,
+            max_symbols_per_frame=E,
+        )
+    )(enc, enc_lens)
+    zero = jax.jit(
+        lambda e, el: transducer_beam_search(
+            e, el, pred_step, joint_fn, state0, blank, width=W,
+            max_symbols_per_frame=E, lm=lm0, lm_weight=0.0,
+        )
+    )(enc, enc_lens)
+    for a, b in zip(base, zero):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    wgt = 0.7
+    bh, bl, bs = jax.jit(
+        lambda e, el: transducer_beam_search(
+            e, el, pred_step, joint_fn, state0, blank, width=W,
+            max_symbols_per_frame=E, lm=lm0, lm_weight=wgt,
+        )
+    )(enc, enc_lens)
+    W1, W2, Emb, Tbl_np, enc_np = map(np.asarray, (W1, W2, Emb, Tbl, enc))
+
+    def logsoft(x):
+        x = x - x.max()
+        return x - np.log(np.exp(x).sum())
+
+    for n in range(N):
+        po0 = 0.5 * np.zeros((V,), np.float32) + Emb[blank]
+        beams = [
+            dict(s=0.0, toks=[], po=po0, st=po0.copy(),
+                 lm=Tbl_np[blank - 1]),
+            dict(s=-1e30, toks=[], po=po0, st=po0.copy(),
+                 lm=Tbl_np[blank - 1]),
+        ]
+        for t in range(int(enc_lens[n])):
+            for b in beams:
+                b["open"] = True
+            for _ in range(E):
+                pool = []
+                for j, b in enumerate(beams):
+                    lp = logsoft(
+                        np.tanh(enc_np[n, t] @ W1) + np.tanh(b["po"] @ W2)
+                    )
+                    if b["open"]:
+                        pool.append((b["s"] + lp[blank], j, None))
+                        fused = lp + wgt * b["lm"]
+                        nb = sorted(
+                            ((fused[v], v) for v in range(V) if v != blank),
+                            key=lambda x: (-x[0], x[1]),
+                        )
+                        pool.extend(
+                            (b["s"] + fv, j, v) for fv, v in nb[:W]
+                        )
+                    else:
+                        pool.append((b["s"], j, None))
+                pool.sort(key=lambda x: -x[0])
+                newb = []
+                for s, j, v in pool[:W]:
+                    src = beams[j]
+                    if v is None:
+                        newb.append(
+                            dict(s=s, toks=list(src["toks"]), po=src["po"],
+                                 st=src["st"], lm=src["lm"], open=False)
+                        )
+                    else:
+                        st = 0.5 * src["st"] + Emb[v]
+                        newb.append(
+                            dict(s=s, toks=src["toks"] + [v], po=st.copy(),
+                                 st=st, lm=Tbl_np[v], open=True)
+                        )
+                beams = newb
+            for b in beams:
+                if b["open"]:
+                    lp = logsoft(
+                        np.tanh(enc_np[n, t] @ W1) + np.tanh(b["po"] @ W2)
+                    )
+                    b["s"] += lp[blank]
+                    b["open"] = False
+        beams.sort(key=lambda b: -b["s"])
+        for w in range(W):
+            assert bh[n, w, : int(bl[n, w])].tolist() == beams[w]["toks"], (
+                n, w,
+            )
+            np.testing.assert_allclose(
+                float(bs[n, w]), beams[w]["s"], atol=1e-3
+            )
+
+
 _ENC = ConformerConfig(
     vocab_size=16, num_filts=8, d_model=16, num_layers=2, num_heads=2,
     subsample_channels=4, conv_kernel=5, dropout=0.0, dtype=jnp.float32,
@@ -360,3 +468,31 @@ def test_model_train_step_descends_and_greedy_decodes(key):
     assert bh.shape[:2] == (N, 2) and bool(
         (bsc[:, 0] >= bsc[:, 1]).all()
     )
+    # shallow fusion with a LookupLanguageModel: weight 0 == unfused
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    rng = np.random.RandomState(11)
+    V = _CFG.vocab_size
+    uni = {w: (float(-rng.rand() * 4 - 0.1), float(-rng.rand()))
+           for w in range(V)}
+    uni[V] = (float("-inf"), float(-rng.rand()))
+    bi = {
+        (int(rng.randint(V + 1)), int(rng.randint(V))):
+            float(-rng.rand() * 4 - 0.1)
+        for _ in range(60)
+    }
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi])
+    fh, fl, fsc = jax.jit(
+        lambda p, f, l: model.apply(
+            {"params": p}, f, l, 2, 4, lm, 0.0, method="beam"
+        )
+    )(params, feats, lens)
+    np.testing.assert_array_equal(np.asarray(fh), np.asarray(bh))
+    np.testing.assert_allclose(np.asarray(fsc), np.asarray(bsc), atol=1e-5)
+    # nonzero weight runs and yields finite sorted scores
+    fh, fl, fsc = jax.jit(
+        lambda p, f, l: model.apply(
+            {"params": p}, f, l, 2, 4, lm, 0.4, method="beam"
+        )
+    )(params, feats, lens)
+    assert bool(np.isfinite(np.asarray(fsc)[:, 0]).all())
