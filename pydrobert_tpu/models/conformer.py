@@ -56,6 +56,15 @@ class ConformerConfig:
     # sharded over the tensor-parallel chips; XLA inserts the
     # all-gather/reduce-scatter pairs around the attention/FFN matmuls.
     seq_sharding: Any = None
+    # limited attention context (left, right) in post-subsampling frames:
+    # each query attends keys in [q - left, q + right] only (banded mask).
+    # (None, None) = full context. Finite windows bound per-frame latency
+    # (streaming/serving) and make attention cost linear in T. The
+    # depthwise conv still adds (conv_kernel - 1) // 2 frames of lookahead
+    # per block unless causal_conv is set, which left-pads instead (no
+    # future frames anywhere in the conv path).
+    attention_context: Tuple[Optional[int], Optional[int]] = (None, None)
+    causal_conv: bool = False
 
     @property
     def subsampling(self) -> int:
@@ -95,6 +104,18 @@ class _MHSA(nn.Module):
         y = nn.LayerNorm(dtype=cfg.dtype, name="ln")(x)
         # (N, 1, 1, T): every query may attend any unpadded key
         attn_mask = pad_mask[:, None, None, :]
+        left, right = cfg.attention_context
+        if left is not None or right is not None:
+            # banded (streaming) attention: static mask, linear-in-T cost
+            T = x.shape[1]
+            q = jnp.arange(T, dtype=jnp.int32)[:, None]
+            k = jnp.arange(T, dtype=jnp.int32)[None]
+            band = jnp.ones((T, T), bool)
+            if left is not None:
+                band = band & (k >= q - int(left))
+            if right is not None:
+                band = band & (k <= q + int(right))
+            attn_mask = attn_mask & band[None, None]
         y = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads,
             dtype=cfg.dtype,
@@ -116,6 +137,7 @@ class _DepthwiseConv1D(nn.Module):
 
     kernel_size: int
     dtype: Any
+    causal: bool = False
 
     @nn.compact
     def __call__(self, y):
@@ -127,7 +149,7 @@ class _DepthwiseConv1D(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (C,), jnp.float32).astype(
             self.dtype
         )
-        left = (K - 1) // 2
+        left = K - 1 if self.causal else (K - 1) // 2
         yp = jnp.pad(y, ((0, 0), (left, K - 1 - left), (0, 0)))
         T = y.shape[1]
         out = b
@@ -147,7 +169,9 @@ class _ConvModule(nn.Module):
         y = nn.glu(y, axis=-1)
         # zero padded frames so the depthwise conv cannot leak across lengths
         y = y * pad_mask[..., None].astype(y.dtype)
-        y = _DepthwiseConv1D(cfg.conv_kernel, cfg.dtype, name="dw")(y)
+        y = _DepthwiseConv1D(
+            cfg.conv_kernel, cfg.dtype, cfg.causal_conv, name="dw"
+        )(y)
         # LayerNorm in place of the paper's BatchNorm: per-position, so it
         # jits/shards cleanly (no cross-device or cross-time batch stats)
         y = nn.LayerNorm(dtype=cfg.dtype, name="norm")(y)

@@ -144,6 +144,36 @@ def test_sequence_parallel_forward_matches_unsharded(key):
     )
 
 
+def test_limited_attention_context_streaming(key):
+    import dataclasses
+
+    model, params, feats, lens = _init(key, N=2, T=64)
+    lens = jnp.full_like(lens, 64)  # keep the perturbed frames in-length
+    # a window covering the whole sequence == full context, exactly
+    cfg_wide = dataclasses.replace(CFG, attention_context=(64, 64))
+    out_full, _ = ConformerCTC(CFG).apply({"params": params}, feats, lens)
+    out_wide, _ = ConformerCTC(cfg_wide).apply({"params": params}, feats, lens)
+    np.testing.assert_array_equal(np.asarray(out_full), np.asarray(out_wide))
+
+    # causal config: frame outputs must not depend on far-future inputs
+    # (bounded lookahead: banded attention right=0, causal depthwise conv;
+    # only the stride-2 SAME subsampling convs peek <= 3 input frames)
+    cfg_c = dataclasses.replace(
+        CFG, attention_context=(8, 0), causal_conv=True
+    )
+    model_c = ConformerCTC(cfg_c)
+    p_c = model_c.init(key, feats, lens)["params"]
+    out1, _ = model_c.apply({"params": p_c}, feats, lens)
+    feats2 = feats.at[:, 40:].add(100.0)
+    out2, _ = model_c.apply({"params": p_c}, feats2, lens)
+    # post-subsampling frame 8 covers input frames <= 35 (< 40)
+    np.testing.assert_allclose(
+        np.asarray(out1[:, :8]), np.asarray(out2[:, :8]), atol=1e-5
+    )
+    # sanity: the perturbation does change later frames
+    assert not np.allclose(np.asarray(out1[:, 12:]), np.asarray(out2[:, 12:]))
+
+
 def test_seq2seq_beam_search_and_mer(key):
     import optax
 
