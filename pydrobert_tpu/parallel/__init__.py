@@ -25,6 +25,11 @@ from .pipeline import (  # noqa: F401
     make_pipeline_mesh,
     pipeline_apply,
 )
+from .checkpoint import (  # noqa: F401
+    restore_sharded,
+    save_sharded,
+    wait_for_saves,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -37,6 +42,9 @@ __all__ = [
     "make_pipeline_mesh",
     "pipeline_apply",
     "replicated_sharding",
+    "restore_sharded",
+    "save_sharded",
     "sequence_sharding",
     "shard_params",
+    "wait_for_saves",
 ]

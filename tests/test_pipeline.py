@@ -169,6 +169,49 @@ def test_pipeline_train_step_matches_plain(key):
     )
 
 
+def test_sharded_checkpoint_round_trip(key, tmp_path):
+    """Orbax-backed save/restore preserves values AND mesh shardings for a
+    dp x tp sharded param tree (sync and async paths)."""
+    from pydrobert_tpu.models import ConformerCTC, conformer_partition_rules
+    from pydrobert_tpu.parallel import (
+        make_mesh,
+        restore_sharded,
+        save_sharded,
+        wait_for_saves,
+    )
+
+    model = ConformerCTC(CFG)
+    feats = jnp.zeros((8, 32, CFG.num_filts))
+    lens = jnp.full((8,), 32, jnp.int32)
+    params = model.init(key, feats, lens)["params"]
+    mesh = make_mesh(model_parallelism=2)
+    sp = shard_params(params, mesh, conformer_partition_rules)
+
+    save_sharded(str(tmp_path / "ck"), sp)
+    rt = restore_sharded(str(tmp_path / "ck"), sp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        sp,
+        rt,
+    )
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a.sharding == b.sharding, sp, rt)
+    )
+
+    save_sharded(str(tmp_path / "ck2"), sp, async_save=True)
+    wait_for_saves()
+    rt2 = restore_sharded(str(tmp_path / "ck2"), sp)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        sp,
+        rt2,
+    )
+
+
 def test_pipeline_train_step_descends(key):
     """Pipelined training with SpecAugment regularization makes progress."""
     from pydrobert_tpu.ops.img import spec_augment
