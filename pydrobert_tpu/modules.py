@@ -378,3 +378,38 @@ class MeanVarianceNormalization:
         self.std = np.sqrt(np.maximum(var, 0)).astype(np.float32)
         if delete_stats:
             self.count = self.sum = self.sumsq = None
+
+
+# ---- transducer family (beyond reference; see ops/transducer.py) ----
+
+from .ops import transducer as _T  # noqa: E402
+
+TransducerLoss = _wrap(
+    "TransducerLoss", _T.transducer_loss, ("reduction",),
+    "Negative RNN-T log-likelihood from node log-probabilities; call with "
+    "``(blank_lp, emit_lp, logit_lens, ref_lens)``. See "
+    ":func:`pydrobert_tpu.ops.transducer.transducer_loss`.",
+)
+TransducerGreedySearch = _wrap(
+    "TransducerGreedySearch", _T.transducer_greedy_search,
+    ("pred_step", "joint_fn", "blank_idx", "max_symbols_per_frame"),
+    "Batched greedy RNN-T decoding; call with ``(enc, enc_lens, "
+    "init_state)``. See "
+    ":func:`pydrobert_tpu.ops.transducer.transducer_greedy_search`.",
+)
+TransducerBeamSearch = _wrap(
+    "TransducerBeamSearch", _T.transducer_beam_search,
+    (
+        "pred_step", "joint_fn", "blank_idx", "width",
+        "max_symbols_per_frame", "lm", "lm_weight",
+    ),
+    "Batched time-synchronous fixed-expansion RNN-T beam search; call with "
+    "``(enc, enc_lens, init_state)``. See "
+    ":func:`pydrobert_tpu.ops.transducer.transducer_beam_search`.",
+)
+
+__all__ += [
+    "TransducerBeamSearch",
+    "TransducerGreedySearch",
+    "TransducerLoss",
+]

@@ -148,6 +148,41 @@ def _toy_searchers(seed=1, N=4, T=6, D=8, V=9):
     return enc, enc_lens, pred_step, joint_fn, state0, (W1, W2, Emb)
 
 
+def test_transducer_module_wrappers():
+    """modules.TransducerLoss/GreedySearch/BeamSearch == the functionals."""
+    from pydrobert_tpu.modules import (
+        TransducerBeamSearch,
+        TransducerGreedySearch,
+        TransducerLoss,
+    )
+    from pydrobert_tpu.ops.transducer import transducer_beam_search
+
+    rng = np.random.RandomState(0)
+    N, T, U = 3, 5, 4
+    blank_lp = jnp.asarray(np.log(rng.rand(N, T, U + 1)), jnp.float32)
+    emit_lp = jnp.asarray(np.log(rng.rand(N, T, U)), jnp.float32)
+    want = transducer_loss(blank_lp, emit_lp, reduction="sum")
+    got = TransducerLoss(reduction="sum")(blank_lp, emit_lp)
+    np.testing.assert_allclose(float(got), float(want))
+
+    enc, enc_lens, pred_step, joint_fn, state0, _ = _toy_searchers()
+    gh, gl = TransducerGreedySearch(pred_step, joint_fn, 8, 3)(
+        enc, enc_lens, state0
+    )
+    wh, wl = transducer_greedy_search(
+        enc, enc_lens, pred_step, joint_fn, state0, 8, 3
+    )
+    np.testing.assert_array_equal(np.asarray(gh), np.asarray(wh))
+    bh, bl, bs = TransducerBeamSearch(pred_step, joint_fn, 8, 2, 3)(
+        enc, enc_lens, state0
+    )
+    wb = transducer_beam_search(
+        enc, enc_lens, pred_step, joint_fn, state0, 8, 2, 3
+    )
+    for a, b in zip((bh, bl, bs), wb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_transducer_beam1_matches_greedy(jit_fn):
     from pydrobert_tpu.ops.transducer import transducer_beam_search
 
