@@ -65,6 +65,10 @@ class ConformerConfig:
     # future frames anywhere in the conv path).
     attention_context: Tuple[Optional[int], Optional[int]] = (None, None)
     causal_conv: bool = False
+    # gradient checkpointing: rematerialize each block's activations in the
+    # backward pass instead of storing them (standard memory-for-FLOPs
+    # trade; lets T/N/num_layers scale past HBM on the forward residuals)
+    remat: bool = False
 
     @property
     def subsampling(self) -> int:
@@ -242,10 +246,15 @@ class ConformerCTC(nn.Module):
         pad_mask = jnp.arange(T4)[None] < out_lens[:, None]  # (N, T')
         x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
         x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        block_cls = (
+            nn.remat(_ConformerBlock, static_argnums=(3,))
+            if cfg.remat
+            else _ConformerBlock
+        )
         for i in range(cfg.num_layers):
             if cfg.seq_sharding is not None:
                 x = jax.lax.with_sharding_constraint(x, cfg.seq_sharding)
-            x = _ConformerBlock(cfg, name=f"block_{i}")(
+            x = block_cls(cfg, name=f"block_{i}")(
                 x, pad_mask, deterministic
             )
         logits = nn.Dense(

@@ -144,6 +144,31 @@ def test_sequence_parallel_forward_matches_unsharded(key):
     )
 
 
+def test_remat_blocks_same_params_forward_and_grads(key):
+    """cfg.remat swaps storage for recompute without touching params,
+    outputs, or gradients."""
+    import dataclasses
+
+    model, params, feats, lens = _init(key)
+    model_r = ConformerCTC(dataclasses.replace(CFG, remat=True))
+    o0, _ = model.apply({"params": params}, feats, lens)
+    o1, _ = model_r.apply({"params": params}, feats, lens)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    g0 = jax.grad(lambda p: model.apply({"params": p}, feats, lens)[0].sum())(
+        params
+    )
+    g1 = jax.grad(
+        lambda p: model_r.apply({"params": p}, feats, lens)[0].sum()
+    )(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        g0,
+        g1,
+    )
+
+
 def test_limited_attention_context_streaming(key):
     import dataclasses
 
