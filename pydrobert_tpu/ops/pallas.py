@@ -999,6 +999,8 @@ def top_m_pallas(
         raise TypeError("top_m_pallas is float32-only")
     V = x.shape[-1]
     m = int(m)
+    if not 0 < m <= V:
+        raise ValueError(f"m must be in [1, {V}], got {m}")
     lead = x.shape[:-1]
     R = 1
     for d in lead:
@@ -1226,6 +1228,8 @@ def decode_prologue_pallas(
     T, N, Vp1 = logits.shape
     V = Vp1 - 1
     m = int(m)
+    if not 0 < m <= V:
+        raise ValueError(f"m must be in [1, {V}], got {m}")
     R = T * N
     x2 = logits.reshape(R, Vp1)
     Lp = -(-Vp1 // 128) * 128
