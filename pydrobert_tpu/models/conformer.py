@@ -58,11 +58,14 @@ class ConformerConfig:
     seq_sharding: Any = None
     # limited attention context (left, right) in post-subsampling frames:
     # each query attends keys in [q - left, q + right] only (banded mask).
-    # (None, None) = full context. Finite windows bound per-frame latency
-    # (streaming/serving) and make attention cost linear in T. The
-    # depthwise conv still adds (conv_kernel - 1) // 2 frames of lookahead
-    # per block unless causal_conv is set, which left-pads instead (no
-    # future frames anywhere in the conv path).
+    # (None, None) = full context. Finite windows bound the receptive
+    # field and per-frame lookahead latency (streaming/serving). NOTE:
+    # this is a mask over the full (T, T) score matrix — compute/memory
+    # remain O(T^2); chunked execution for true linear cost is up to the
+    # serving loop (process block-by-block with `left` frames of carried
+    # context). The depthwise conv still adds (conv_kernel - 1) // 2
+    # frames of lookahead per block unless causal_conv is set, which
+    # left-pads instead (no future frames anywhere in the conv path).
     attention_context: Tuple[Optional[int], Optional[int]] = (None, None)
     causal_conv: bool = False
     # gradient checkpointing: rematerialize each block's activations in the
@@ -221,6 +224,37 @@ class _ConvSubsample(nn.Module):
         return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="proj")(x)
 
 
+def _encoder_body(cfg: ConformerConfig, feats, lens, deterministic: bool):
+    """The shared conformer encoder: mask -> subsample -> posemb ->
+    dropout -> block stack. Must be called inside an ``nn.compact``
+    context; submodule names (``subsample``, ``block_i``) land on the
+    CALLER's scope, so every consumer (``ConformerCTC``, the transducer's
+    encoder, the pipelined forward's un-pipelined front) shares one
+    definition — and one remat/seq-sharding implementation — without
+    changing its param tree. Returns ``(x (N, T', d_model), pad_mask,
+    out_lens)``."""
+    in_mask = jnp.arange(feats.shape[1])[None] < lens[:, None]
+    # zero frames past each utterance's length so no garbage leaks through
+    # the SAME-padded subsampling convs into the last valid frame
+    feats = feats * in_mask[..., None].astype(feats.dtype)
+    x = _ConvSubsample(cfg, name="subsample")(feats.astype(cfg.dtype))
+    out_lens = -(-(-(-lens // 2)) // 2)  # ceil-div by 2, twice
+    T4 = x.shape[1]
+    pad_mask = jnp.arange(T4)[None] < out_lens[:, None]  # (N, T')
+    x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
+    x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+    block_cls = (
+        nn.remat(_ConformerBlock, static_argnums=(3,))
+        if cfg.remat
+        else _ConformerBlock
+    )
+    for i in range(cfg.num_layers):
+        if cfg.seq_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, cfg.seq_sharding)
+        x = block_cls(cfg, name=f"block_{i}")(x, pad_mask, deterministic)
+    return x, pad_mask, out_lens
+
+
 class ConformerCTC(nn.Module):
     """Conformer encoder + CTC head.
 
@@ -236,27 +270,7 @@ class ConformerCTC(nn.Module):
     @nn.compact
     def __call__(self, feats, lens, deterministic: bool = True):
         cfg = self.cfg
-        # zero frames past each utterance's length so no garbage leaks through
-        # the SAME-padded subsampling convs into the last valid frame
-        in_mask = jnp.arange(feats.shape[1])[None] < lens[:, None]
-        feats = feats * in_mask[..., None].astype(feats.dtype)
-        x = _ConvSubsample(cfg, name="subsample")(feats.astype(cfg.dtype))
-        out_lens = -(-(-(-lens // 2)) // 2)  # ceil-div by 2, twice
-        N, T4, _ = x.shape
-        pad_mask = jnp.arange(T4)[None] < out_lens[:, None]  # (N, T')
-        x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
-        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
-        block_cls = (
-            nn.remat(_ConformerBlock, static_argnums=(3,))
-            if cfg.remat
-            else _ConformerBlock
-        )
-        for i in range(cfg.num_layers):
-            if cfg.seq_sharding is not None:
-                x = jax.lax.with_sharding_constraint(x, cfg.seq_sharding)
-            x = block_cls(cfg, name=f"block_{i}")(
-                x, pad_mask, deterministic
-            )
+        x, _, out_lens = _encoder_body(cfg, feats, lens, deterministic)
         logits = nn.Dense(
             cfg.vocab_size + 1, dtype=jnp.float32, name="ctc_head"
         )(x.astype(jnp.float32))
@@ -376,6 +390,15 @@ def make_pipelined_forward(model: "ConformerCTC", mesh, n_microbatches: int):
     from ..parallel.pipeline import pipeline_apply
 
     cfg = model.cfg
+    if cfg.dropout:
+        import warnings
+
+        warnings.warn(
+            "the pipelined forward is deterministic: cfg.dropout="
+            f"{cfg.dropout} will NOT be applied (regularize via the augment "
+            "hook, or set dropout=0.0 to silence this)",
+            stacklevel=2,
+        )
 
     def stage_fn(blk_params, x, pad_mask):
         def body(h, p):

@@ -28,9 +28,7 @@ from ..ops.transducer import (
 )
 from .conformer import (
     ConformerConfig,
-    _ConformerBlock,
-    _ConvSubsample,
-    _sinusoidal_pos_emb,
+    _encoder_body,
 )
 
 __all__ = [
@@ -90,21 +88,9 @@ class _Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats, lens, deterministic: bool = True):
-        cfg = self.cfg
-        in_mask = jnp.arange(feats.shape[1])[None] < lens[:, None]
-        feats = feats * in_mask[..., None].astype(feats.dtype)
-        x = _ConvSubsample(cfg, name="subsample")(feats.astype(cfg.dtype))
-        out_lens = -(-(-(-lens // 2)) // 2)
-        T4 = x.shape[1]
-        pad_mask = jnp.arange(T4)[None] < out_lens[:, None]
-        x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
-        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
-        for i in range(cfg.num_layers):
-            if cfg.seq_sharding is not None:
-                x = jax.lax.with_sharding_constraint(x, cfg.seq_sharding)
-            x = _ConformerBlock(cfg, name=f"block_{i}")(
-                x, pad_mask, deterministic
-            )
+        # shared body: one definition of mask/subsample/posemb/blocks
+        # (incl. remat and seq-sharding handling) across all models
+        x, _, out_lens = _encoder_body(self.cfg, feats, lens, deterministic)
         return x.astype(jnp.float32), out_lens
 
 

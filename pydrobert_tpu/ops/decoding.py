@@ -99,17 +99,10 @@ def _decode_prologue(logits, M, g_bias=None):
     """
     T, N, Vp1 = logits.shape
     V = Vp1 - 1
-    from .pallas import (
-        decode_prologue_pallas, top_m_vmem_ok, topm_kernel_preferred,
-    )
+    from .pallas import decode_prologue_pallas
+    from .topk import kernel_top_m_ok
 
-    if (
-        logits.dtype == jnp.float32
-        and Vp1 >= 256
-        and 0 < M <= min(64, V)
-        and top_m_vmem_ok(Vp1)
-        and topm_kernel_preferred()
-    ):
+    if M <= V and kernel_top_m_ok(logits.dtype, Vp1, M):
         tl, ti, mx, den, blank = decode_prologue_pallas(logits, M, g_bias)
         return tl, ti, mx, den, jnp.exp(blank - mx) / den
     sm_max = logits.max(2)  # (T, N)

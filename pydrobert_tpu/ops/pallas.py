@@ -951,14 +951,23 @@ __all__ += [
 # ---------------------------------------------------------------------------
 
 
-def _topm_kernel(x_ref, vals_ref, idx_ref, *, M, V):
-    top = jnp.uint32(0x80000000)
-    u = jax.lax.bitcast_convert_type(x_ref[:], jnp.uint32)
-    # ascending IEEE-total-order key (bigger key <=> bigger float)
-    key = jnp.where(u >= top, ~u, u | top)
-    iota = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
-    # physical lane padding past V must never win a round
-    key = jnp.where(iota < V, key, jnp.uint32(0))
+_KEY_TOP = np.uint32(0x80000000)
+
+
+def _total_order_key(x, iota, V):
+    """Ascending IEEE-total-order uint32 key of `x` (bigger key <=> bigger
+    float, -0.0 < +0.0, same mapping exact_top_k sorts by); physical lane
+    padding past `V` keyed 0 so it can never win a selection round."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    key = jnp.where(u >= _KEY_TOP, ~u, u | _KEY_TOP)
+    return jnp.where(iota < V, key, jnp.uint32(0))
+
+
+def _select_rounds_to_refs(key, iota, M, vals_ref, idx_ref):
+    """M statically-unrolled masked-max selection rounds over `key`
+    (ties -> lowest index, matching lax.top_k), decoded back to floats and
+    written to the output refs (shared by every selection kernel: one
+    definition of the bit-exactness-critical logic)."""
     key_cols, idx_cols = [], []
     for _ in range(M):
         k = key.max(1)  # (RB,)
@@ -969,7 +978,7 @@ def _topm_kernel(x_ref, vals_ref, idx_ref, *, M, V):
         key = jnp.where(hit & (iota == i[:, None]), jnp.uint32(0), key)
     keys = jnp.concatenate(key_cols, 1)  # (RB, M)
     vals_ref[:, :M] = jax.lax.bitcast_convert_type(
-        jnp.where(keys >= top, keys ^ top, ~keys), jnp.float32
+        jnp.where(keys >= _KEY_TOP, keys ^ _KEY_TOP, ~keys), jnp.float32
     )
     idx_ref[:, :M] = jnp.concatenate(idx_cols, 1)
     if vals_ref.shape[1] > M:  # lane padding of the output block
@@ -979,6 +988,14 @@ def _topm_kernel(x_ref, vals_ref, idx_ref, *, M, V):
         idx_ref[:, M:] = jnp.zeros(
             (keys.shape[0], idx_ref.shape[1] - M), jnp.int32
         )
+
+
+def _topm_kernel(x_ref, vals_ref, idx_ref, *, M, V):
+    x = x_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    _select_rounds_to_refs(
+        _total_order_key(x, iota, V), iota, M, vals_ref, idx_ref
+    )
 
 
 @functools.partial(
@@ -1053,6 +1070,8 @@ def _topm_rev() -> str:
     # the fused prologue kernel shares this gate: its cost profile is the
     # plain selection kernel's plus strictly-saved stats passes
     src += inspect.getsource(_prologue_kernel)
+    src += inspect.getsource(_total_order_key)
+    src += inspect.getsource(_select_rounds_to_refs)
     return hashlib.sha1(src.encode()).hexdigest()[:10]
 
 
@@ -1174,27 +1193,10 @@ def _prologue_kernel(
     mx = xm.max(1)  # (RB,) == logits.max over V+1
     den = jnp.where(valid, jnp.exp(xm - mx[:, None]), 0.0).sum(1)
     blank = jnp.where(iota == V, xm, 0.0).sum(1)  # raw blank logit
-    top = jnp.uint32(0x80000000)
     g = x + bias_ref[0][None]
-    u = jax.lax.bitcast_convert_type(g, jnp.uint32)
-    key = jnp.where(u >= top, ~u, u | top)
-    key = jnp.where(iota < V, key, jnp.uint32(0))
-    key_cols, idx_cols = [], []
-    for _ in range(M):
-        k = key.max(1)
-        hit = key == k[:, None]
-        i = jnp.where(hit, iota, Lp).min(1)
-        key_cols.append(k[:, None])
-        idx_cols.append(i[:, None])
-        key = jnp.where(hit & (iota == i[:, None]), jnp.uint32(0), key)
-    keys = jnp.concatenate(key_cols, 1)
-    vals_ref[:, :M] = jax.lax.bitcast_convert_type(
-        jnp.where(keys >= top, keys ^ top, ~keys), jnp.float32
+    _select_rounds_to_refs(
+        _total_order_key(g, iota, V), iota, M, vals_ref, idx_ref
     )
-    idx_ref[:, :M] = jnp.concatenate(idx_cols, 1)
-    if vals_ref.shape[1] > M:
-        vals_ref[:, M:] = jnp.zeros((RB, vals_ref.shape[1] - M), jnp.float32)
-        idx_ref[:, M:] = jnp.zeros((RB, idx_ref.shape[1] - M), jnp.int32)
     st_iota = jax.lax.broadcasted_iota(jnp.int32, stats_ref.shape, 1)
     stats_ref[:] = jnp.where(
         st_iota == 0,

@@ -70,27 +70,35 @@ def exact_top_k(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     return vals, idx[..., :k]
 
 
+def kernel_top_m_ok(dtype, row_lanes: int, k: int) -> bool:
+    """The ONE gate for routing hoisted top-M work through the Pallas
+    selection kernels (:func:`hoisted_top_k` and the fused decode prologue
+    both use it, so they can never route differently for the same inputs):
+    float32 rows wide enough to be bandwidth-bound, small enough ``k`` that
+    the unrolled selection rounds stay cheap, VMEM-fitting tiles, and a
+    per-device calibration verdict (``config.USE_PALLAS_TOPM``; always
+    False off-TPU)."""
+    from .pallas import top_m_vmem_ok, topm_kernel_preferred
+
+    return (
+        dtype == jnp.float32
+        and row_lanes >= 256
+        and 0 < k <= 64
+        and top_m_vmem_ok(row_lanes)
+        and topm_kernel_preferred()
+    )
+
+
 def hoisted_top_k(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     """:func:`exact_top_k`, routed through the Pallas selection kernel when
-    the per-device calibration prefers it (``config.USE_PALLAS_TOPM``).
-
-    For the decode prologues' hoisted whole-``(T, N, V)`` calls. The kernel
-    engages only for float32 rows wide enough to be bandwidth-bound, small
-    enough ``k`` that its unrolled selection rounds stay cheap, and tiles
-    that fit VMEM; everything else (and every non-TPU backend) takes the
-    stable-sort form. Identical values/indices/ties either way.
+    :func:`kernel_top_m_ok` says so. For the decode prologues' hoisted
+    whole-``(T, N, V)`` calls. Identical values/indices/ties either way.
     """
-    from .pallas import top_m_pallas, top_m_vmem_ok, topm_kernel_preferred
+    from .pallas import top_m_pallas
 
-    if (
-        x.dtype == jnp.float32
-        and x.shape[-1] >= 256
-        and 0 < k <= min(64, x.shape[-1])
-        and top_m_vmem_ok(x.shape[-1])
-        and topm_kernel_preferred()
-    ):
+    if k <= x.shape[-1] and kernel_top_m_ok(x.dtype, x.shape[-1], k):
         return top_m_pallas(x, k)
     return exact_top_k(x, k)
 
 
-__all__.append("hoisted_top_k")
+__all__ += ["hoisted_top_k", "kernel_top_m_ok"]

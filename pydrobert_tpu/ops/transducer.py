@@ -202,11 +202,11 @@ def transducer_greedy_search(
     pred_out0, state0 = pred_step(jnp.full((N,), blank_idx, jnp.int32), init_state)
 
     def cond(carry):
-        t, _, _, _, _, _, _ = carry
+        t = carry[0]
         return (t < enc_lens).any()
 
     def body(carry):
-        t, k, u, hyps, pred_out, state, _it = carry
+        t, k, u, hyps, pred_out, state = carry
         # frame t (clamped) per batch element, as a one-hot MXU pick
         t_oh = (
             jnp.arange(T, dtype=jnp.int32)[None]
@@ -237,14 +237,14 @@ def transducer_greedy_search(
         adv = active & ~emit
         t = t + adv.astype(jnp.int32)
         k = jnp.where(adv, 0, k + emit.astype(jnp.int32))
-        return t, k, u, hyps, pred_out, state, _it + 1
+        return t, k, u, hyps, pred_out, state
 
     t0 = jnp.zeros((N,), jnp.int32)
     carry = (
         t0, jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32),
-        hyps0, pred_out0, state0, jnp.asarray(0, jnp.int32),
+        hyps0, pred_out0, state0,
     )
-    _, _, u, hyps, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    _, _, u, hyps, _, _ = jax.lax.while_loop(cond, body, carry)
     return hyps, u
 
 

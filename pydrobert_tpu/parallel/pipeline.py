@@ -4,10 +4,13 @@ TPU-native layer parallelism for deep stacks: the layer stack is split into
 ``pp`` stages, each stage's parameters live on one slice of the mesh's
 ``pipe`` axis, and microbatches stream through the stages with activations
 handed stage-to-stage by ``jax.lax.ppermute`` (one ICI hop per step) inside a
-single :func:`jax.shard_map`. This composes with the package's data axis
-(each data shard runs its own pipeline on its slice of every microbatch) and
-leaves the ``model`` axis free for tensor parallelism outside the pipelined
-stack.
+single :func:`jax.shard_map`. This composes with the package's other axes:
+microbatch rows shard over every non-pipe axis that divides them (the
+``model`` axis then contributes as extra within-microbatch data parallelism
+inside the stages — stage weights are replicated across it; true in-stage
+tensor parallelism would need hand-written collectives in ``stage_fn``),
+while the un-pipelined parts of the model keep their own tensor-parallel
+shardings.
 
 The schedule is GPipe (all-forward-then-all-backward, as produced by
 ``jax.grad`` through the loop): with ``m`` microbatches and ``pp`` stages the
@@ -111,10 +114,33 @@ def pipeline_apply(
     if B % m:
         raise ValueError(f"batch size {B} not divisible by microbatches {m}")
     mb = B // m
-    if mb % mesh.shape[batch_axis]:
+    # the microbatch rows shard over EVERY non-pipe axis: stage weights are
+    # replicated across the model axis inside the pipeline (true in-stage
+    # tensor parallelism would need hand-written collectives in stage_fn),
+    # so the model axis contributes as extra within-microbatch data
+    # parallelism instead of idling — full FLOP utilization, identical
+    # numerics. The un-pipelined parts of the model (e.g. the CTC head)
+    # still get true tensor parallelism from their own shardings.
+    all_rows = tuple(
+        n for n in mesh.axis_names if n != pipe_axis and mesh.shape[n] > 1
+    )
+
+    def _extent(axes):
+        e = 1
+        for n in axes:
+            e *= mesh.shape[n]
+        return e
+
+    row_axes = None
+    for cand in (all_rows, (batch_axis,)):
+        cand = tuple(n for n in cand if mesh.shape.get(n, 1) > 1)
+        if mb % _extent(cand) == 0:
+            row_axes = cand
+            break
+    if row_axes is None:
         raise ValueError(
-            f"microbatch size {mb} not divisible by data axis "
-            f"{mesh.shape[batch_axis]}"
+            f"microbatch size {mb} not divisible by the data axis "
+            f"({mesh.shape[batch_axis]})"
         )
 
     def to_mb(a):
@@ -123,11 +149,10 @@ def pipeline_apply(
     x_mb = to_mb(x)
     extras_mb = jax.tree.map(to_mb, extras)
 
-    # per-shard specs: stages over pipe, microbatch batch dim over data,
-    # everything else replicated
+    # per-shard specs: stages over pipe, microbatch rows over the rest
     pspec = jax.tree.map(lambda _: PartitionSpec(pipe_axis), stage_params)
-    xspec = PartitionSpec(None, batch_axis)
-    espec = jax.tree.map(lambda _: PartitionSpec(None, batch_axis), extras_mb)
+    xspec = PartitionSpec(None, row_axes if row_axes else None)
+    espec = jax.tree.map(lambda _: xspec, extras_mb)
 
     inner = functools.partial(_pipeline_inner, stage_fn, pp, m, pipe_axis)
     out_mb = jax.shard_map(
