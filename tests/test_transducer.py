@@ -468,6 +468,39 @@ def test_sharded_transducer_train_step_matches_single_device(key):
     )
 
 
+@pytest.mark.slow
+def test_transducer_learns_to_transcribe(key):
+    """End-to-end learning check: a tiny ConformerTransducer memorizes two
+    utterances and greedy decoding reproduces their transcripts exactly."""
+    enc_cfg = ConformerConfig(
+        vocab_size=8, num_filts=8, d_model=32, num_layers=2, num_heads=2,
+        subsample_channels=4, conv_kernel=5, dropout=0.0, dtype=jnp.float32,
+    )
+    cfg = TransducerConfig(encoder=enc_cfg, pred_dim=16, joint_dim=16)
+    model = ConformerTransducer(cfg)
+    rng = np.random.RandomState(0)
+    N, T, U = 2, 16, 3
+    feats = jnp.asarray(rng.randn(N, T, 8), jnp.float32)
+    lens = jnp.full((N,), T, jnp.int32)
+    refs = jnp.asarray([[1, 4, 2], [5, 0, 7]], jnp.int32)
+    ref_lens = jnp.full((N,), U, jnp.int32)
+    params = model.init(key, feats, lens, refs, ref_lens)["params"]
+    optimizer = optax.adam(5e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_transducer_train_step(model, optimizer))
+    for i in range(200):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(key, i),
+            feats, lens, refs, ref_lens,
+        )
+    assert float(loss) < 0.5, float(loss)
+    hyps, hl = jax.jit(
+        lambda p, f, l: model.apply({"params": p}, f, l, 3, method="greedy")
+    )(params, feats, lens)
+    for n in range(N):
+        assert hyps[n, : int(hl[n])].tolist() == refs[n].tolist()
+
+
 def test_model_train_step_descends_and_greedy_decodes(key):
     model, variables, feats, lens, refs, ref_lens = _model_setup()
     optimizer = optax.adam(5e-3)
