@@ -392,6 +392,39 @@ def bench_transducer_greedy(B=32, T=500, F=80):
     return B / dt
 
 
+def bench_seq2seq_mer_step(B=16, T=200, F=40):
+    """BASELINE config #5: attention seq2seq + MER loss training step
+    (RandomWalk-sampled hypotheses, beam_search_advance-family decoding
+    machinery in the loss). Steps/s for the full jitted update."""
+    import optax
+
+    from pydrobert_tpu.models import (
+        AttentionSeq2Seq, Seq2SeqConfig, make_mer_train_step,
+    )
+
+    cfg = Seq2SeqConfig(vocab_size=64, num_filts=F)
+    model = AttentionSeq2Seq(cfg)
+    rng = np.random.RandomState(13)
+    feats = jnp.asarray(rng.randn(B, T, F), jnp.float32)
+    feat_lens = jnp.full((B,), T, jnp.int32)
+    refs = jnp.asarray(rng.randint(0, 63, (B, 12)), jnp.int32)
+    ref_lens = jnp.full((B,), 12, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, feat_lens)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(
+        make_mer_train_step(model, optimizer, num_samples=4, max_iters=16,
+                            eos=63)
+    )
+    key = jax.random.PRNGKey(2)
+
+    def run(params, opt_state, key):
+        return step(params, opt_state, key, feats, feat_lens, refs, ref_lens)
+
+    dt = _time(run, params, opt_state, key)
+    return 1.0 / dt
+
+
 def _guard(fn, default):
     """Never let one sub-benchmark take down the whole JSON line."""
     try:
@@ -519,6 +552,10 @@ def main():
     if within():
         _RESULTS["transducer_greedy_utt_per_sec"] = round(
             _guard(bench_transducer_greedy, 0.0), 1
+        )
+    if within():
+        _RESULTS["seq2seq_mer_step_per_sec"] = round(
+            _guard(bench_seq2seq_mer_step, 0.0), 2
         )
     _RESULTS["timing"] = "median of >=3 reps, device-synced"
     try:
