@@ -285,6 +285,96 @@ def test_transducer_beam_matches_python_oracle():
             )
 
 
+def _py_beam_oracle(enc_np, enc_len, W1, W2, Emb, blank, W, E, V):
+    """Per-sample Python reference of the fixed-expansion search rules."""
+
+    def logsoft(x):
+        x = x - x.max()
+        return x - np.log(np.exp(x).sum())
+
+    po0 = 0.5 * np.zeros((V,), np.float32) + Emb[blank]
+    beams = [dict(s=0.0, toks=[], po=po0, st=po0.copy())]
+    beams += [
+        dict(s=-1e30, toks=[], po=po0, st=po0.copy()) for _ in range(W - 1)
+    ]
+    for t in range(enc_len):
+        for b in beams:
+            b["open"] = True
+        for _ in range(E):
+            pool = []
+            for j, b in enumerate(beams):
+                lp = logsoft(
+                    np.tanh(enc_np[t] @ W1) + np.tanh(b["po"] @ W2)
+                )
+                if b["open"]:
+                    pool.append((b["s"] + lp[blank], j, None))
+                    nb = sorted(
+                        ((lp[v], v) for v in range(V) if v != blank),
+                        key=lambda x: (-x[0], x[1]),
+                    )
+                    pool.extend((b["s"] + lpv, j, v) for lpv, v in nb[:W])
+                else:
+                    pool.append((b["s"], j, None))
+            pool.sort(key=lambda x: -x[0])
+            newb = []
+            for s, j, v in pool[:W]:
+                src = beams[j]
+                if v is None:
+                    newb.append(
+                        dict(s=s, toks=list(src["toks"]), po=src["po"],
+                             st=src["st"], open=False)
+                    )
+                else:
+                    st = 0.5 * src["st"] + Emb[v]
+                    newb.append(
+                        dict(s=s, toks=src["toks"] + [v], po=st.copy(),
+                             st=st, open=True)
+                    )
+            beams = newb
+        for b in beams:
+            if b["open"]:
+                lp = logsoft(
+                    np.tanh(enc_np[t] @ W1) + np.tanh(b["po"] @ W2)
+                )
+                b["s"] += lp[blank]
+                b["open"] = False
+    beams.sort(key=lambda b: -b["s"])
+    return beams
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed,W,E", [(3, 3, 2), (4, 4, 4), (5, 2, 1)])
+def test_transducer_beam_fuzz_matches_python_oracle(seed, W, E):
+    rng = np.random.RandomState(seed)
+    N, T, D, V = int(rng.randint(2, 5)), int(rng.randint(3, 9)), 8, int(
+        rng.randint(5, 12)
+    )
+    blank = V - 1
+    enc, enc_lens, pred_step, joint_fn, state0, (W1, W2, Emb) = (
+        _toy_searchers(seed=seed, N=N, T=T, D=D, V=V)
+    )
+    from pydrobert_tpu.ops.transducer import transducer_beam_search
+
+    bh, bl, bs = jax.jit(
+        lambda e, el: transducer_beam_search(
+            e, el, pred_step, joint_fn, state0, blank, width=W,
+            max_symbols_per_frame=E,
+        )
+    )(enc, enc_lens)
+    W1, W2, Emb, enc_np = map(np.asarray, (W1, W2, Emb, enc))
+    for n in range(N):
+        beams = _py_beam_oracle(
+            enc_np[n], int(enc_lens[n]), W1, W2, Emb, blank, W, E, V
+        )
+        for w in range(W):
+            assert bh[n, w, : int(bl[n, w])].tolist() == beams[w]["toks"], (
+                seed, n, w,
+            )
+            np.testing.assert_allclose(
+                float(bs[n, w]), beams[w]["s"], atol=2e-3
+            )
+
+
 def test_transducer_beam_lm_fusion_matches_python_oracle():
     """Shallow fusion: weight 0 reproduces the unfused search exactly;
     a toy last-token-table LM matches the extended Python oracle."""
