@@ -158,6 +158,27 @@ def bench_ctc_beam16_bs256():
     return _bench_search(CTCPrefixSearch(16), 256, 500, 1024, seed=3)[0]
 
 
+def bench_ctc_greedy_wer(B=32, T=500, V=1024):
+    """BASELINE config #2: CTC greedy decode + error_rate scoring, one
+    jitted program (argmax/dedup scan + batched edit-distance DP)."""
+    from pydrobert_tpu.functional import ctc_greedy_search, error_rate
+
+    logits, lens = _decode_inputs(B, T, V, seed=6)
+    rng = np.random.RandomState(6)
+    refs = jnp.asarray(rng.randint(0, V, (40, B)), jnp.int32)
+
+    def run(logits, lens, refs):
+        # reference return convention: (max path probs, paths, out_lens)
+        _, y, y_lens = ctc_greedy_search(logits, lens, batch_first=False)
+        S = y.shape[0]
+        y = jnp.where(jnp.arange(S)[:, None] < y_lens[None], y, -1)
+        return error_rate(refs, y, eos=-1, norm=False), y_lens
+
+    compiled, _ = _compile(run, logits, lens, refs)
+    dt = _time(compiled, logits, lens, refs)
+    return B / dt
+
+
 def _bench_lm(V=1024, seed=2):
     from pydrobert_tpu.lm import LookupLanguageModel
 
@@ -528,6 +549,10 @@ def main():
             fused_us_per_kernel=fused_upk,
         )
     # cheap-compile bench first; the expensive-compile ones take the cut
+    if within():
+        _RESULTS["greedy_wer_utt_per_sec"] = round(
+            _guard(bench_ctc_greedy_wer, 0.0), 1
+        )
     if within():
         _RESULTS["ngram_beam_search_seq_per_sec"] = round(
             _guard(bench_ngram_beam_search, 0.0), 1
