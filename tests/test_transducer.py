@@ -221,61 +221,10 @@ def test_transducer_beam_matches_python_oracle():
         )
     )(enc, enc_lens)
     W1, W2, Emb, enc_np = map(np.asarray, (W1, W2, Emb, enc))
-
-    def logsoft(x):
-        x = x - x.max()
-        return x - np.log(np.exp(x).sum())
-
     for n in range(N):
-        po0 = 0.5 * np.zeros((V,), np.float32) + Emb[blank]
-        beams = [
-            dict(s=0.0, toks=[], po=po0, st=po0.copy()),
-            dict(s=-1e30, toks=[], po=po0, st=po0.copy()),
-        ]
-        for t in range(int(enc_lens[n])):
-            for b in beams:
-                b["open"] = True
-            for _ in range(E):
-                pool = []
-                for j, b in enumerate(beams):
-                    lp = logsoft(
-                        np.tanh(enc_np[n, t] @ W1) + np.tanh(b["po"] @ W2)
-                    )
-                    if b["open"]:
-                        pool.append((b["s"] + lp[blank], j, None))
-                        nb = sorted(
-                            ((lp[v], v) for v in range(V) if v != blank),
-                            key=lambda x: (-x[0], x[1]),
-                        )
-                        pool.extend(
-                            (b["s"] + lpv, j, v) for lpv, v in nb[:W]
-                        )
-                    else:
-                        pool.append((b["s"], j, None))
-                pool.sort(key=lambda x: -x[0])
-                newb = []
-                for s, j, v in pool[:W]:
-                    src = beams[j]
-                    if v is None:
-                        newb.append(
-                            dict(s=s, toks=list(src["toks"]), po=src["po"],
-                                 st=src["st"], open=False)
-                        )
-                    else:
-                        st = 0.5 * src["st"] + Emb[v]
-                        newb.append(
-                            dict(s=s, toks=src["toks"] + [v], po=st.copy(),
-                                 st=st, open=True)
-                        )
-                beams = newb
-            for b in beams:
-                if b["open"]:
-                    lp = logsoft(
-                        np.tanh(enc_np[n, t] @ W1) + np.tanh(b["po"] @ W2)
-                    )
-                    b["s"] += lp[blank]
-                    b["open"] = False
-        beams.sort(key=lambda b: -b["s"])
+        beams = _py_beam_oracle(
+            enc_np[n], int(enc_lens[n]), W1, W2, Emb, blank, W, E, V
+        )
         for w in range(W):
             assert bh[n, w, : int(bl[n, w])].tolist() == beams[w]["toks"], (
                 n, w,
