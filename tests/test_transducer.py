@@ -84,6 +84,26 @@ def test_transducer_loss_from_joint_matches_and_grads(key):
     assert bool(jnp.isfinite(g).all())
 
 
+def test_transducer_loss_gradients_match_numerical():
+    """AD through the associative-scan lattice == finite differences."""
+    from jax.test_util import check_grads
+
+    rng = np.random.RandomState(7)
+    N, T, U = 2, 4, 3
+    blank = jnp.asarray(np.log(rng.rand(N, T, U + 1)), jnp.float32)
+    emit = jnp.asarray(np.log(rng.rand(N, T, U)), jnp.float32)
+    Tl = jnp.asarray([4, 3], jnp.int32)
+    Ul = jnp.asarray([3, 2], jnp.int32)
+    check_grads(
+        lambda b, e: transducer_loss(b, e, Tl, Ul),
+        (blank, emit),
+        order=1,
+        modes=["rev"],
+        atol=1e-2,
+        rtol=1e-2,
+    )
+
+
 def test_transducer_greedy_matches_python_oracle(jit_fn):
     rng = np.random.RandomState(2)
     N, T, D, V = 4, 6, 8, 9
