@@ -29,6 +29,7 @@ from .conformer import (  # noqa: F401
     make_train_step,
     pipeline_partition_rules,
     stack_block_params,
+    streaming_logits,
     unstack_block_params,
 )
 
@@ -50,5 +51,6 @@ __all__ = [
     "make_train_step",
     "pipeline_partition_rules",
     "stack_block_params",
+    "streaming_logits",
     "unstack_block_params",
 ]

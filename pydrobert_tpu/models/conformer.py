@@ -30,6 +30,7 @@ __all__ = [
     "make_pipeline_train_step",
     "pipeline_partition_rules",
     "stack_block_params",
+    "streaming_logits",
     "unstack_block_params",
 ]
 
@@ -61,9 +62,9 @@ class ConformerConfig:
     # (None, None) = full context. Finite windows bound the receptive
     # field and per-frame lookahead latency (streaming/serving). NOTE:
     # this is a mask over the full (T, T) score matrix — compute/memory
-    # remain O(T^2); chunked execution for true linear cost is up to the
-    # serving loop (process block-by-block with `left` frames of carried
-    # context). The depthwise conv still adds (conv_kernel - 1) // 2
+    # remain O(T^2) in one shot; :func:`streaming_logits` is the chunked
+    # serving loop that makes the cost actually linear in T for causal
+    # configs. The depthwise conv still adds (conv_kernel - 1) // 2
     # frames of lookahead per block unless causal_conv is set, which
     # left-pads instead (no future frames anywhere in the conv path).
     attention_context: Tuple[Optional[int], Optional[int]] = (None, None)
@@ -78,8 +79,10 @@ class ConformerConfig:
         return 4
 
 
-def _sinusoidal_pos_emb(T: int, d: int, dtype) -> jax.Array:
-    pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+def _sinusoidal_pos_emb(T: int, d: int, dtype, offset=0) -> jax.Array:
+    # `offset` shifts the absolute positions (streaming chunks encode with
+    # their true global positions; int offsets are exact in f32 < 2**24)
+    pos = (jnp.arange(T) + offset).astype(jnp.float32)[:, None]
     dim = jnp.arange(0, d, 2, dtype=jnp.float32)[None]
     angles = pos / jnp.power(10000.0, dim / d)
     emb = jnp.zeros((T, d), jnp.float32)
@@ -201,7 +204,15 @@ class _ConformerBlock(nn.Module):
 
 
 class _ConvSubsample(nn.Module):
-    """Two stride-2 2-D convs over (time, freq): 4x time reduction."""
+    """Two stride-2 2-D convs over (time, freq): 4x time reduction.
+
+    Explicit (1, 1) padding instead of SAME: SAME's pad split depends on
+    the input length's parity, which shifts every conv window when the
+    length changes — with fixed padding, output row ``j`` always reads
+    input frames ``[4j - 3, 4j + 3]`` regardless of length, so streaming
+    chunks (:func:`streaming_logits`) align exactly with the one-shot
+    forward. Output frame count is unchanged (``ceil(T / 4)`` overall).
+    """
 
     cfg: ConformerConfig
 
@@ -211,12 +222,12 @@ class _ConvSubsample(nn.Module):
         x = feats[..., None]  # (N, T, F, 1)
         x = nn.Conv(
             cfg.subsample_channels, (3, 3), strides=(2, 2), dtype=cfg.dtype,
-            name="conv1",
+            padding=((1, 1), (1, 1)), name="conv1",
         )(x)
         x = nn.relu(x)
         x = nn.Conv(
             cfg.subsample_channels, (3, 3), strides=(2, 2), dtype=cfg.dtype,
-            name="conv2",
+            padding=((1, 1), (1, 1)), name="conv2",
         )(x)
         x = nn.relu(x)
         N, T4, F4, C = x.shape
@@ -224,7 +235,9 @@ class _ConvSubsample(nn.Module):
         return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="proj")(x)
 
 
-def _encoder_body(cfg: ConformerConfig, feats, lens, deterministic: bool):
+def _encoder_body(
+    cfg: ConformerConfig, feats, lens, deterministic: bool, pos_offset=0
+):
     """The shared conformer encoder: mask -> subsample -> posemb ->
     dropout -> block stack. Must be called inside an ``nn.compact``
     context; submodule names (``subsample``, ``block_i``) land on the
@@ -241,7 +254,7 @@ def _encoder_body(cfg: ConformerConfig, feats, lens, deterministic: bool):
     out_lens = -(-(-(-lens // 2)) // 2)  # ceil-div by 2, twice
     T4 = x.shape[1]
     pad_mask = jnp.arange(T4)[None] < out_lens[:, None]  # (N, T')
-    x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype)[None]
+    x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype, pos_offset)[None]
     x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
     block_cls = (
         nn.remat(_ConformerBlock, static_argnums=(3,))
@@ -268,9 +281,11 @@ class ConformerCTC(nn.Module):
     cfg: ConformerConfig
 
     @nn.compact
-    def __call__(self, feats, lens, deterministic: bool = True):
+    def __call__(self, feats, lens, deterministic: bool = True, pos_offset=0):
         cfg = self.cfg
-        x, _, out_lens = _encoder_body(cfg, feats, lens, deterministic)
+        x, _, out_lens = _encoder_body(
+            cfg, feats, lens, deterministic, pos_offset
+        )
         logits = nn.Dense(
             cfg.vocab_size + 1, dtype=jnp.float32, name="ctc_head"
         )(x.astype(jnp.float32))
@@ -304,6 +319,65 @@ def conformer_partition_rules(
         if "ctc_head" in joined:
             return PartitionSpec(None, "model")
     return PartitionSpec()
+
+
+def streaming_logits(
+    model: "ConformerCTC",
+    params,
+    feats: jax.Array,
+    lens: jax.Array,
+    chunk: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunked (streaming) CTC logits for a *causal* config — equivalent
+    output to ``model.apply`` but computed in post-subsampling chunks of
+    `chunk` frames, recomputing only each chunk's receptive-field margin.
+
+    Requires ``cfg.attention_context = (L, 0)`` with finite ``L`` and
+    ``cfg.causal_conv = True`` (no future frames anywhere past the
+    subsampler's fixed <=3-input-frame lookahead, which chunk boundaries
+    respect by construction). Per-chunk compute/memory are O(chunk + R)
+    where ``R = num_layers * (L + conv_kernel - 1)`` is the stack's total
+    lookback — this is the "serving loop" that makes the banded-attention
+    config's cost actually linear in T. Matches the one-shot forward to
+    attention-softmax reduction order *within each utterance's
+    ``out_lens``* (parity-pinned in tests); frames past ``out_lens`` are
+    unspecified in both forwards (they are computed from zeroed/padded
+    context that legitimately differs between the two).
+
+    The host loop compiles one program per distinct chunk shape (at most
+    three: first/steady/last).
+    """
+    cfg = model.cfg
+    left, right = cfg.attention_context
+    if left is None or right != 0 or not cfg.causal_conv:
+        raise ValueError(
+            "streaming_logits requires a causal config: "
+            "attention_context=(L, 0) with finite L and causal_conv=True "
+            f"(got attention_context={cfg.attention_context}, "
+            f"causal_conv={cfg.causal_conv})"
+        )
+    if chunk < 1:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    R = cfg.num_layers * (int(left) + cfg.conv_kernel - 1)
+    T = feats.shape[1]
+    T4 = -(-(-(-T // 2)) // 2)  # ceil-div by 2, twice
+    outs = []
+    for o0 in range(0, T4, chunk):
+        o1 = min(o0 + chunk, T4)
+        # +1 margin row: subsample row m0 reads up to 3 input frames left
+        # of the chunk (zero-padded here, real data in the full forward);
+        # its error rides the maximal lookback chain exactly R rows
+        m0 = max(o0 - R - 1, 0)
+        i0, i1 = 4 * m0, min(4 * o1, T)
+        f = feats[:, i0:i1]
+        l = jnp.clip(lens - i0, 0, i1 - i0)
+        logits, _ = model.apply(
+            {"params": params}, f, l, True, m0
+        )
+        outs.append(logits[:, o0 - m0 : o1 - m0])
+    logits = jnp.concatenate(outs, 1)
+    out_lens = -(-(-(-lens // 2)) // 2)
+    return logits, out_lens
 
 
 # ---------------------------------------------------------------------------

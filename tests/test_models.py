@@ -199,6 +199,34 @@ def test_limited_attention_context_streaming(key):
     assert not np.allclose(np.asarray(out1[:, 12:]), np.asarray(out2[:, 12:]))
 
 
+@pytest.mark.parametrize("T,chunk", [(96, 5), (96, 24), (93, 7), (41, 3)])
+def test_streaming_logits_match_full_forward(key, T, chunk):
+    """Chunked causal encoding == the one-shot forward within out_lens,
+    across chunk sizes and input-length parities."""
+    import dataclasses
+
+    from pydrobert_tpu.models.conformer import streaming_logits
+
+    cfg = dataclasses.replace(
+        CFG, attention_context=(4, 0), causal_conv=True
+    )
+    model = ConformerCTC(cfg)
+    rng = np.random.RandomState(T + chunk)
+    N = 3
+    feats = jnp.asarray(rng.randn(N, T, CFG.num_filts), jnp.float32)
+    lens = jnp.asarray([T, max(T - 20, 3), max(T // 2, 2)], jnp.int32)
+    params = model.init(key, feats, lens)["params"]
+    full, full_lens = model.apply({"params": params}, feats, lens)
+    st, st_lens = streaming_logits(model, params, feats, lens, chunk)
+    np.testing.assert_array_equal(np.asarray(st_lens), np.asarray(full_lens))
+    assert st.shape == full.shape
+    for n in range(N):
+        L = int(full_lens[n])
+        np.testing.assert_allclose(
+            np.asarray(st[n, :L]), np.asarray(full[n, :L]), atol=2e-5
+        )
+
+
 def test_seq2seq_beam_search_and_mer(key):
     import optax
 
