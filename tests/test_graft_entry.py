@@ -41,6 +41,31 @@ def test_dryrun_bootstraps_when_devices_insufficient(monkeypatch):
     assert calls == [8]
 
 
+def test_dryrun_noncpu_platform_never_enumerates_devices(monkeypatch):
+    """A non-CPU platform must bootstrap WITHOUT touching jax.devices():
+    enumerating a dead remote-TPU tunnel hangs indefinitely, which would
+    turn the driver's multichip check into a timeout."""
+    calls = []
+    monkeypatch.setattr(
+        __graft_entry__, "_bootstrap_subprocess", lambda n: calls.append(n)
+    )
+
+    def _boom():  # pragma: no cover - must never run
+        raise AssertionError("jax.devices() must not be called")
+
+    monkeypatch.setattr(__graft_entry__.jax, "devices", _boom)
+    monkeypatch.setattr(
+        __graft_entry__, "_configured_platform", lambda: "axon"
+    )
+    __graft_entry__.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_configured_platform_reads_config_without_backend_init(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    assert __graft_entry__._configured_platform() in ("", "cpu")
+
+
 @pytest.mark.slow
 def test_dryrun_bootstrap_subprocess_recipe(capsys):
     """The real subprocess bootstrap builds its own virtual CPU mesh."""
