@@ -17,8 +17,12 @@ from .transducer import (  # noqa: F401
     ConformerTransducer,
     TransducerConfig,
     lookup_lm_fusion,
+    make_transducer_pipeline_train_step,
     make_transducer_train_step,
     transducer_partition_rules,
+    transducer_pipeline_partition_rules,
+    transducer_stack_block_params,
+    transducer_unstack_block_params,
 )
 from .conformer import (  # noqa: F401
     ConformerConfig,
@@ -40,8 +44,12 @@ __all__ = [
     "Seq2SeqDecoderLM",
     "TransducerConfig",
     "lookup_lm_fusion",
+    "make_transducer_pipeline_train_step",
     "make_transducer_train_step",
     "transducer_partition_rules",
+    "transducer_pipeline_partition_rules",
+    "transducer_stack_block_params",
+    "transducer_unstack_block_params",
     "make_mer_train_step",
     "ConformerConfig",
     "ConformerCTC",

@@ -29,6 +29,7 @@ __all__ = [
     "make_pipelined_forward",
     "make_pipeline_train_step",
     "pipeline_partition_rules",
+    "pipelined_encoder_forward",
     "stack_block_params",
     "streaming_logits",
     "unstack_block_params",
@@ -452,6 +453,47 @@ def _pipeline_pre(cfg, pparams, feats, lens):
     return x, pad_mask, out_lens
 
 
+def _warn_pipeline_dropout(cfg):
+    if cfg.dropout:
+        import warnings
+
+        warnings.warn(
+            "the pipelined forward is deterministic: cfg.dropout="
+            f"{cfg.dropout} will NOT be applied (regularize via the augment "
+            "hook, or set dropout=0.0 to silence this)",
+            stacklevel=3,
+        )
+
+
+def pipelined_encoder_forward(cfg, enc_pparams, feats, lens, mesh, n_microbatches):
+    """Pipeline-form conformer encoder forward: front (mask/subsample/posemb)
+    un-pipelined, block stack as GPipe stages over `mesh`'s ``pipe`` axis.
+
+    Shared by the pipelined :class:`ConformerCTC` forward and the
+    transducer's pipelined train step. Returns ``(x, pad_mask, out_lens)``
+    like :func:`_encoder_body` (deterministic; see
+    :func:`_warn_pipeline_dropout`)."""
+    from ..parallel.pipeline import pipeline_apply
+
+    def stage_fn(blk_params, x, pad_mask):
+        def body(h, p):
+            h = _ConformerBlock(cfg).apply({"params": p}, h, pad_mask, True)
+            return h, None
+        h, _ = jax.lax.scan(body, x, blk_params)
+        return h
+
+    x, pad_mask, out_lens = _pipeline_pre(cfg, enc_pparams, feats, lens)
+    x = pipeline_apply(
+        stage_fn,
+        enc_pparams["blocks"],
+        x,
+        extras=pad_mask,
+        mesh=mesh,
+        n_microbatches=n_microbatches,
+    )
+    return x, pad_mask, out_lens
+
+
 def make_pipelined_forward(model: "ConformerCTC", mesh, n_microbatches: int):
     """Build ``fwd(pparams, feats, lens) -> (logits, out_lens)`` running the
     block stack as a GPipe pipeline over `mesh`'s ``pipe`` axis.
@@ -461,35 +503,12 @@ def make_pipelined_forward(model: "ConformerCTC", mesh, n_microbatches: int):
     augmentation hook instead; see :func:`make_pipeline_train_step`).
     Numerically identical to ``model.apply`` with the unstacked params.
     """
-    from ..parallel.pipeline import pipeline_apply
-
     cfg = model.cfg
-    if cfg.dropout:
-        import warnings
-
-        warnings.warn(
-            "the pipelined forward is deterministic: cfg.dropout="
-            f"{cfg.dropout} will NOT be applied (regularize via the augment "
-            "hook, or set dropout=0.0 to silence this)",
-            stacklevel=2,
-        )
-
-    def stage_fn(blk_params, x, pad_mask):
-        def body(h, p):
-            h = _ConformerBlock(cfg).apply({"params": p}, h, pad_mask, True)
-            return h, None
-        h, _ = jax.lax.scan(body, x, blk_params)
-        return h
+    _warn_pipeline_dropout(cfg)
 
     def fwd(pparams, feats, lens):
-        x, pad_mask, out_lens = _pipeline_pre(cfg, pparams, feats, lens)
-        x = pipeline_apply(
-            stage_fn,
-            pparams["blocks"],
-            x,
-            extras=pad_mask,
-            mesh=mesh,
-            n_microbatches=n_microbatches,
+        x, _, out_lens = pipelined_encoder_forward(
+            cfg, pparams, feats, lens, mesh, n_microbatches
         )
         logits = nn.Dense(cfg.vocab_size + 1, dtype=jnp.float32).apply(
             {"params": pparams["ctc_head"]}, x.astype(jnp.float32)

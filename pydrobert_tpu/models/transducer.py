@@ -29,6 +29,10 @@ from ..ops.transducer import (
 from .conformer import (
     ConformerConfig,
     _encoder_body,
+    _warn_pipeline_dropout,
+    pipelined_encoder_forward,
+    stack_block_params,
+    unstack_block_params,
 )
 
 __all__ = [
@@ -36,7 +40,11 @@ __all__ = [
     "ConformerTransducer",
     "lookup_lm_fusion",
     "make_transducer_train_step",
+    "make_transducer_pipeline_train_step",
     "transducer_partition_rules",
+    "transducer_pipeline_partition_rules",
+    "transducer_stack_block_params",
+    "transducer_unstack_block_params",
 ]
 
 
@@ -198,18 +206,9 @@ class ConformerTransducer(nn.Module):
 
         # pure re-applyable joint (bound-module calls can't sit under
         # jax.checkpoint; a functional apply over its captured params can)
-        jparams = self.joint.variables["params"]
-        jdef = _Joint(self.cfg, parent=None)  # detached: pure apply only
-
-        @jax.checkpoint
-        def frame(enc_t):
-            lp = jax.nn.log_softmax(
-                jdef.apply({"params": jparams}, enc_t[:, None], pred), axis=-1
-            )
-            return reduce_slab(lp)
-
-        blank_lp, emit_lp = jax.lax.map(frame, jnp.moveaxis(enc, 1, 0))
-        return jnp.moveaxis(blank_lp, 0, 1), jnp.moveaxis(emit_lp, 0, 1)
+        return _streamed_node_log_probs(
+            self.cfg, self.joint.variables["params"], enc, pred, refs
+        )
 
     def encode(self, feats, lens, deterministic: bool = True):
         return self.encoder(feats, lens, deterministic)
@@ -271,6 +270,101 @@ class ConformerTransducer(nn.Module):
             lm=lm,
             lm_weight=lm_weight,
         )
+
+
+def _streamed_node_log_probs(cfg: "TransducerConfig", jparams, enc, pred, refs):
+    """Functional streamed-joint core shared by the bound model and the
+    pipelined train step: one ``(N, U+1, V+1)`` joint slab per encoder frame
+    under ``jax.checkpoint``, reduced immediately to the blank ``(N, T, U+1)``
+    and emit ``(N, T, U)`` log-probabilities (the slab rematerializes in the
+    backward pass; the full lattice tensor is never held)."""
+    V = cfg.vocab_size
+    oh = jax.nn.one_hot(refs, V + 1, dtype=jnp.float32)  # (N, U, V+1)
+    jdef = _Joint(cfg, parent=None)  # detached: pure apply only
+
+    @jax.checkpoint
+    def frame(enc_t):
+        lp = jax.nn.log_softmax(
+            jdef.apply({"params": jparams}, enc_t[:, None], pred), axis=-1
+        )
+        return lp[..., V], jnp.einsum("nuv,nuv->nu", lp[:, :-1], oh)
+
+    blank_lp, emit_lp = jax.lax.map(frame, jnp.moveaxis(enc, 1, 0))
+    return jnp.moveaxis(blank_lp, 0, 1), jnp.moveaxis(emit_lp, 0, 1)
+
+
+def transducer_stack_block_params(params, pipeline_parallelism: int):
+    """ConformerTransducer params -> pipeline form: the encoder's ``block_i``
+    subtrees stack stage-major (:func:`~pydrobert_tpu.models.conformer.
+    stack_block_params`); predictor/joint subtrees are unchanged."""
+    out = dict(params)
+    out["encoder"] = stack_block_params(params["encoder"], pipeline_parallelism)
+    return out
+
+
+def transducer_unstack_block_params(pparams):
+    """Inverse of :func:`transducer_stack_block_params`."""
+    out = dict(pparams)
+    out["encoder"] = unstack_block_params(pparams["encoder"])
+    return out
+
+
+def transducer_pipeline_partition_rules(path, leaf):
+    """Partition rules for pipeline-form transducer params: the encoder
+    block stack shards its stage dim over ``pipe``; everything else keeps
+    :func:`transducer_partition_rules`' tensor-parallel layout."""
+    from jax.sharding import PartitionSpec
+
+    names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+    if len(names) >= 2 and names[0] == "encoder" and names[1] == "blocks":
+        return PartitionSpec("pipe")
+    return transducer_partition_rules(path, leaf)
+
+
+def make_transducer_pipeline_train_step(
+    model: "ConformerTransducer",
+    optimizer: optax.GradientTransformation,
+    mesh,
+    n_microbatches: int,
+    augment: Optional[Callable] = None,
+) -> Callable:
+    """Pipeline-parallel variant of :func:`make_transducer_train_step`.
+
+    The conformer encoder's block stack runs as GPipe stages over `mesh`'s
+    ``pipe`` axis (:func:`~pydrobert_tpu.models.conformer.
+    pipelined_encoder_forward`); the predictor, streamed joint, and
+    transducer loss run un-pipelined after it (their tensor-parallel
+    shardings still apply). Operates on pipeline-form params
+    (:func:`transducer_stack_block_params`); deterministic forward — dropout
+    is not applied (regularize via `augment`)."""
+    cfg = model.cfg
+    _warn_pipeline_dropout(cfg.encoder)
+
+    def loss_fn(pparams, key, feats, feat_lens, refs, ref_lens):
+        if augment is not None:
+            feats = augment(key, feats, feat_lens)
+        x, _, out_lens = pipelined_encoder_forward(
+            cfg.encoder, pparams["encoder"], feats, feat_lens,
+            mesh, n_microbatches,
+        )
+        enc = x.astype(jnp.float32)
+        pred = _Predictor(cfg, parent=None).apply(
+            {"params": pparams["predictor"]}, refs
+        )
+        blank_lp, emit_lp = _streamed_node_log_probs(
+            cfg, pparams["joint"], enc, pred, refs
+        )
+        return transducer_loss(blank_lp, emit_lp, out_lens, ref_lens)
+
+    def step(pparams, opt_state, key, feats, feat_lens, refs, ref_lens):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            pparams, key, feats, feat_lens, refs, ref_lens
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, pparams)
+        pparams = optax.apply_updates(pparams, updates)
+        return pparams, opt_state, loss
+
+    return step
 
 
 def transducer_partition_rules(path, leaf):

@@ -169,6 +169,60 @@ def test_pipeline_train_step_matches_plain(key):
     )
 
 
+def test_transducer_pipeline_train_step_matches_plain(key):
+    """dp x tp x pp transducer step == the single-program step (loss and
+    updated params) when dropout is off."""
+    from pydrobert_tpu.models import (
+        ConformerTransducer,
+        TransducerConfig,
+        make_transducer_pipeline_train_step,
+        make_transducer_train_step,
+        transducer_pipeline_partition_rules,
+        transducer_stack_block_params,
+        transducer_unstack_block_params,
+    )
+
+    cfg = TransducerConfig(encoder=CFG, pred_dim=12, joint_dim=12)
+    model = ConformerTransducer(cfg)
+    N, T, U = 8, 24, 3
+    rng = np.random.RandomState(23)
+    feats = jnp.asarray(rng.randn(N, T, CFG.num_filts), jnp.float32)
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)), jnp.int32)
+    refs = jnp.asarray(rng.randint(0, CFG.vocab_size, (N, U)), jnp.int32)
+    ref_lens = jnp.asarray(rng.randint(1, U + 1, (N,)), jnp.int32)
+    params = model.init(key, feats, lens, refs, ref_lens)["params"]
+    optimizer = optax.sgd(1e-2)
+
+    step = make_transducer_train_step(model, optimizer)
+    p1, _, loss1 = jax.jit(step)(
+        params, optimizer.init(params), key, feats, lens, refs, ref_lens
+    )
+
+    mesh = make_pipeline_mesh(2, 2)
+    pparams = shard_params(
+        transducer_stack_block_params(params, 2),
+        mesh,
+        transducer_pipeline_partition_rules,
+    )
+    popt = jax.device_put(
+        optimizer.init(pparams), NamedSharding(mesh, PartitionSpec())
+    )
+    pstep = make_transducer_pipeline_train_step(
+        model, optimizer, mesh, n_microbatches=4
+    )
+    pp2, _, loss_p = jax.jit(pstep)(
+        pparams, popt, key, feats, lens, refs, ref_lens
+    )
+    np.testing.assert_allclose(float(loss_p), float(loss1), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        transducer_unstack_block_params(jax.device_get(pp2)),
+        p1,
+    )
+
+
 def test_sharded_checkpoint_round_trip(key, tmp_path):
     """Orbax-backed save/restore preserves values AND mesh shardings for a
     dp x tp sharded param tree (sync and async paths)."""
