@@ -41,6 +41,7 @@ __all__ = [
     "lookup_lm_fusion",
     "make_transducer_train_step",
     "make_transducer_pipeline_train_step",
+    "streaming_transducer_greedy",
     "transducer_partition_rules",
     "transducer_pipeline_partition_rules",
     "transducer_stack_block_params",
@@ -95,10 +96,12 @@ class _Encoder(nn.Module):
     cfg: ConformerConfig
 
     @nn.compact
-    def __call__(self, feats, lens, deterministic: bool = True):
+    def __call__(self, feats, lens, deterministic: bool = True, pos_offset=0):
         # shared body: one definition of mask/subsample/posemb/blocks
         # (incl. remat and seq-sharding handling) across all models
-        x, _, out_lens = _encoder_body(self.cfg, feats, lens, deterministic)
+        x, _, out_lens = _encoder_body(
+            self.cfg, feats, lens, deterministic, pos_offset
+        )
         return x.astype(jnp.float32), out_lens
 
 
@@ -210,8 +213,8 @@ class ConformerTransducer(nn.Module):
             self.cfg, self.joint.variables["params"], enc, pred, refs
         )
 
-    def encode(self, feats, lens, deterministic: bool = True):
-        return self.encoder(feats, lens, deterministic)
+    def encode(self, feats, lens, deterministic: bool = True, pos_offset=0):
+        return self.encoder(feats, lens, deterministic, pos_offset)
 
     def greedy(self, feats, lens, max_symbols_per_frame: int = 4):
         """Greedy RNN-T decode: ``(hyps (N, U_max), hyp_lens (N,))``."""
@@ -270,6 +273,101 @@ class ConformerTransducer(nn.Module):
             lm=lm,
             lm_weight=lm_weight,
         )
+
+
+def streaming_transducer_greedy(
+    model: "ConformerTransducer",
+    params,
+    feats: jax.Array,
+    lens: jax.Array,
+    chunk: int,
+    max_symbols_per_frame: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming RNN-T recognition: chunked causal encoding + incremental
+    greedy decode — emits EXACTLY the one-shot ``method="greedy"``
+    hypotheses, computed `chunk` (post-subsampling) frames at a time.
+
+    The encoder side mirrors
+    :func:`pydrobert_tpu.models.conformer.streaming_logits` (same causal
+    config requirements — ``attention_context=(L, 0)``, ``causal_conv`` —
+    and the same recomputed receptive-field margin ``R``); the decode side
+    threads the :func:`pydrobert_tpu.ops.transducer.transducer_greedy_advance`
+    carry (hypothesis buffer, predictor LSTM state, per-frame symbol cap)
+    across chunks, so per-chunk latency is O(chunk + R) encoder frames plus
+    the symbols emitted in the chunk. Returns ``(hyps (N, U_max), hyp_lens
+    (N,))`` with ``U_max = max_symbols_per_frame * ceil4(T)``, padded with
+    the blank. The host loop compiles one program per distinct chunk shape
+    (at most three: first/steady/last).
+    """
+    from ..ops.transducer import (
+        transducer_greedy_advance,
+        transducer_greedy_init,
+    )
+
+    cfg = model.cfg
+    ecfg = cfg.encoder
+    left, right = ecfg.attention_context
+    if left is None or right != 0 or not ecfg.causal_conv:
+        raise ValueError(
+            "streaming_transducer_greedy requires a causal encoder config: "
+            "attention_context=(L, 0) with finite L and causal_conv=True "
+            f"(got attention_context={ecfg.attention_context}, "
+            f"causal_conv={ecfg.causal_conv})"
+        )
+    if chunk < 1:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    R = ecfg.num_layers * (int(left) + ecfg.conv_kernel - 1)
+    N, T = feats.shape[:2]
+    T4 = -(-(-(-T // 2)) // 2)  # ceil-div by 2, twice
+    out_lens = -(-(-(-lens // 2)) // 2)
+
+    pred = _Predictor(cfg, parent=None)
+    joint = _Joint(cfg, parent=None)
+
+    def make_steps(p):
+        def pred_step(tok, state):
+            return pred.apply({"params": p["predictor"]}, tok, state,
+                              method="step")
+
+        def joint_fn(enc_t, pred_out):
+            return joint.apply({"params": p["joint"]}, enc_t, pred_out)
+
+        return pred_step, joint_fn
+
+    pred_step, _ = make_steps(params)
+    init_state = pred.apply(
+        {"params": params["predictor"]}, N, method="init_carry"
+    )
+    carry = transducer_greedy_init(
+        N, int(max_symbols_per_frame) * T4, pred_step, init_state,
+        cfg.vocab_size,
+    )
+
+    # params ride as jit ARGUMENTS (not baked-in constants): one compile
+    # per chunk shape serves any checkpoint of this architecture
+    @jax.jit
+    def advance(p, carry, enc_chunk, chunk_lens):
+        ps, jf = make_steps(p)
+        return transducer_greedy_advance(
+            enc_chunk, chunk_lens, ps, jf, cfg.vocab_size,
+            carry, max_symbols_per_frame,
+        )
+
+    for o0 in range(0, T4, chunk):
+        o1 = min(o0 + chunk, T4)
+        # +1 margin row: see streaming_logits (same subsampler lookback)
+        m0 = max(o0 - R - 1, 0)
+        i0, i1 = 4 * m0, min(4 * o1, T)
+        f = feats[:, i0:i1]
+        l = jnp.clip(lens - i0, 0, i1 - i0)
+        enc, _ = model.apply(
+            {"params": params}, f, l, True, m0, method="encode"
+        )
+        enc_chunk = enc[:, o0 - m0 : o1 - m0]
+        chunk_lens = jnp.clip(out_lens - o0, 0, o1 - o0)
+        carry = advance(params, carry, enc_chunk, chunk_lens)
+    _, u, hyps, _, _ = carry
+    return hyps, u
 
 
 def _streamed_node_log_probs(cfg: "TransducerConfig", jparams, enc, pred, refs):

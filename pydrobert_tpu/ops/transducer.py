@@ -35,6 +35,8 @@ __all__ = [
     "transducer_loss",
     "transducer_loss_from_joint",
     "transducer_greedy_search",
+    "transducer_greedy_init",
+    "transducer_greedy_advance",
 ]
 
 _NEG_INF = -1.0e30
@@ -172,6 +174,36 @@ def transducer_loss_from_joint(
     return transducer_loss(blank_lp, emit_lp, logit_lens, ref_lens, reduction)
 
 
+def transducer_greedy_init(
+    batch_size: int,
+    u_max: int,
+    pred_step: Callable,
+    init_state,
+    blank_idx: int,
+):
+    """Fresh carry for :func:`transducer_greedy_advance`.
+
+    Allocates the ``(batch_size, u_max)`` hypothesis buffer (`u_max` must
+    cover the WHOLE utterance: ``max_symbols_per_frame x total frames``)
+    and primes the prediction network on the blank start token. The carry
+    is ``(k, u, hyps, pred_out, state)``: per-element symbols-on-current-
+    frame count, emitted length, hypothesis buffer, predictor output and
+    state — a pytree of arrays, safe to thread through jitted chunk calls.
+    """
+    N = batch_size
+    hyps0 = jnp.full((N, u_max), blank_idx, jnp.int32)
+    pred_out0, state0 = pred_step(
+        jnp.full((N,), blank_idx, jnp.int32), init_state
+    )
+    return (
+        jnp.zeros((N,), jnp.int32),
+        jnp.zeros((N,), jnp.int32),
+        hyps0,
+        pred_out0,
+        state0,
+    )
+
+
 def transducer_greedy_search(
     enc: jax.Array,
     enc_lens: jax.Array,
@@ -195,11 +227,47 @@ def transducer_greedy_search(
     TPU shape: every iteration is one fused batched joint evaluation — the
     while_loop condition is the only sync point, and the loop bound is
     static (``T * max_symbols_per_frame + T``).
+
+    Streaming serving: the same search runs incrementally over encoder
+    chunks via :func:`transducer_greedy_init` +
+    :func:`transducer_greedy_advance` (this function is exactly init +
+    one advance over the full utterance).
     """
-    N, T, D = enc.shape
-    U_max = int(max_symbols_per_frame) * T
-    hyps0 = jnp.full((N, U_max), blank_idx, jnp.int32)
-    pred_out0, state0 = pred_step(jnp.full((N,), blank_idx, jnp.int32), init_state)
+    N, T, _ = enc.shape
+    carry = transducer_greedy_init(
+        N, int(max_symbols_per_frame) * T, pred_step, init_state, blank_idx
+    )
+    _, u, hyps, _, _ = transducer_greedy_advance(
+        enc, enc_lens, pred_step, joint_fn, blank_idx, carry,
+        max_symbols_per_frame,
+    )
+    return hyps, u
+
+
+def transducer_greedy_advance(
+    enc: jax.Array,
+    enc_lens: jax.Array,
+    pred_step: Callable,
+    joint_fn: Callable,
+    blank_idx: int,
+    carry,
+    max_symbols_per_frame: int = 4,
+):
+    """Greedy-decode one encoder segment, updating the streaming carry.
+
+    `enc` ``(N, T_chunk, D)`` holds the next `enc_lens` valid frames per
+    batch element (chunks partition each utterance's frames in order);
+    `carry` comes from :func:`transducer_greedy_init` or a previous
+    advance. Returns the updated carry — decoding the segments of an
+    utterance one advance at a time emits EXACTLY the one-shot
+    :func:`transducer_greedy_search` hypotheses (the per-element frame
+    pointer resets per chunk but the symbol cap count, hypothesis buffer,
+    and predictor state carry across; a frame advance always resets the
+    cap count, so chunk boundaries are invisible to the math).
+    """
+    N, T, _ = enc.shape
+    k0, u0, hyps0, pred_out0, state0 = carry
+    U_max = hyps0.shape[1]
 
     def cond(carry):
         t = carry[0]
@@ -240,12 +308,10 @@ def transducer_greedy_search(
         return t, k, u, hyps, pred_out, state
 
     t0 = jnp.zeros((N,), jnp.int32)
-    carry = (
-        t0, jnp.zeros((N,), jnp.int32), jnp.zeros((N,), jnp.int32),
-        hyps0, pred_out0, state0,
+    _, k, u, hyps, pred_out, state = jax.lax.while_loop(
+        cond, body, (t0, k0, u0, hyps0, pred_out0, state0)
     )
-    _, _, u, hyps, _, _ = jax.lax.while_loop(cond, body, carry)
-    return hyps, u
+    return k, u, hyps, pred_out, state
 
 
 def transducer_beam_search(

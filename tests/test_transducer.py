@@ -623,3 +623,33 @@ def test_model_train_step_descends_and_greedy_decodes(key):
         )
     )(params, feats, lens)
     assert bool(np.isfinite(np.asarray(fsc)[:, 0]).all())
+
+
+@pytest.mark.parametrize("T,chunk", [(41, 3), (48, 6)])
+def test_streaming_transducer_greedy_matches_one_shot(key, T, chunk):
+    """Chunked causal encode + carried decode state == one-shot greedy."""
+    import dataclasses
+
+    from pydrobert_tpu.models import streaming_transducer_greedy
+
+    enc_cfg = dataclasses.replace(
+        _ENC, attention_context=(4, 0), causal_conv=True
+    )
+    cfg = TransducerConfig(encoder=enc_cfg, pred_dim=12, joint_dim=12)
+    model = ConformerTransducer(cfg)
+    rng = np.random.RandomState(T + chunk)
+    N = 3
+    feats = jnp.asarray(rng.randn(N, T, 8), jnp.float32)
+    lens = jnp.asarray([T, max(T - 9, 3), max(T // 2, 2)], jnp.int32)
+    refs = jnp.asarray(rng.randint(0, 16, (N, 4)), jnp.int32)
+    ref_lens = jnp.full((N,), 4, jnp.int32)
+    params = model.init(key, feats, lens, refs, ref_lens)["params"]
+
+    hyps, hyp_lens = model.apply(
+        {"params": params}, feats, lens, 3, method="greedy"
+    )
+    sh, sl = streaming_transducer_greedy(
+        model, params, feats, lens, chunk, max_symbols_per_frame=3
+    )
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(hyp_lens))
+    np.testing.assert_array_equal(np.asarray(sh), np.asarray(hyps))
