@@ -19,6 +19,7 @@ from .transducer import (  # noqa: F401
     lookup_lm_fusion,
     make_transducer_pipeline_train_step,
     make_transducer_train_step,
+    streaming_transducer_beam,
     streaming_transducer_greedy,
     transducer_partition_rules,
     transducer_pipeline_partition_rules,
@@ -47,6 +48,7 @@ __all__ = [
     "lookup_lm_fusion",
     "make_transducer_pipeline_train_step",
     "make_transducer_train_step",
+    "streaming_transducer_beam",
     "streaming_transducer_greedy",
     "transducer_partition_rules",
     "transducer_pipeline_partition_rules",

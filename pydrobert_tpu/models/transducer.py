@@ -41,6 +41,7 @@ __all__ = [
     "lookup_lm_fusion",
     "make_transducer_train_step",
     "make_transducer_pipeline_train_step",
+    "streaming_transducer_beam",
     "streaming_transducer_greedy",
     "transducer_partition_rules",
     "transducer_pipeline_partition_rules",
@@ -368,6 +369,106 @@ def streaming_transducer_greedy(
         carry = advance(params, carry, enc_chunk, chunk_lens)
     _, u, hyps, _, _ = carry
     return hyps, u
+
+
+def streaming_transducer_beam(
+    model: "ConformerTransducer",
+    params,
+    feats: jax.Array,
+    lens: jax.Array,
+    chunk: int,
+    width: int = 4,
+    max_symbols_per_frame: int = 4,
+    lm=None,
+    lm_weight: float = 0.3,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Streaming RNN-T *beam* recognition — the width-`width` analogue of
+    :func:`streaming_transducer_greedy` (same causal-config requirements,
+    chunked-margin encoding, and exact parity with the one-shot
+    ``method="beam"`` search). The beam carry — per-beam scores,
+    hypothesis buffers, predictor states, and (optionally) shallow-fusion
+    LM states — threads across chunks; every hypothesis closes with a
+    blank before each new frame, so chunk boundaries are invisible to the
+    search. Returns ``(hyps (N, W, U_max), hyp_lens (N, W), scores
+    (N, W))`` best-first."""
+    from ..ops.transducer import (
+        transducer_beam_advance,
+        transducer_beam_finalize,
+        transducer_beam_init,
+    )
+
+    cfg = model.cfg
+    ecfg = cfg.encoder
+    left, right = ecfg.attention_context
+    if left is None or right != 0 or not ecfg.causal_conv:
+        raise ValueError(
+            "streaming_transducer_beam requires a causal encoder config: "
+            "attention_context=(L, 0) with finite L and causal_conv=True "
+            f"(got attention_context={ecfg.attention_context}, "
+            f"causal_conv={ecfg.causal_conv})"
+        )
+    if chunk < 1:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    R = ecfg.num_layers * (int(left) + ecfg.conv_kernel - 1)
+    N, T = feats.shape[:2]
+    T4 = -(-(-(-T // 2)) // 2)
+    out_lens = -(-(-(-lens // 2)) // 2)
+
+    pred = _Predictor(cfg, parent=None)
+    joint = _Joint(cfg, parent=None)
+
+    def make_steps(p):
+        def pred_step(tok, state):
+            return pred.apply({"params": p["predictor"]}, tok, state,
+                              method="step")
+
+        def joint_fn(enc_t, pred_out):
+            return joint.apply({"params": p["joint"]}, enc_t, pred_out)
+
+        return pred_step, joint_fn
+
+    if lm is not None and not isinstance(lm, tuple):
+        if lm.vocab_size != cfg.vocab_size:
+            raise RuntimeError(
+                f"fused LM vocab {lm.vocab_size} != model vocab "
+                f"{cfg.vocab_size}"
+            )
+        lm = lookup_lm_fusion(lm, N)
+    lm_step = None if lm is None else lm[0]
+
+    pred_step, _ = make_steps(params)
+    init_state = pred.apply(
+        {"params": params["predictor"]}, N, method="init_carry"
+    )
+    carry = transducer_beam_init(
+        N, width, int(max_symbols_per_frame) * T4, pred_step, init_state,
+        cfg.vocab_size, lm,
+    )
+
+    @jax.jit
+    def advance(p, carry, enc_chunk, chunk_lens):
+        ps, jf = make_steps(p)
+        return transducer_beam_advance(
+            enc_chunk, chunk_lens, ps, jf, cfg.vocab_size, carry,
+            max_symbols_per_frame, lm_step=lm_step, lm_weight=lm_weight,
+        )
+
+    for o0 in range(0, T4, chunk):
+        o1 = min(o0 + chunk, T4)
+        m0 = max(o0 - R - 1, 0)
+        i0, i1 = 4 * m0, min(4 * o1, T)
+        f = feats[:, i0:i1]
+        l = jnp.clip(lens - i0, 0, i1 - i0)
+        enc, _ = model.apply(
+            {"params": params}, f, l, True, m0, method="encode"
+        )
+        carry = advance(
+            params,
+            carry,
+            enc[:, o0 - m0 : o1 - m0],
+            jnp.clip(out_lens - o0, 0, o1 - o0),
+        )
+    return transducer_beam_finalize(carry)
 
 
 def _streamed_node_log_probs(cfg: "TransducerConfig", jparams, enc, pred, refs):

@@ -361,12 +361,41 @@ def transducer_beam_search(
     Returns ``(hyps (N, W, U_max), hyp_lens (N, W), scores (N, W))``
     sorted best-first (log-probability scores), ``U_max = E * T``, hyps
     padded with `blank_idx`.
+
+    Streaming serving: this function is exactly
+    :func:`transducer_beam_init` + one :func:`transducer_beam_advance`
+    over the full utterance + :func:`transducer_beam_finalize`; call the
+    pieces yourself to consume encoder chunks incrementally.
     """
-    N, T, D = enc.shape
-    W = int(width)
-    E = int(max_symbols_per_frame)
-    U_max = E * T
-    hp = jax.lax.Precision.HIGHEST
+    N, T, _ = enc.shape
+    carry = transducer_beam_init(
+        N, width, int(max_symbols_per_frame) * T, pred_step, init_state,
+        blank_idx, lm,
+    )
+    carry = transducer_beam_advance(
+        enc, enc_lens, pred_step, joint_fn, blank_idx, carry,
+        max_symbols_per_frame,
+        lm_step=None if lm is None else lm[0], lm_weight=lm_weight,
+    )
+    return transducer_beam_finalize(carry)
+
+
+def transducer_beam_init(
+    batch_size: int,
+    width: int,
+    u_max: int,
+    pred_step: Callable,
+    init_state,
+    blank_idx: int,
+    lm: Optional[Tuple[Callable, jax.Array, Any]] = None,
+):
+    """Fresh carry for :func:`transducer_beam_advance`.
+
+    `u_max` must cover the whole utterance (``max_symbols_per_frame x
+    total frames``). `lm` is the same triple :func:`transducer_beam_search`
+    takes; only its ``(init_lp, init_lm_state)`` parts are consumed here
+    (pass the ``lm_step`` callable to the advance calls)."""
+    N, W = batch_size, int(width)
 
     def tile_beams(a):
         return jnp.broadcast_to(a[:, None], (N, W) + a.shape[1:]).reshape(
@@ -381,14 +410,59 @@ def transducer_beam_search(
     )
     pred_out0 = tile_beams(pred_out0)  # (N*W, P)
     state0 = jax.tree.map(tile_beams, state0)
-    hyps0 = jnp.full((N, W, U_max), float(blank_idx), jnp.float32)
+    hyps0 = jnp.full((N, W, u_max), float(blank_idx), jnp.float32)
     lens0 = jnp.zeros((N, W), jnp.int32)
     if lm is not None:
-        lm_step, lm_lp0, lm_state0 = lm
+        _, lm_lp0, lm_state0 = lm
         lm_lp0 = tile_beams(jnp.asarray(lm_lp0, jnp.float32))  # (N*W, Vj)
         lm_state0 = jax.tree.map(tile_beams, lm_state0)
     else:
-        lm_step, lm_lp0, lm_state0 = None, jnp.zeros((0,)), ()
+        lm_lp0, lm_state0 = jnp.zeros((0,)), ()
+    return scores0, hyps0, lens0, pred_out0, state0, lm_lp0, lm_state0
+
+
+def transducer_beam_finalize(carry) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort a beam carry best-first -> ``(hyps, hyp_lens, scores)``."""
+    hp = jax.lax.Precision.HIGHEST
+    scores, hyps, lens = carry[0], carry[1], carry[2]
+    W = scores.shape[1]
+    iota_w = jnp.arange(W, dtype=jnp.int32)
+    order_sc, order = jax.lax.top_k(scores, W)
+    oh = (order[:, :, None] == iota_w[None, None]).astype(jnp.float32)
+    hyps = jnp.einsum("nkj,njs->nks", oh, hyps, precision=hp)
+    lens = jnp.einsum(
+        "nkj,nj->nk", oh, lens.astype(jnp.float32), precision=hp
+    ).astype(jnp.int32)
+    return hyps.astype(jnp.int32), lens, order_sc
+
+
+def transducer_beam_advance(
+    enc: jax.Array,
+    enc_lens: jax.Array,
+    pred_step: Callable,
+    joint_fn: Callable,
+    blank_idx: int,
+    carry,
+    max_symbols_per_frame: int = 4,
+    lm_step: Optional[Callable] = None,
+    lm_weight: float = 1.0,
+):
+    """Beam-search one encoder segment, updating the streaming carry.
+
+    `enc` ``(N, T_chunk, D)`` holds the next `enc_lens` valid frames per
+    batch element (chunks partition each utterance's frames in order);
+    `carry` comes from :func:`transducer_beam_init` or a previous advance.
+    Chaining advances over an utterance's chunks computes EXACTLY the
+    one-shot :func:`transducer_beam_search` scan (every hypothesis closes
+    with a blank before the next frame, so beam state never spans a frame
+    boundary); call :func:`transducer_beam_finalize` after the last chunk.
+    """
+    N, T, _ = enc.shape
+    W = carry[0].shape[1]
+    E = int(max_symbols_per_frame)
+    U_max = carry[1].shape[2]
+    lm = lm_step  # closures below test `lm is not None` to mean "fused"
+    hp = jax.lax.Precision.HIGHEST
 
     iota_w = jnp.arange(W, dtype=jnp.int32)
     iota_u = jnp.arange(U_max, dtype=jnp.int32)
@@ -551,19 +625,16 @@ def transducer_beam_search(
         )
         return (scores, hyps, lens, pred_out, state, lm_lp, lm_state), None
 
-    carry = (scores0, hyps0, lens0, pred_out0, state0, lm_lp0, lm_state0)
     active = jnp.arange(T, dtype=jnp.int32)[:, None] < enc_lens[None]  # (T,N)
-    (scores, hyps, lens, _, _, _, _), _ = jax.lax.scan(
-        frame, carry, (jnp.moveaxis(enc, 1, 0), active.astype(bool))
+    carry, _ = jax.lax.scan(
+        frame, tuple(carry), (jnp.moveaxis(enc, 1, 0), active.astype(bool))
     )
-    # best-first (scores are distinct-path log-probs; stable order)
-    order_sc, order = jax.lax.top_k(scores, W)
-    oh = (order[:, :, None] == iota_w[None, None]).astype(jnp.float32)
-    hyps = jnp.einsum("nkj,njs->nks", oh, hyps, precision=hp)
-    lens = jnp.einsum(
-        "nkj,nj->nk", oh, lens.astype(jnp.float32), precision=hp
-    ).astype(jnp.int32)
-    return hyps.astype(jnp.int32), lens, order_sc
+    return carry
 
 
-__all__.append("transducer_beam_search")
+__all__ += [
+    "transducer_beam_search",
+    "transducer_beam_init",
+    "transducer_beam_advance",
+    "transducer_beam_finalize",
+]

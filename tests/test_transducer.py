@@ -653,3 +653,57 @@ def test_streaming_transducer_greedy_matches_one_shot(key, T, chunk):
     )
     np.testing.assert_array_equal(np.asarray(sl), np.asarray(hyp_lens))
     np.testing.assert_array_equal(np.asarray(sh), np.asarray(hyps))
+
+
+def test_streaming_transducer_beam_matches_one_shot(key):
+    """Chunked causal encode + carried beam state == one-shot beam search,
+    with and without LM shallow fusion."""
+    import dataclasses
+
+    from pydrobert_tpu.lm import LookupLanguageModel
+    from pydrobert_tpu.models import streaming_transducer_beam
+
+    enc_cfg = dataclasses.replace(
+        _ENC, attention_context=(4, 0), causal_conv=True
+    )
+    cfg = TransducerConfig(encoder=enc_cfg, pred_dim=12, joint_dim=12)
+    model = ConformerTransducer(cfg)
+    T, N = 44, 3
+    rng = np.random.RandomState(T)
+    feats = jnp.asarray(rng.randn(N, T, 8), jnp.float32)
+    lens = jnp.asarray([T, T - 9, T // 2], jnp.int32)
+    refs = jnp.asarray(rng.randint(0, 16, (N, 4)), jnp.int32)
+    ref_lens = jnp.full((N,), 4, jnp.int32)
+    params = model.init(key, feats, lens, refs, ref_lens)["params"]
+
+    bh, bl, bs = model.apply(
+        {"params": params}, feats, lens, 3, 2, method="beam"
+    )
+    sh, sl, ss = streaming_transducer_beam(
+        model, params, feats, lens, 5, width=3, max_symbols_per_frame=2
+    )
+    np.testing.assert_array_equal(np.asarray(sh), np.asarray(bh))
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(bl))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(bs), atol=1e-5)
+
+    # with a shallow-fused n-gram LM the carried LM state must also chunk
+    V = cfg.vocab_size
+    uni = {w: (float(-rng.rand() * 4 - 0.1), float(-rng.rand()))
+           for w in range(V)}
+    uni[V] = (float("-inf"), float(-rng.rand()))
+    bi = {
+        (int(rng.randint(V + 1)), int(rng.randint(V))):
+            float(-rng.rand() * 4 - 0.1)
+        for _ in range(60)
+    }
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi])
+    fh, fl, fs = model.apply(
+        {"params": params}, feats, lens, 3, 2, lm, 0.4, method="beam"
+    )
+    gh, gl, gs = streaming_transducer_beam(
+        model, params, feats, lens, 5, width=3, max_symbols_per_frame=2,
+        lm=lm, lm_weight=0.4,
+    )
+    np.testing.assert_array_equal(np.asarray(gh), np.asarray(fh))
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(fl))
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(fs), atol=1e-5)
