@@ -33,6 +33,7 @@ from .conformer import (  # noqa: F401
     make_pipeline_train_step,
     make_pipelined_forward,
     make_train_step,
+    moe_aux_loss,
     pipeline_partition_rules,
     stack_block_params,
     streaming_logits,
@@ -61,6 +62,7 @@ __all__ = [
     "make_pipeline_train_step",
     "make_pipelined_forward",
     "make_train_step",
+    "moe_aux_loss",
     "pipeline_partition_rules",
     "stack_block_params",
     "streaming_logits",

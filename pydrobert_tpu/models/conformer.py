@@ -26,6 +26,7 @@ __all__ = [
     "ConformerCTC",
     "conformer_partition_rules",
     "make_train_step",
+    "moe_aux_loss",
     "make_pipelined_forward",
     "make_pipeline_train_step",
     "pipeline_partition_rules",
@@ -74,6 +75,18 @@ class ConformerConfig:
     # backward pass instead of storing them (standard memory-for-FLOPs
     # trade; lets T/N/num_layers scale past HBM on the forward residuals)
     remat: bool = False
+    # Mixture-of-Experts: when num_experts > 1, each block's SECOND
+    # feed-forward becomes a token-routed expert layer (_MoEFeedForward —
+    # GShard-style top-k routing with static per-expert capacity buffers).
+    # Expert weights carry a leading (num_experts, ...) dim sharded over
+    # the "model" mesh axis (see conformer_partition_rules): expert
+    # parallelism, with XLA deriving the dispatch/combine collectives from
+    # the shardings. Router aux (load-balance) losses are sown into the
+    # "losses" collection; make_train_step adds them with moe_aux_weight.
+    num_experts: int = 1
+    expert_top_k: int = 2
+    expert_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def subsampling(self) -> int:
@@ -104,6 +117,99 @@ class _FeedForward(nn.Module):
         x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
         x = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="wo")(x)
         return nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+
+
+class _MoEFeedForward(nn.Module):
+    """Mixture-of-Experts feed-forward: top-k routed experts, GShard-style.
+
+    TPU-first formulation: routing is *dense algebra with static shapes* —
+    per-expert capacity buffers of ``C = ceil(S * k * capacity_factor / E)``
+    tokens (``S`` tokens in the batch), a ``(S, E, C)`` dispatch one-hot
+    built from a cumulative-sum rank (choice-slot-major, so every token's
+    first choice outranks any token's second), and three einsums
+    (dispatch -> expert FFNs -> combine) that the MXU eats whole. Tokens
+    past an expert's capacity are dropped for that choice (the block's
+    residual connection passes them through); padded frames never route.
+    Expert weights ``wi (E, d, f)`` / ``wo (E, f, d)`` shard their leading
+    expert dim over the ``model`` mesh axis — expert parallelism, with XLA
+    deriving the all-to-all-equivalent collectives from the shardings.
+
+    The Switch-Transformer load-balance loss ``E * sum_e f_e * P_e`` (f_e:
+    fraction of tokens whose top-1 is e; P_e: mean router prob of e) is
+    sown into the ``"losses"`` collection; callers that train MoE configs
+    must apply with ``mutable=["losses"]`` and add it (handled by
+    :func:`make_train_step` / :func:`make_transducer_train_step`).
+    """
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        cfg = self.cfg
+        E = int(cfg.num_experts)
+        k = min(int(cfg.expert_top_k), E)
+        d = cfg.d_model
+        f = d * cfg.ffn_factor
+        N, T, _ = x.shape
+        S = N * T
+        C = max(1, -(-int(S * k * cfg.expert_capacity_factor) // E))
+
+        y = nn.LayerNorm(dtype=cfg.dtype, name="ln")(x)
+        yf = y.reshape(S, d)
+        valid = pad_mask.reshape(S).astype(jnp.float32)
+        # router in f32: tiny matmul, and softmax/top-k ties are dtype-touchy
+        logits = nn.Dense(E, dtype=jnp.float32, name="gate")(
+            yf.astype(jnp.float32)
+        )
+        probs = jax.nn.softmax(logits, -1) * valid[:, None]  # (S, E)
+        gvals, gidx = jax.lax.top_k(probs, k)  # (S, k)
+        gvals = gvals / jnp.clip(gvals.sum(-1, keepdims=True), 1e-9, None)
+        gvals = gvals * valid[:, None]
+
+        # one-hot expert assignment per choice slot, slot-major so slot 0
+        # (every token's best expert) claims capacity before any slot 1
+        assign = jax.nn.one_hot(gidx, E, dtype=jnp.float32) * (
+            gvals > 0
+        ).astype(jnp.float32)[..., None]  # (S, k, E)
+        assign_sk = jnp.moveaxis(assign, 1, 0).reshape(k * S, E)
+        pos = jnp.cumsum(assign_sk, 0) - assign_sk  # tokens ahead in buffer
+        keep = (pos < C) & (assign_sk > 0)
+        pos_oh = jax.nn.one_hot(
+            pos.astype(jnp.int32), C, dtype=jnp.float32
+        ) * keep[..., None].astype(jnp.float32)  # (kS, E, C)
+        disp = pos_oh.reshape(k, S, E, C)
+        dispatch = disp.sum(0)  # (S, E, C) in {0, 1}
+        combine = (disp * jnp.moveaxis(gvals, 1, 0)[..., None, None]).sum(0)
+
+        wi = self.param(
+            "wi", nn.initializers.lecun_normal(), (E, d, f), jnp.float32
+        ).astype(cfg.dtype)
+        bi = self.param("bi", nn.initializers.zeros, (E, f), jnp.float32).astype(
+            cfg.dtype
+        )
+        wo = self.param(
+            "wo", nn.initializers.lecun_normal(), (E, f, d), jnp.float32
+        ).astype(cfg.dtype)
+        bo = self.param("bo", nn.initializers.zeros, (E, d), jnp.float32).astype(
+            cfg.dtype
+        )
+        xe = jnp.einsum(
+            "sec,sd->ecd", dispatch.astype(cfg.dtype), yf.astype(cfg.dtype)
+        )
+        h = nn.silu(jnp.einsum("ecd,edf->ecf", xe, wi) + bi[:, None])
+        h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+        oe = jnp.einsum("ecf,efd->ecd", h, wo) + bo[:, None]
+        out = jnp.einsum("sec,ecd->sd", combine.astype(cfg.dtype), oe)
+
+        # Switch load-balance aux loss over valid tokens
+        nvalid = jnp.clip(valid.sum(), 1.0, None)
+        top1 = jax.nn.one_hot(gidx[:, 0], E, dtype=jnp.float32) * valid[:, None]
+        f_e = top1.sum(0) / nvalid
+        p_e = probs.sum(0) / nvalid
+        self.sow("losses", "moe_aux", E * jnp.sum(f_e * p_e))
+
+        out = out.reshape(N, T, d)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(out)
 
 
 class _MHSA(nn.Module):
@@ -200,7 +306,12 @@ class _ConformerBlock(nn.Module):
         x = x + 0.5 * _FeedForward(cfg, name="ffn1")(x, deterministic)
         x = x + _MHSA(cfg, name="mhsa")(x, pad_mask, deterministic)
         x = x + _ConvModule(cfg, name="conv")(x, pad_mask, deterministic)
-        x = x + 0.5 * _FeedForward(cfg, name="ffn2")(x, deterministic)
+        if cfg.num_experts > 1:
+            x = x + 0.5 * _MoEFeedForward(cfg, name="moe")(
+                x, pad_mask, deterministic
+            )
+        else:
+            x = x + 0.5 * _FeedForward(cfg, name="ffn2")(x, deterministic)
         return nn.LayerNorm(dtype=cfg.dtype, name="ln_out")(x)
 
 
@@ -307,6 +418,12 @@ def conformer_partition_rules(
     """
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     joined = "/".join(str(n) for n in names)
+    # expert parallelism: MoE expert weights shard their leading expert dim
+    if "moe/" in joined or "/moe" in joined:
+        if str(names[-1]) in ("wi", "wo") and leaf.ndim == 3:
+            return PartitionSpec("model", None, None)
+        if str(names[-1]) in ("bi", "bo") and leaf.ndim == 2:
+            return PartitionSpec("model", None)
     if leaf.ndim >= 2 and names and str(names[-1]) == "kernel":
         if "wi/" in joined or joined.endswith("wi/kernel"):
             return PartitionSpec(None, "model")
@@ -454,13 +571,21 @@ def _pipeline_pre(cfg, pparams, feats, lens):
 
 
 def _warn_pipeline_dropout(cfg):
-    if cfg.dropout:
-        import warnings
+    import warnings
 
+    if cfg.dropout:
         warnings.warn(
             "the pipelined forward is deterministic: cfg.dropout="
             f"{cfg.dropout} will NOT be applied (regularize via the augment "
             "hook, or set dropout=0.0 to silence this)",
+            stacklevel=3,
+        )
+    if cfg.num_experts > 1:
+        warnings.warn(
+            "the pipelined forward routes MoE experts but DROPS the router "
+            "load-balance aux loss (sown collections don't cross the "
+            "pipeline's shard_map); train MoE configs with the "
+            "non-pipelined step or accept unbalanced routing",
             stacklevel=3,
         )
 
@@ -552,6 +677,18 @@ def make_pipeline_train_step(
     return step
 
 
+def moe_aux_loss(mutables) -> jax.Array:
+    """Sum the MoE router load-balance losses sown into ``"losses"``.
+
+    `mutables` is the collections dict returned by ``model.apply(...,
+    mutable=["losses"])``; each :class:`_MoEFeedForward` sows one scalar
+    per call. Returns their sum (0.0 when no MoE layers ran)."""
+    leaves = jax.tree_util.tree_leaves(mutables.get("losses", {}))
+    if not leaves:
+        return jnp.zeros(())
+    return sum(jnp.sum(v) for v in leaves)
+
+
 def ctc_loss(
     logits: jax.Array,
     logit_lens: jax.Array,
@@ -585,19 +722,27 @@ def make_train_step(
     from the shardings alone.
     """
     blank_id = model.cfg.vocab_size
+    moe = model.cfg.num_experts > 1
 
     def loss_fn(params, key, feats, feat_lens, refs, ref_lens):
         k_aug, k_drop = jax.random.split(key)
         if augment is not None:
             feats = augment(k_aug, feats, feat_lens)
-        logits, out_lens = model.apply(
+        out = model.apply(
             {"params": params},
             feats,
             feat_lens,
             deterministic=False,
             rngs={"dropout": k_drop},
+            mutable=["losses"] if moe else False,
         )
-        return ctc_loss(logits, out_lens, refs, ref_lens, blank_id)
+        aux = 0.0
+        if moe:
+            (logits, out_lens), muts = out
+            aux = model.cfg.moe_aux_weight * moe_aux_loss(muts)
+        else:
+            logits, out_lens = out
+        return ctc_loss(logits, out_lens, refs, ref_lens, blank_id) + aux
 
     def step(params, opt_state, key, feats, feat_lens, refs, ref_lens):
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -602,11 +602,15 @@ def make_transducer_train_step(
     (params, opt_state, loss)`` — jittable, shardable like
     :func:`pydrobert_tpu.models.make_train_step`."""
 
+    moe = model.cfg.encoder.num_experts > 1
+
     def loss_fn(params, key, feats, feat_lens, refs, ref_lens):
+        from .conformer import moe_aux_loss
+
         k_aug, k_drop = jax.random.split(key)
         if augment is not None:
             feats = augment(k_aug, feats, feat_lens)
-        return model.apply(
+        out = model.apply(
             {"params": params},
             feats,
             feat_lens,
@@ -614,7 +618,12 @@ def make_transducer_train_step(
             ref_lens,
             deterministic=False,
             rngs={"dropout": k_drop},
+            mutable=["losses"] if moe else False,
         )
+        if moe:
+            loss, muts = out
+            return loss + model.cfg.encoder.moe_aux_weight * moe_aux_loss(muts)
+        return out
 
     def step(params, opt_state, key, feats, feat_lens, refs, ref_lens):
         loss, grads = jax.value_and_grad(loss_fn)(

@@ -286,3 +286,157 @@ def test_seq2seq_beam_search_and_mer(key):
         params, p2,
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_moe_ffn_matches_python_oracle(key):
+    """_MoEFeedForward (top-k routing, capacity drops, expert FFNs) vs a
+    per-token numpy reimplementation from the same params."""
+    import dataclasses
+
+    from pydrobert_tpu.models.conformer import _MoEFeedForward
+
+    cfg = dataclasses.replace(
+        CFG, num_experts=4, expert_top_k=2, expert_capacity_factor=0.5,
+        dropout=0.0,
+    )
+    m = _MoEFeedForward(cfg)
+    rng = np.random.RandomState(7)
+    N, T, d = 2, 9, CFG.d_model
+    x = jnp.asarray(rng.randn(N, T, d), jnp.float32)
+    pad_mask = jnp.asarray(rng.rand(N, T) > 0.2)
+    params = m.init(key, x, pad_mask, True)["params"]
+    out, muts = m.apply({"params": params}, x, pad_mask, True,
+                        mutable=["losses"])
+
+    # ---- numpy oracle ----
+    E, k = 4, 2
+    S = N * T
+    C = max(1, int(np.ceil(S * k * 0.5 / E)))
+    xf = np.asarray(x, np.float64).reshape(S, d)
+    mu = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    ln = (xf - mu) / np.sqrt(var + 1e-6)
+    ln = ln * np.asarray(params["ln"]["scale"]) + np.asarray(
+        params["ln"]["bias"]
+    )
+    valid = np.asarray(pad_mask).reshape(S)
+    gl = ln @ np.asarray(params["gate"]["kernel"]) + np.asarray(
+        params["gate"]["bias"]
+    )
+    probs = np.exp(gl - gl.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    probs *= valid[:, None]
+    order = np.argsort(-probs, -1, kind="stable")[:, :k]
+    gv = np.take_along_axis(probs, order, -1)
+    gv = gv / np.clip(gv.sum(-1, keepdims=True), 1e-9, None) * valid[:, None]
+    # slot-major capacity assignment
+    counts = np.zeros(E, np.int64)
+    keep = np.zeros((S, k), bool)
+    for slot in range(k):
+        for s in range(S):
+            if gv[s, slot] > 0:
+                e = order[s, slot]
+                if counts[e] < C:
+                    keep[s, slot] = True
+                    counts[e] += 1
+    wi, bi = np.asarray(params["wi"]), np.asarray(params["bi"])
+    wo, bo = np.asarray(params["wo"]), np.asarray(params["bo"])
+
+    def expert(e, v):
+        h = v @ wi[e] + bi[e]
+        h = h / (1 + np.exp(-h))
+        return h @ wo[e] + bo[e]
+
+    want = np.zeros((S, d))
+    for s in range(S):
+        for slot in range(k):
+            if keep[s, slot]:
+                want[s] += gv[s, slot] * expert(order[s, slot], ln[s])
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(S, d), want, atol=1e-4
+    )
+    # Switch aux loss: E * sum_e f_e * P_e over valid tokens
+    nv = max(valid.sum(), 1)
+    f_e = np.zeros(E)
+    for s in range(S):
+        if valid[s]:
+            f_e[order[s, 0]] += 1
+    f_e /= nv
+    p_e = probs.sum(0) / nv
+    aux = float(jax.tree_util.tree_leaves(muts["losses"])[0])
+    np.testing.assert_allclose(aux, E * (f_e * p_e).sum(), rtol=1e-5)
+
+
+def test_moe_train_step_descends_with_aux_loss(key):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, num_experts=4, expert_top_k=2)
+    model = ConformerCTC(cfg)
+    rng = np.random.RandomState(5)
+    N, T, U = 4, 32, 4
+    feats = jnp.asarray(rng.randn(N, T, CFG.num_filts), jnp.float32)
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)), jnp.int32)
+    refs = jnp.asarray(rng.randint(0, CFG.vocab_size, (N, U)), jnp.int32)
+    ref_lens = jnp.full((N,), U, jnp.int32)
+    params = model.init(key, feats, lens)["params"]
+    # expert weights exist with the leading expert dim
+    assert params["block_0"]["moe"]["wi"].shape[0] == 4
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(model, optimizer))
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(key, i),
+            feats, lens, refs, ref_lens,
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_moe_sharded_train_step_matches_single_device(key):
+    """Expert parallelism (expert dims over the model axis) is
+    numerics-preserving: dp=4 x tp=2 step == single-device step."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, num_experts=4, expert_top_k=2, dropout=0.0
+    )
+    model = ConformerCTC(cfg)
+    rng = np.random.RandomState(9)
+    N, T = 8, 64
+    feats = jnp.asarray(rng.randn(N, T, CFG.num_filts), jnp.float32)
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)), jnp.int32)
+    refs = jnp.asarray(rng.randint(0, CFG.vocab_size, (N, 3)), jnp.int32)
+    ref_lens = jnp.full((N,), 3, jnp.int32)
+    params = model.init(key, feats, lens)["params"]
+    optimizer = optax.sgd(1e-2)
+    step = make_train_step(model, optimizer)
+
+    p1, _, loss1 = jax.jit(step)(
+        params, optimizer.init(params), key, feats, lens, refs, ref_lens
+    )
+
+    mesh = make_mesh(model_parallelism=2)
+    sp = shard_params(params, mesh, conformer_partition_rules)
+    moe_wi = sp["block_0"]["moe"]["wi"]
+    assert "model" in str(moe_wi.sharding.spec)  # experts actually sharded
+    sopt = jax.device_put(optimizer.init(sp), replicated_sharding(mesh))
+    bs = batch_sharding(mesh)
+    sfeats, slens, srefs, sref_lens = (
+        jax.device_put(x, bs) for x in (feats, lens, refs, ref_lens)
+    )
+    skey = jax.device_put(key, replicated_sharding(mesh))
+    p8, _, loss8 = jax.jit(step)(
+        sp, sopt, skey, sfeats, slens, srefs, sref_lens
+    )
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        ),
+        p1,
+        jax.device_get(p8),
+    )
