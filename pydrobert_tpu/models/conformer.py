@@ -163,8 +163,13 @@ class _MoEFeedForward(nn.Module):
         )
         probs = jax.nn.softmax(logits, -1) * valid[:, None]  # (S, E)
         gvals, gidx = jax.lax.top_k(probs, k)  # (S, k)
-        gvals = gvals / jnp.clip(gvals.sum(-1, keepdims=True), 1e-9, None)
-        gvals = gvals * valid[:, None]
+        if k > 1:
+            # GShard-style renormalization over the chosen experts
+            gvals = gvals / jnp.clip(gvals.sum(-1, keepdims=True), 1e-9, None)
+            gvals = gvals * valid[:, None]
+        # k == 1 keeps the RAW router probability as the gate value
+        # (Switch): renormalizing a single choice to 1.0 would cut the
+        # router out of the main-loss gradient entirely
 
         # one-hot expert assignment per choice slot, slot-major so slot 0
         # (every token's best expert) claims capacity before any slot 1

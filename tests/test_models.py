@@ -288,7 +288,8 @@ def test_seq2seq_beam_search_and_mer(key):
     assert max(jax.tree.leaves(moved)) > 0
 
 
-def test_moe_ffn_matches_python_oracle(key):
+@pytest.mark.parametrize("k", [1, 2])
+def test_moe_ffn_matches_python_oracle(key, k):
     """_MoEFeedForward (top-k routing, capacity drops, expert FFNs) vs a
     per-token numpy reimplementation from the same params."""
     import dataclasses
@@ -296,7 +297,7 @@ def test_moe_ffn_matches_python_oracle(key):
     from pydrobert_tpu.models.conformer import _MoEFeedForward
 
     cfg = dataclasses.replace(
-        CFG, num_experts=4, expert_top_k=2, expert_capacity_factor=0.5,
+        CFG, num_experts=4, expert_top_k=k, expert_capacity_factor=0.5,
         dropout=0.0,
     )
     m = _MoEFeedForward(cfg)
@@ -309,7 +310,7 @@ def test_moe_ffn_matches_python_oracle(key):
                         mutable=["losses"])
 
     # ---- numpy oracle ----
-    E, k = 4, 2
+    E = 4
     S = N * T
     C = max(1, int(np.ceil(S * k * 0.5 / E)))
     xf = np.asarray(x, np.float64).reshape(S, d)
@@ -328,7 +329,9 @@ def test_moe_ffn_matches_python_oracle(key):
     probs *= valid[:, None]
     order = np.argsort(-probs, -1, kind="stable")[:, :k]
     gv = np.take_along_axis(probs, order, -1)
-    gv = gv / np.clip(gv.sum(-1, keepdims=True), 1e-9, None) * valid[:, None]
+    if k > 1:  # k == 1 keeps the raw router prob (Switch)
+        gv = gv / np.clip(gv.sum(-1, keepdims=True), 1e-9, None)
+        gv = gv * valid[:, None]
     # slot-major capacity assignment
     counts = np.zeros(E, np.int64)
     keep = np.zeros((S, k), bool)
