@@ -1,0 +1,100 @@
+"""One-shot TPU measurement sweep after tunnel recovery (run by watcher).
+
+Ordered most-important-first so a short tunnel window still yields the
+essentials: (1) no-LM + fused throughput/kernels, (2) fresh HLO dumps,
+(3) beam-gate calibration (new kernel), (4) unroll sweep.
+"""
+import json
+import time
+
+import jax
+
+import bench
+import pydrobert_tpu.config as config
+from pydrobert_tpu.ops.decoding import CTCPrefixSearch
+from pydrobert_tpu.utils.hlostats import count_body_kernels
+
+out = {}
+print("devices:", jax.devices(), flush=True)
+
+# --- 1. no-LM + fused throughput + kernels/step
+t0 = time.perf_counter()
+thr, per_utt, kernels, upk = bench._bench_search(
+    CTCPrefixSearch(16), 32, 500, 1024, seed=1
+)
+out["nolm"] = dict(thr=round(thr, 1), kernels=kernels, upk=upk,
+                   wall=round(time.perf_counter() - t0, 1))
+print("noLM", out["nolm"], flush=True)
+
+lm = bench._bench_lm()
+fsearch = CTCPrefixSearch(16, beta=0.5, lm=lm)
+t0 = time.perf_counter()
+thr, per_utt, kernels, upk = bench._bench_search(fsearch, 32, 500, 1024, seed=2)
+out["fused"] = dict(thr=round(thr, 1), kernels=kernels, upk=upk,
+                    wall=round(time.perf_counter() - t0, 1))
+print("fused", out["fused"], flush=True)
+print("SWEEP1", json.dumps(out), flush=True)
+
+# --- 1b. LM-only beam search (batch-major rework) throughput
+t0 = time.perf_counter()
+thr = bench.bench_ngram_beam_search()
+out["ngram_beam"] = dict(thr=round(thr, 1),
+                         wall=round(time.perf_counter() - t0, 1))
+print("ngram_beam", out["ngram_beam"], flush=True)
+
+# --- 2. fresh HLO dumps (for copy/layout analysis)
+search = CTCPrefixSearch(16)
+logits, lens = bench._decode_inputs(32, 500, 1024, 1)
+txt = jax.jit(lambda l, n: search(l, n)).lower(logits, lens).compile().as_text()
+open("/tmp/decode_hlo_new.txt", "w").write(txt)
+logits, lens = bench._decode_inputs(32, 500, 1024, 2)
+txt = jax.jit(lambda l, n: fsearch(l, n)).lower(logits, lens).compile().as_text()
+open("/tmp/fused_hlo_new.txt", "w").write(txt)
+print("HLO dumps written", flush=True)
+
+# --- 3. beam-gate calibration with the new kernel (logs + caches)
+import logging
+logging.basicConfig(level=logging.INFO)
+from pydrobert_tpu.ops import pallas
+try:
+    use = pallas._calibrate_beam_kernel("manual:" + pallas._beam_kernel_rev())
+    print("gate says pallas:", use, flush=True)
+except Exception as e:
+    print("gate calibration error:", e, flush=True)
+
+# --- 4. unroll sweep
+for name, s in (("nolm", search), ("fused", fsearch)):
+    for unroll in (2, 4):
+        config.DECODE_SCAN_UNROLL = unroll
+        t0 = time.perf_counter()
+        thr, _, kernels, upk = bench._bench_search(
+            s, 32, 500, 1024, seed=1 if name == "nolm" else 2
+        )
+        out[f"{name}_u{unroll}"] = dict(
+            thr=round(thr, 1), kernels=kernels, upk=upk,
+            wall=round(time.perf_counter() - t0, 1),
+        )
+        print(name, "unroll", unroll, out[f"{name}_u{unroll}"], flush=True)
+    config.DECODE_SCAN_UNROLL = 1
+
+print("SWEEP", json.dumps(out), flush=True)
+
+# --- 5. top-M kernel calibration (new: single-pass selection vs sort)
+try:
+    use_topm = pallas._calibrate_topm("manual-topm:" + pallas._topm_rev())
+    print("topm gate says pallas:", use_topm, flush=True)
+    # headline-shape A/B: the prologue top-M was ~60% of no-LM decode
+    import pydrobert_tpu.config as _cfg
+    for mode in ("0", "1"):
+        _cfg.USE_PALLAS_TOPM = mode
+        t0 = time.perf_counter()
+        thr, _, kernels, upk = bench._bench_search(
+            CTCPrefixSearch(16), 32, 500, 1024, seed=1
+        )
+        out[f"nolm_topm{mode}"] = dict(thr=round(thr, 1), kernels=kernels,
+                                       wall=round(time.perf_counter()-t0, 1))
+        print("nolm topm", mode, out[f"nolm_topm{mode}"], flush=True)
+    _cfg.USE_PALLAS_TOPM = "auto"
+except Exception as e:
+    print("topm calibration error:", e, flush=True)
+print("SWEEP-FINAL", json.dumps(out), flush=True)
