@@ -32,13 +32,12 @@ import numpy as np
 
 # persistent compilation cache: repeat bench runs skip the multi-minute XLA
 # compiles (timings below always warm before measuring, so this only moves
-# wall-clock spent compiling, never the reported numbers)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# wall-clock spent compiling, never the reported numbers). Host-keyed: a
+# cache written by a different-CPU host logs AOT-mismatch errors and risks
+# SIGILL if reused (utils/cache.py).
+from pydrobert_tpu.utils.cache import enable_cache
+
+enable_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"))
 
 from pydrobert_tpu.ops.decoding import CTCPrefixSearch
 from pydrobert_tpu.ops.img import spec_augment

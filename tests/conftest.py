@@ -39,10 +39,11 @@ _CACHE_DIR = os.environ.get(
                  ".cache", "jax"),
 )
 if _CACHE_DIR != "0":
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # host-keyed: cross-host reuse of XLA:CPU AOT entries logs
+    # machine-feature-mismatch errors and risks SIGILL (utils/cache.py)
+    from pydrobert_tpu.utils.cache import enable_cache
+
+    _CACHE_DIR = enable_cache(_CACHE_DIR)
 
 REF_TESTS = "/root/reference/tests"
 

@@ -164,3 +164,16 @@ def test_argcheck_reference_positional_forms():
     assert argcheck.is_exactly(None, None, "x") is None
     with pytest.raises(ValueError):
         argcheck.is_exactly(5, None, "x")
+
+
+def test_host_keyed_compile_cache(tmp_path):
+    # cross-host XLA:CPU AOT reuse SIGILLs; the cache dir must be host-keyed
+    from pydrobert_tpu.utils.cache import (
+        compilation_cache_dir,
+        host_fingerprint,
+    )
+
+    fp = host_fingerprint()
+    assert fp and fp == host_fingerprint()  # stable
+    d = compilation_cache_dir(str(tmp_path / "jax"))
+    assert d.endswith(fp) and str(tmp_path) in d
