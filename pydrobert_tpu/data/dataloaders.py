@@ -446,9 +446,13 @@ class _BaseDataLoader:
     Single-process, in-order loading (the reference's worker processes are
     a torch DataLoader feature; here the host pipeline is simple and the
     accelerator hand-off is explicit). If `sharding` is given, every array
-    in a batch is ``jax.device_put`` with it — with a
-    ``NamedSharding(mesh, P("data"))`` this implements distributed data
-    parallelism.
+    in a batch is placed with it — with a ``NamedSharding(mesh, P("data"))``
+    this implements distributed data parallelism. When the sharding spans
+    multiple processes, each process's batch is treated as its shard of the
+    global batch (the epoch samplers already stride sampling by
+    ``jax.process_index()``) and the global ``jax.Array`` is assembled via
+    ``jax.make_array_from_process_local_data``; single-process shardings
+    use a plain ``device_put``.
     """
 
     def __init__(
@@ -473,11 +477,23 @@ class _BaseDataLoader:
             return batch
         import jax
 
+        sh = self.sharding
+        # multihost: this process's batch is only its shard of the global
+        # batch (the epoch samplers stride by process), and device_put
+        # cannot build an array spanning non-addressable devices — assemble
+        # the global jax.Array from the per-process shards instead
+        multiproc = any(
+            d.process_index != jax.process_index()
+            for d in getattr(sh, "device_set", ())
+        )
+        if multiproc:
+            def put(x):
+                return jax.make_array_from_process_local_data(sh, x)
+        else:
+            def put(x):
+                return jax.device_put(x, sh)
         return tuple(
-            jax.device_put(x, self.sharding)
-            if isinstance(x, np.ndarray)
-            else x
-            for x in batch
+            put(x) if isinstance(x, np.ndarray) else x for x in batch
         )
 
     def _native_fetch(self):

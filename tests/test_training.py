@@ -389,5 +389,9 @@ def test_real_two_process_distributed(tmp_path):
         assert abs(o["reduced"]["met"] - 1.5) < 1e-6
         assert abs(o["train_met"] - 1.5) < 1e-6
         assert abs(o["val_met"] - 2.5) < 1e-6
+        # loader assembled the global batch (2 ranks x local batch 2 = 4)
+        # from process-local shards, each holding its sampler's rows
+        assert o["loader_global_shape"] == [4, 6, 3]
+        assert o["loader_shard_ok"]
     # rank 0 wrote history + checkpoints exactly once
     assert os.path.exists(os.path.join(out_dir, "hist.csv"))
