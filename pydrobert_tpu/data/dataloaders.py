@@ -287,9 +287,24 @@ class ContextWindowDataLoaderParams(ContextWindowDataParams, DataLoaderParams):
 # ---------------------------------------------------------------------------
 
 
-def _pad_stack(arrs: Sequence[np.ndarray], value, batch_first: bool):
+def _pad_stack(
+    arrs: Sequence[np.ndarray],
+    value,
+    batch_first: bool,
+    pad_to: Optional[int] = None,
+    pad_to_multiple: int = 1,
+):
     N = len(arrs)
     maxlen = max(a.shape[0] for a in arrs)
+    if pad_to_multiple > 1:
+        maxlen = -(-maxlen // pad_to_multiple) * pad_to_multiple
+    if pad_to is not None:
+        if maxlen > pad_to:
+            raise ValueError(
+                f"a sequence of length {max(a.shape[0] for a in arrs)} "
+                f"exceeds the fixed padded length {pad_to}"
+            )
+        maxlen = pad_to
     rest = arrs[0].shape[1:]
     out = np.full((N, maxlen) + rest, value, dtype=arrs[0].dtype)
     for i, a in enumerate(arrs):
@@ -304,10 +319,18 @@ def lang_seq_to_batch(
     batch_first: bool = True,
     sort: bool = True,
     has_uttids: bool = False,
+    ref_pad_to: Optional[int] = None,
+    pad_to_multiple: int = 1,
 ):
     """Collate LangDataSet elements: ``(refs, ref_sizes[, uttids])``,
     refs padded with :obj:`config.INDEX_PAD_VALUE` (reference
-    ``_dataloaders.py:453-512``)."""
+    ``_dataloaders.py:453-512``).
+
+    TPU shape controls (beyond the reference): `pad_to_multiple` rounds the
+    padded length up to a multiple (quantizing batch shapes bounds the
+    number of distinct XLA compilations); `ref_pad_to` fixes it outright —
+    required for multihost data parallelism, where every process's batch
+    must share one global shape (raises if an element exceeds it)."""
     seq = list(seq)
     if sort and has_uttids:
         seq = sorted(seq, key=lambda x: x[0].shape[0], reverse=True)
@@ -318,7 +341,9 @@ def lang_seq_to_batch(
     else:
         refs = seq
     ref_sizes = np.asarray([len(x) for x in refs])
-    refs = _pad_stack(refs, config.INDEX_PAD_VALUE, batch_first)
+    refs = _pad_stack(
+        refs, config.INDEX_PAD_VALUE, batch_first, ref_pad_to, pad_to_multiple
+    )
     if has_uttids:
         return refs, ref_sizes, tuple(uttids)
     return refs, ref_sizes
@@ -330,10 +355,20 @@ def spect_seq_to_batch(
     sort: bool = True,
     has_alis: bool = True,
     has_uttids: bool = False,
+    feat_pad_to: Optional[int] = None,
+    ref_pad_to: Optional[int] = None,
+    pad_to_multiple: int = 1,
 ):
     """Collate SpectDataSet elements: feats zero-padded, alis/refs padded
     with :obj:`config.INDEX_PAD_VALUE`, plus sizes (reference
-    ``_dataloaders.py:781-885``)."""
+    ``_dataloaders.py:781-885``).
+
+    TPU shape controls (beyond the reference): `pad_to_multiple` rounds
+    padded lengths (feats/alis and refs) up to a multiple — quantized batch
+    shapes bound the number of distinct XLA compilations; `feat_pad_to` /
+    `ref_pad_to` fix the lengths outright, which multihost data parallelism
+    requires (every process's batch must share one global shape; raises if
+    an element exceeds the fixed length)."""
     seq = list(seq)
     if sort:
         seq = sorted(seq, key=lambda x: x[0].shape[0], reverse=True)
@@ -352,15 +387,21 @@ def spect_seq_to_batch(
         ali_not_none = False
     ref_not_none = all(x is not None for x in refs)
     feat_sizes = np.asarray([x.shape[0] for x in feats])
-    feats = _pad_stack(feats, 0, batch_first)
+    feats = _pad_stack(feats, 0, batch_first, feat_pad_to, pad_to_multiple)
     alis = (
-        _pad_stack(alis, config.INDEX_PAD_VALUE, batch_first)
+        _pad_stack(
+            alis, config.INDEX_PAD_VALUE, batch_first, feat_pad_to,
+            pad_to_multiple,
+        )
         if ali_not_none
         else None
     )
     if ref_not_none:
         ref_sizes = np.asarray([len(x) for x in refs])
-        refs = _pad_stack(refs, config.INDEX_PAD_VALUE, batch_first)
+        refs = _pad_stack(
+            refs, config.INDEX_PAD_VALUE, batch_first, ref_pad_to,
+            pad_to_multiple,
+        )
     else:
         ref_sizes = refs = None
     if has_alis:
@@ -670,6 +711,8 @@ class LangDataLoader(_BaseDataLoader):
         seed: Optional[int] = None,
         sharding=None,
         prefetch: int = 0,
+        ref_pad_to: Optional[int] = None,
+        pad_to_multiple: int = 1,
         **ds_kwargs,
     ):
         params = LangDataLoaderParams() if params is None else params
@@ -685,6 +728,7 @@ class LangDataLoader(_BaseDataLoader):
             return lang_seq_to_batch(
                 seq, batch_first, sort_batch,
                 has_uttids=not dataset.suppress_uttids,
+                ref_pad_to=ref_pad_to, pad_to_multiple=pad_to_multiple,
             )
 
         super().__init__(
@@ -716,6 +760,9 @@ class SpectDataLoader(_BaseDataLoader):
         seed: Optional[int] = None,
         sharding=None,
         prefetch: int = 0,
+        feat_pad_to: Optional[int] = None,
+        ref_pad_to: Optional[int] = None,
+        pad_to_multiple: int = 1,
         **ds_kwargs,
     ):
         params = SpectDataLoaderParams() if params is None else params
@@ -734,6 +781,9 @@ class SpectDataLoader(_BaseDataLoader):
                 sort_batch,
                 has_alis=not dataset.suppress_alis,
                 has_uttids=not dataset.suppress_uttids,
+                feat_pad_to=feat_pad_to,
+                ref_pad_to=ref_pad_to,
+                pad_to_multiple=pad_to_multiple,
             )
 
         super().__init__(

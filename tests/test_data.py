@@ -440,3 +440,52 @@ def test_spect_tar_duplicate_shards_yield_once(populate_data_dir, tmp_path):
     assert len(tds) == 3
     streamed = [t[-1] for t in tds]
     assert sorted(streamed) == sorted(utt_ids)
+
+
+def test_collate_pad_controls():
+    """pad_to_multiple quantizes padded lengths (bounding the number of
+    distinct XLA compilations); feat_pad_to/ref_pad_to fix them outright
+    (required by multihost DP: every process's batch must share one global
+    shape) and raise when an element exceeds the fixed size."""
+    from pydrobert_tpu.data import lang_seq_to_batch, spect_seq_to_batch
+
+    feats = [np.random.randn(t, 4).astype(np.float32) for t in (3, 5)]
+    refs = [np.arange(2, dtype=np.int64), np.arange(7, dtype=np.int64)]
+    f, r, fs, rs = spect_seq_to_batch(
+        list(zip(feats, refs)), has_alis=False, pad_to_multiple=8
+    )
+    assert f.shape == (2, 8, 4) and r.shape == (2, 8)
+    assert list(fs) == [5, 3] and list(rs) == [7, 2]  # sorted by feat len
+    f, r, _, _ = spect_seq_to_batch(
+        list(zip(feats, refs)), has_alis=False, feat_pad_to=10, ref_pad_to=9
+    )
+    assert f.shape == (2, 10, 4) and r.shape == (2, 9)
+    assert (r[:, 7:] == -100).all()
+    with pytest.raises(ValueError, match="exceeds"):
+        spect_seq_to_batch(
+            list(zip(feats, refs)), has_alis=False, feat_pad_to=4
+        )
+    r2, _ = lang_seq_to_batch(refs, ref_pad_to=12)
+    assert r2.shape == (2, 12)
+
+
+def test_loader_pad_controls(populate_data_dir):
+    """Loader-level shape controls produce identical padded shapes across
+    batches regardless of per-batch max lengths."""
+    from pydrobert_tpu.data import SpectDataLoader, SpectDataLoaderParams
+
+    root, _, _, _, _ = populate_data_dir(
+        num_utts=8, max_width=9, include_ali=False
+    )
+    loader = SpectDataLoader(
+        str(root),
+        SpectDataLoaderParams(batch_size=4),
+        shuffle=False,
+        suppress_uttids=True,
+        feat_pad_to=16,
+        ref_pad_to=8,
+    )
+    shapes = {tuple(b[0].shape) + tuple(b[1].shape) for b in loader}
+    assert len(shapes) == 1
+    ((N, T, F, N2, U),) = shapes
+    assert (N, T, U) == (4, 16, 8)
