@@ -133,3 +133,31 @@ def test_minimum_end_to_end_slice(tmp_path, seeded, key):
         p2,
         params,
     )
+
+
+@pytest.mark.slow
+def test_example_recipe_runs(tmp_path):
+    """examples/train_ctc_asr.py end-to-end: synthesize -> sharded train
+    (resumable) -> decode -> CLI scoring, exit code 0, artifacts present."""
+    import importlib.util
+    import sys
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "train_ctc_asr.py",
+    )
+    spec = importlib.util.spec_from_file_location("train_ctc_asr", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["train_ctc_asr"] = mod
+    spec.loader.exec_module(mod)
+    work = str(tmp_path / "work")
+    argv = [
+        "--work-dir", work, "--num-utts", "8", "--num-epochs", "2",
+        "--model-parallelism", "2",
+    ]
+    assert mod.main(argv) == 0
+    assert os.path.exists(os.path.join(work, "hist.csv"))
+    assert os.path.exists(os.path.join(work, "wer.txt"))
+    # resumable: a second run continues (or no-ops) cleanly from the state
+    assert mod.main(argv) == 0
