@@ -25,6 +25,7 @@ TPU-specific additions:
 - :mod:`pydrobert_tpu.ops` — implementation modules (incl. Pallas kernels)
 - :mod:`pydrobert_tpu.models` — reference model families (Conformer-CTC, ...)
 - :mod:`pydrobert_tpu.parallel` — mesh/sharding utilities
+- :mod:`pydrobert_tpu.serving` — online (streaming) recognition sessions
 """
 
 __version__ = "0.1.0"
@@ -40,6 +41,7 @@ __all__ = [
     "modules",
     "ops",
     "parallel",
+    "serving",
     "training",
     "utils",
 ]

@@ -1,0 +1,110 @@
+"""Streaming recognition sessions (pydrobert_tpu.serving): arbitrary-size
+pushes with ragged stream ends must reproduce the one-shot decode exactly."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pydrobert_tpu.models.conformer import ConformerConfig
+from pydrobert_tpu.models.transducer import ConformerTransducer, TransducerConfig
+from pydrobert_tpu.serving import StreamingTransducerRecognizer
+
+_ENC = ConformerConfig(
+    vocab_size=16, num_filts=8, d_model=16, num_layers=2, num_heads=2,
+    subsample_channels=4, conv_kernel=5, dropout=0.0, dtype=jnp.float32,
+    attention_context=(4, 0), causal_conv=True,
+)
+_CFG = TransducerConfig(encoder=_ENC, pred_dim=12, joint_dim=12)
+
+
+def _setup(key, T=45, N=3, seed=0):
+    model = ConformerTransducer(_CFG)
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(N, T, 8).astype(np.float32)
+    lens = np.asarray([T, T - 10, (T // 2) + 1], np.int64)[:N]
+    refs = jnp.asarray(rng.randint(0, 16, (N, 4)), jnp.int32)
+    params = model.init(
+        key, jnp.asarray(feats), jnp.asarray(lens, jnp.int32), refs,
+        jnp.full((N,), 4, jnp.int32),
+    )["params"]
+    return model, params, feats, lens
+
+
+def _push_all(rec, feats, lens, pieces, partials=False):
+    """Feed `feats` in the given piece sizes; new_lens clips per stream."""
+    sess = rec.start(feats.shape[0])
+    t = 0
+    for size in pieces:
+        chunk = feats[:, t : t + size]
+        new_lens = np.clip(lens - t, 0, chunk.shape[1])
+        out = rec.push(sess, chunk, new_lens)
+        if partials:
+            assert all(np.asarray(x).shape[0] == feats.shape[0] for x in out)
+        t += chunk.shape[1]
+    assert t == feats.shape[1]
+    return rec.finish(sess)
+
+
+@pytest.mark.parametrize("pieces", [[45], [7, 20, 18], [1] * 45, [44, 1]])
+def test_streaming_session_greedy_matches_one_shot(key, pieces):
+    model, params, feats, lens = _setup(key)
+    hyps, hyp_lens = model.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(lens, jnp.int32),
+        3, method="greedy",
+    )
+    rec = StreamingTransducerRecognizer(
+        model, params, chunk=4, mode="greedy", max_symbols_per_frame=3,
+        max_frames=32,
+    )
+    sh, sl = _push_all(rec, feats, lens, pieces, partials=True)
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(hyp_lens))
+    U = min(sh.shape[1], hyps.shape[1])
+    np.testing.assert_array_equal(
+        np.asarray(sh)[:, :U], np.asarray(hyps)[:, :U]
+    )
+    # reusing a finished session is an error
+    sess = rec.start(3)
+    rec.finish(sess)
+    with pytest.raises(RuntimeError, match="finished"):
+        rec.finish(sess)
+    with pytest.raises(RuntimeError, match="finished"):
+        rec.push(sess, feats[:, :1])
+
+
+def test_streaming_session_beam_matches_one_shot(key):
+    model, params, feats, lens = _setup(key, seed=3)
+    bh, bl, bs = model.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(lens, jnp.int32),
+        3, 2, method="beam",
+    )
+    rec = StreamingTransducerRecognizer(
+        model, params, chunk=5, mode="beam", width=3,
+        max_symbols_per_frame=2, max_frames=32,
+    )
+    sh, sl, ss = _push_all(rec, feats, lens, [9, 1, 25, 10])
+    np.testing.assert_array_equal(np.asarray(sl), np.asarray(bl))
+    U = min(sh.shape[2], bh.shape[2])
+    np.testing.assert_array_equal(
+        np.asarray(sh)[:, :, :U], np.asarray(bh)[:, :, :U]
+    )
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(bs), atol=1e-5)
+
+
+def test_streaming_session_rejects_resume_and_noncausal(key):
+    model, params, feats, lens = _setup(key)
+    rec = StreamingTransducerRecognizer(
+        model, params, chunk=4, max_frames=32
+    )
+    sess = rec.start(3)
+    rec.push(sess, feats[:, :8], np.asarray([8, 2, 8]))
+    with pytest.raises(RuntimeError, match="resume"):
+        rec.push(sess, feats[:, 8:16], np.asarray([8, 8, 8]))
+    # non-causal configs are rejected up front
+    enc = dataclasses.replace(_ENC, attention_context=(None, None))
+    model2 = ConformerTransducer(
+        TransducerConfig(encoder=enc, pred_dim=12, joint_dim=12)
+    )
+    with pytest.raises(ValueError, match="causal"):
+        StreamingTransducerRecognizer(model2, params)
