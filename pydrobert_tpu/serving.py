@@ -1,11 +1,16 @@
 """Online (streaming) recognition sessions for serving.
 
 The model-level streaming functions
-(:func:`pydrobert_tpu.models.streaming_transducer_greedy` / ``..._beam``)
-consume a complete utterance chunk by chunk. A serving frontend instead
-receives feature frames *incrementally* — arbitrary push sizes, many
-concurrent streams, streams ending at different times. This module wraps
-the same init/advance/finalize decode carries in a session object that:
+(:func:`pydrobert_tpu.models.streaming_transducer_greedy` / ``..._beam`` /
+:func:`pydrobert_tpu.models.conformer.streaming_logits`) consume a complete
+utterance chunk by chunk. A serving frontend instead receives feature
+frames *incrementally* — arbitrary push sizes, many concurrent streams,
+streams ending at different times. The session objects here cover both
+decode families: :class:`StreamingTransducerRecognizer` (greedy/beam
+RNN-T, carry threaded incrementally) and :class:`StreamingCTCRecognizer`
+(incremental causal encode, exact CTC prefix re-decode on demand). The
+transducer recognizer wraps the init/advance/finalize decode carries in a
+session that:
 
 - buffers raw frames and re-encodes exactly the receptive-field margin
   ``R`` each chunk, so hypotheses are *identical* to the one-shot decode
@@ -37,7 +42,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["StreamingSession", "StreamingTransducerRecognizer"]
+__all__ = [
+    "StreamingCTCRecognizer",
+    "StreamingCTCSession",
+    "StreamingSession",
+    "StreamingTransducerRecognizer",
+]
 
 
 def _ceil4(x):
@@ -355,3 +365,185 @@ class StreamingTransducerRecognizer:
             return hyps, u
         scores, hyps, lens = sess.carry[0], sess.carry[1], sess.carry[2]
         return hyps.astype(jnp.int32), lens, scores
+
+
+@dataclasses.dataclass
+class StreamingCTCSession:
+    """State of one batch of concurrent CTC streams."""
+
+    logits: np.ndarray  # (N, o0, V + 1) encoder outputs decoded so far
+    buf: np.ndarray  # (N, kept, F) raw frames from global raw index `base`
+    base: int
+    pushed: int  # raw frames pushed so far (shared timeline)
+    total: np.ndarray  # (N,) per-stream valid raw lengths
+    o0: int  # post-subsample frames encoded so far
+    done: bool = False
+
+
+class StreamingCTCRecognizer:
+    """Streaming CTC recognition sessions over a fixed checkpoint.
+
+    Same session surface as :class:`StreamingTransducerRecognizer`
+    (``start``/``push``/``finish``; batched streams, ragged ends via
+    per-push ``new_lens``, no resuming after a stream falls behind). The
+    *encoder* — where nearly all the FLOPs are — runs incrementally over
+    causal chunks exactly like :func:`pydrobert_tpu.models.conformer.
+    streaming_logits`; the CTC prefix search re-runs over the accumulated
+    logits when results are requested (``push(..., partials=True)`` and
+    ``finish``). Re-decoding is the trade-off for supporting every fusion
+    variant of :class:`~pydrobert_tpu.ops.decoding.CTCPrefixSearch`
+    unchanged: the search is a tiny fraction of encoder cost per frame,
+    but requesting partials every push makes total decode work quadratic
+    in utterance length — poll partials at the cadence you display them.
+
+    ``finish`` hypotheses equal the one-shot ``search(streaming_logits(
+    ...))`` decode (parity-tested). Decode lengths are padded to
+    `decode_pad_multiple` so a session compiles O(T / multiple) decode
+    programs, not one per length.
+
+    Requires the causal encoder config: ``attention_context=(L, 0)`` with
+    finite ``L`` and ``causal_conv=True``.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        chunk: int = 8,
+        width: int = 8,
+        beta: float = 0.2,
+        lm=None,
+        decode_pad_multiple: int = 32,
+    ):
+        from .ops.decoding import CTCPrefixSearch
+
+        cfg = model.cfg
+        left, right = cfg.attention_context
+        if left is None or right != 0 or not cfg.causal_conv:
+            raise ValueError(
+                "streaming recognition requires a causal encoder config: "
+                "attention_context=(L, 0) with finite L and causal_conv="
+                f"True (got attention_context={cfg.attention_context}, "
+                f"causal_conv={cfg.causal_conv})"
+            )
+        if chunk < 1:
+            raise ValueError(f"chunk must be positive, got {chunk}")
+        self.model, self.params, self.cfg = model, params, cfg
+        self.chunk = int(chunk)
+        self.R = cfg.num_layers * (int(left) + cfg.conv_kernel - 1)
+        self.decode_pad_multiple = max(1, int(decode_pad_multiple))
+        self.search = CTCPrefixSearch(width, beta=beta, lm=lm)
+
+        def encode(p, f, l, off):
+            return model.apply({"params": p}, f, l, True, off)[0]
+
+        self._encode = jax.jit(encode)
+
+        def decode(logits, lens):
+            return self.search(logits, lens)
+
+        self._decode = jax.jit(decode)
+
+    def start(self, batch_size: int) -> StreamingCTCSession:
+        """Open a session of `batch_size` concurrent streams."""
+        N = int(batch_size)
+        F = self.cfg.num_filts
+        return StreamingCTCSession(
+            logits=np.zeros((N, 0, self.cfg.vocab_size + 1), np.float32),
+            buf=np.zeros((N, 0, F), np.float32),
+            base=0,
+            pushed=0,
+            total=np.zeros((N,), np.int64),
+            o0=0,
+        )
+
+    def push(
+        self,
+        sess: StreamingCTCSession,
+        feats: np.ndarray,
+        new_lens: Optional[np.ndarray] = None,
+        partials: bool = False,
+    ):
+        """Feed ``(N, T_new, F)`` new frames; encode what they determine.
+
+        With ``partials=True`` the accumulated logits are re-decoded and
+        ``(y (S, N, W), y_lens (N, W), y_probs (N, W))`` is returned
+        (otherwise ``None``)."""
+        if sess.done:
+            raise RuntimeError("session already finished")
+        feats = np.asarray(feats, np.float32)
+        N, T_new = feats.shape[:2]
+        if N != sess.total.shape[0]:
+            raise ValueError(
+                f"batch size {N} != session batch {sess.total.shape[0]}"
+            )
+        new_lens = (
+            np.full((N,), T_new, np.int64)
+            if new_lens is None
+            else np.asarray(new_lens, np.int64)
+        )
+        if (new_lens < 0).any() or (new_lens > T_new).any():
+            raise ValueError("new_lens must lie in [0, T_new]")
+        resumed = (sess.total < sess.pushed) & (new_lens > 0)
+        if resumed.any():
+            raise RuntimeError(
+                f"streams {np.nonzero(resumed)[0].tolist()} ended (fell "
+                "behind the shared timeline) and cannot resume"
+            )
+        sess.buf = np.concatenate([sess.buf, feats], 1)
+        sess.total = sess.total + new_lens
+        sess.pushed += T_new
+        while sess.pushed // 4 - sess.o0 >= self.chunk:
+            self._encode_window(sess, sess.o0 + self.chunk)
+        if not partials:
+            return None
+        # a stream's frames < ceil4(total) are exact once encoded (the
+        # window encode masks by the stream's true valid length)
+        lens = np.minimum(_ceil4(sess.total), sess.o0)
+        return self._decode_padded(sess.logits, lens)
+
+    def finish(self, sess: StreamingCTCSession):
+        """Encode + decode everything outstanding; final hypotheses.
+
+        Returns ``(y (S, N, W), y_lens (N, W), y_probs (N, W))`` — the
+        :class:`~pydrobert_tpu.ops.decoding.CTCPrefixSearch` contract."""
+        if sess.done:
+            raise RuntimeError("session already finished")
+        out_lens = _ceil4(sess.total)
+        o1 = int(out_lens.max(initial=0))
+        while sess.o0 < o1:
+            self._encode_window(sess, min(sess.o0 + self.chunk, o1))
+        sess.done = True
+        return self._decode_padded(sess.logits, out_lens)
+
+    def _encode_window(self, sess, o1: int):
+        m0 = max(sess.o0 - self.R - 1, 0)
+        i0, i1 = 4 * m0, min(4 * o1, sess.pushed)
+        f = sess.buf[:, i0 - sess.base : i1 - sess.base]
+        l = np.clip(sess.total - i0, 0, i1 - i0)
+        logits = self._encode(
+            self.params,
+            jnp.asarray(f),
+            jnp.asarray(l, jnp.int32),
+            jnp.asarray(m0, jnp.int32),
+        )
+        sess.logits = np.concatenate(
+            [sess.logits, np.asarray(logits[:, sess.o0 - m0 : o1 - m0])], 1
+        )
+        sess.o0 = o1
+        keep_from = 4 * max(sess.o0 - self.R - 1, 0)
+        if keep_from > sess.base:
+            sess.buf = sess.buf[:, keep_from - sess.base :]
+            sess.base = keep_from
+
+    def _decode_padded(self, logits: np.ndarray, lens: np.ndarray):
+        """Decode time-major logits padded up to the compile-shape grid."""
+        N, T = logits.shape[:2]
+        m = self.decode_pad_multiple
+        Tp = max(-(-max(T, 1) // m) * m, m)
+        padded = np.zeros((N, Tp) + logits.shape[2:], logits.dtype)
+        padded[:, :T] = logits
+        return self._decode(
+            jnp.asarray(np.moveaxis(padded, 1, 0)),
+            jnp.asarray(lens, jnp.int32),
+        )

@@ -108,3 +108,88 @@ def test_streaming_session_rejects_resume_and_noncausal(key):
     )
     with pytest.raises(ValueError, match="causal"):
         StreamingTransducerRecognizer(model2, params)
+
+
+def _ctc_setup(key, T=45, N=3, seed=5):
+    from pydrobert_tpu.models import ConformerCTC
+
+    cfg = dataclasses.replace(_ENC, vocab_size=12)
+    model = ConformerCTC(cfg)
+    rng = np.random.RandomState(seed)
+    feats = rng.randn(N, T, 8).astype(np.float32)
+    lens = np.asarray([T, T - 10, (T // 2) + 1], np.int64)[:N]
+    params = model.init(
+        key, jnp.asarray(feats), jnp.asarray(lens, jnp.int32)
+    )["params"]
+    return model, params, feats, lens
+
+
+@pytest.mark.parametrize("pieces", [[45], [3, 30, 12], [44, 1]])
+def test_streaming_ctc_session_matches_one_shot(key, pieces):
+    from pydrobert_tpu.ops.decoding import CTCPrefixSearch
+    from pydrobert_tpu.serving import StreamingCTCRecognizer
+
+    model, params, feats, lens = _ctc_setup(key)
+    logits, out_lens = model.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(lens, jnp.int32)
+    )
+    search = CTCPrefixSearch(4)
+    y, y_lens, y_probs = search(jnp.swapaxes(logits, 0, 1), out_lens)
+
+    rec = StreamingCTCRecognizer(
+        model, params, chunk=4, width=4, decode_pad_multiple=16
+    )
+    sess = rec.start(3)
+    t = 0
+    for size in pieces:
+        chunk = feats[:, t : t + size]
+        out = rec.push(sess, chunk, np.clip(lens - t, 0, size), partials=True)
+        assert out is not None and np.asarray(out[1]).shape == (3, 4)
+        t += size
+    sy, sy_lens, sy_probs = rec.finish(sess)
+    np.testing.assert_array_equal(np.asarray(sy_lens), np.asarray(y_lens))
+    np.testing.assert_allclose(
+        np.asarray(sy_probs), np.asarray(y_probs), atol=1e-5
+    )
+    S = min(sy.shape[0], y.shape[0])
+    # compare emitted tokens (positions < y_lens); padding is unspecified
+    sy, y = np.asarray(sy)[:S], np.asarray(y)[:S]
+    mask = np.arange(S)[:, None, None] < np.asarray(y_lens)[None]
+    np.testing.assert_array_equal(np.where(mask, sy, -1), np.where(mask, y, -1))
+
+
+def test_streaming_ctc_session_with_lm_fusion(key):
+    from pydrobert_tpu.lm import LookupLanguageModel
+    from pydrobert_tpu.ops.decoding import CTCPrefixSearch
+    from pydrobert_tpu.serving import StreamingCTCRecognizer
+
+    model, params, feats, lens = _ctc_setup(key, seed=9)
+    V = 12
+    rng = np.random.RandomState(2)
+    uni = {w: (float(-rng.rand() * 4 - 0.1), float(-rng.rand()))
+           for w in range(V)}
+    uni[V] = (float("-inf"), float(-rng.rand()))
+    bi = {
+        (int(rng.randint(V + 1)), int(rng.randint(V))):
+            float(-rng.rand() * 4 - 0.1)
+        for _ in range(40)
+    }
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi])
+    logits, out_lens = model.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray(lens, jnp.int32)
+    )
+    search = CTCPrefixSearch(3, beta=0.4, lm=lm)
+    y, y_lens, y_probs = search(jnp.swapaxes(logits, 0, 1), out_lens)
+
+    rec = StreamingCTCRecognizer(
+        model, params, chunk=6, width=3, beta=0.4, lm=lm,
+        decode_pad_multiple=16,
+    )
+    sess = rec.start(3)
+    rec.push(sess, feats[:, :20], np.clip(lens, 0, 20))
+    rec.push(sess, feats[:, 20:], np.clip(lens - 20, 0, 25))
+    sy, sy_lens, sy_probs = rec.finish(sess)
+    np.testing.assert_array_equal(np.asarray(sy_lens), np.asarray(y_lens))
+    np.testing.assert_allclose(
+        np.asarray(sy_probs), np.asarray(y_probs), atol=1e-5
+    )
