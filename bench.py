@@ -412,6 +412,47 @@ def bench_transducer_greedy(B=32, T=500, F=80):
     return B / dt
 
 
+def bench_streaming_rnnt_chunk(B=8, chunk=8, n_chunks=12, F=80):
+    """Streaming serving latency: median wall-clock per push of one
+    steady-state `chunk` (post-subsample frames = 4x raw frames) through a
+    causal Conformer-Transducer StreamingTransducerRecognizer session —
+    incremental encode (margin re-encode) + greedy decode advance. This is
+    the per-chunk latency an online frontend sees once compiled."""
+    from pydrobert_tpu.models import ConformerConfig, ConformerTransducer
+    from pydrobert_tpu.models import TransducerConfig
+    from pydrobert_tpu.serving import StreamingTransducerRecognizer
+
+    enc_cfg = ConformerConfig(
+        vocab_size=1024, num_filts=F, d_model=256, num_layers=4, num_heads=4,
+        attention_context=(16, 0), causal_conv=True,
+    )
+    cfg = TransducerConfig(encoder=enc_cfg, pred_dim=256, joint_dim=256)
+    model = ConformerTransducer(cfg)
+    rng = np.random.RandomState(11)
+    T_raw = 4 * chunk
+    feats = [rng.randn(B, T_raw, F).astype(np.float32) for _ in range(3)]
+    refs = jnp.asarray(rng.randint(0, 1024, (B, 8)), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats[0]),
+        jnp.full((B,), T_raw, jnp.int32), refs, jnp.full((B,), 8, jnp.int32),
+    )["params"]
+    rec = StreamingTransducerRecognizer(
+        model, params, chunk=chunk, mode="greedy",
+        max_frames=chunk * (n_chunks + 8),
+    )
+    sess = rec.start(B)
+    # warm into steady state (first pushes compile the head windows)
+    for i in range(4):
+        _sync(rec.push(sess, feats[i % 3]))
+    times = []
+    for i in range(n_chunks):
+        t0 = time.perf_counter()
+        out = rec.push(sess, feats[i % 3])
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times) * 1e3  # ms per chunk push
+
+
 def bench_seq2seq_mer_step(B=16, T=200, F=40):
     """BASELINE config #5: attention seq2seq + MER loss training step
     (RandomWalk-sampled hypotheses, beam_search_advance-family decoding
@@ -580,6 +621,10 @@ def main():
     if within():
         _RESULTS["seq2seq_mer_step_per_sec"] = round(
             _guard(bench_seq2seq_mer_step, 0.0), 2
+        )
+    if within():
+        _RESULTS["streaming_rnnt_chunk_ms"] = round(
+            _guard(bench_streaming_rnnt_chunk, 0.0), 2
         )
     _RESULTS["timing"] = "median of >=3 reps, device-synced"
     try:
