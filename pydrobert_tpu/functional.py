@@ -15,6 +15,7 @@ from .ops.combinatorics import (  # noqa: F401
 )
 from .ops.decoding import (  # noqa: F401
     beam_search_advance,
+    ctc_forced_align,
     ctc_greedy_search,
     ctc_prefix_search_advance,
     random_walk_advance,
@@ -60,6 +61,7 @@ __all__ = [
     "binomial_coefficient",
     "chunk_by_slices",
     "chunk_token_sequences_by_slices",
+    "ctc_forced_align",
     "ctc_greedy_search",
     "ctc_prefix_search_advance",
     "dense_image_warp",

@@ -32,6 +32,7 @@ from .ops.attn import (  # noqa: F401
 )
 from .ops.decoding import (  # noqa: F401
     BeamSearch,
+    CTCForcedAligner,
     CTCGreedySearch,
     CTCPrefixSearch,
     RandomWalk,
@@ -47,6 +48,7 @@ __all__ = [
     "ChunkBySlices",
     "ChunkTokenSequencesBySlices",
     "ConcatSoftAttention",
+    "CTCForcedAligner",
     "CTCGreedySearch",
     "CTCPrefixSearch",
     "DenseImageWarp",

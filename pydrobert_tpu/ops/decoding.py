@@ -44,7 +44,9 @@ from ..lm import (
 __all__ = [
     "BeamSearch",
     "beam_search_advance",
+    "CTCForcedAligner",
     "CTCGreedySearch",
+    "ctc_forced_align",
     "ctc_greedy_search",
     "ctc_prefix_search_advance",
     "CTCPrefixSearch",
@@ -2029,6 +2031,29 @@ class CTCGreedySearch:
         )
 
 
+class CTCForcedAligner:
+    """Module wrapper for :func:`ctc_forced_align` (TPU-native extra; the
+    reference's decoding surface, ``_decoding.py``, stops at search)."""
+
+    def __init__(
+        self,
+        blank_idx: int = -1,
+        batch_first: bool = False,
+        is_probs: bool = False,
+    ):
+        from .. import argcheck
+
+        self.blank_idx = argcheck.is_int(blank_idx, "blank_idx")
+        self.batch_first = argcheck.is_bool(batch_first, "batch_first")
+        self.is_probs = argcheck.is_bool(is_probs, "is_probs")
+
+    def __call__(self, logits, refs, in_lens=None, ref_lens=None):
+        return ctc_forced_align(
+            logits, refs, in_lens, ref_lens, self.blank_idx,
+            self.batch_first, self.is_probs,
+        )
+
+
 def random_walk_advance(
     key: jax.Array,
     log_probs_t: jax.Array,
@@ -2434,3 +2459,153 @@ class SequentialLanguageModelDistribution:
             self._samples_cache = value
             self._log_probs_cache = lp
         return lp
+
+
+def ctc_forced_align(
+    logits: jax.Array,
+    refs: jax.Array,
+    in_lens: Optional[jax.Array] = None,
+    ref_lens: Optional[jax.Array] = None,
+    blank_idx: int = -1,
+    batch_first: bool = False,
+    is_probs: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Viterbi forced alignment over the CTC lattice.
+
+    Finds, per batch element, the most probable frame-level label sequence
+    (tokens and blanks) that collapses to the reference — the maximum-
+    probability path through the standard expanded state sequence
+    ``blank, r_1, blank, r_2, ..., r_U, blank`` with CTC's stay / advance /
+    skip-over-blank transitions. A TPU-native addition (the reference stops
+    at search, ``_decoding.py``): it produces exactly the per-frame ``ali/``
+    tensors of the SpectDataSet convention from CTC models, connecting to
+    ``torch-ali-data-dir-to-torch-token-data-dir`` and the ``ali`` slicing
+    policy.
+
+    Parameters mirror :func:`ctc_greedy_search`: `logits` ``(T, N, V)``
+    (or batch-first), `refs` ``(N, U)`` (or ``(U, N)`` when not
+    `batch_first`) with `ref_lens` marking valid labels (blanks must not
+    appear in the valid region). Returns ``(paths, scores)`` where `paths`
+    ``(T, N)`` (or ``(N, T)``) holds the aligned label per frame — token id
+    or ``blank_idx`` — valid for frames ``< in_lens`` (later frames repeat
+    the final state's label; mask them), and `scores` ``(N,)`` is the joint
+    log-probability of the best path. A reference longer than its frame
+    budget (``2 U_b + 1`` states can't fit in ``T_b`` frames, counting
+    mandatory blanks between repeated labels) yields ``scores = -inf`` and
+    an arbitrary path.
+
+    The whole computation is one ``lax.scan`` over frames carrying the
+    ``(N, S = 2 U + 1)`` Viterbi row (backpointers stacked as the scan
+    output) plus a reverse scan for the backtrace.
+    """
+    logits = jnp.asarray(logits)
+    refs = jnp.asarray(refs)
+    if logits.ndim != 3:
+        raise RuntimeError("logits must be 3-dimensional")
+    if refs.ndim != 2:
+        raise RuntimeError("refs must be 2-dimensional")
+    if not batch_first:
+        logits = jnp.swapaxes(logits, 0, 1)
+        refs = refs.T
+    N, T, V = logits.shape
+    U = refs.shape[1]
+    if refs.shape[0] != N:
+        raise RuntimeError(
+            f"batch dim of refs ({refs.shape[0]}) != logits ({N})"
+        )
+    if blank_idx < -V or blank_idx > (V - 1):
+        raise RuntimeError(
+            "Blank index out of range (expected to be in the range of "
+            f"[-{V},{V-1}], but got {blank_idx})"
+        )
+    blank_idx = (blank_idx + V) % V
+    in_lens = (
+        jnp.full((N,), T, jnp.int32)
+        if in_lens is None
+        else jnp.asarray(in_lens, jnp.int32)
+    )
+    ref_lens = (
+        jnp.full((N,), U, jnp.int32)
+        if ref_lens is None
+        else jnp.asarray(ref_lens, jnp.int32)
+    )
+    # is_probs follows ctc_greedy_search: True = inputs are probabilities
+    lp = jnp.log(logits) if is_probs else jax.nn.log_softmax(logits, -1)
+
+    S = 2 * U + 1
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    is_tok = (s_idx % 2).astype(bool)  # odd states carry reference tokens
+    tok_pos = jnp.clip((s_idx - 1) // 2, 0, max(U - 1, 0))
+    z = jnp.where(
+        is_tok[None], jnp.take_along_axis(
+            jnp.pad(refs, ((0, 0), (0, 1))), jnp.broadcast_to(
+                tok_pos[None], (N, S)
+            ), 1,
+        ), blank_idx,
+    ).astype(jnp.int32)  # (N, S) state labels
+    valid_s = s_idx[None] < (2 * ref_lens[:, None] + 1)  # (N, S)
+    # skip s-2 -> s allowed at token states whose token differs from the
+    # previous token state's
+    prev_tok = jnp.roll(z, 2, axis=1)
+    can_skip = is_tok[None] & (s_idx[None] >= 2) & (z != prev_tok) & valid_s
+
+    # emission log-probs per state, per frame: one-hot contraction
+    z_oh = jax.nn.one_hot(z, V, dtype=lp.dtype)  # (N, S, V)
+    emit = jnp.einsum("ntv,nsv->nts", lp, z_oh)  # (N, T, S)
+    emit = jnp.moveaxis(emit, 1, 0)  # (T, N, S)
+
+    neg = jnp.asarray(NEG_INF, lp.dtype)
+    delta0 = jnp.where(
+        (s_idx[None] < 2) & valid_s, emit[0], neg
+    )  # start states: first blank / first token
+
+    def step(delta, xs):
+        emit_t, t = xs
+        stay = delta
+        adv = jnp.pad(delta[:, :-1], ((0, 0), (1, 0)), constant_values=neg)
+        skip = jnp.where(
+            can_skip,
+            jnp.pad(delta[:, :-2], ((0, 0), (2, 0)), constant_values=neg),
+            neg,
+        )
+        best = jnp.maximum(jnp.maximum(stay, adv), skip)
+        bp = jnp.where(
+            skip >= best, 2, jnp.where(adv >= best, 1, 0)
+        ).astype(jnp.int8)
+        new = jnp.where(valid_s, best + emit_t, neg)
+        live = (t < in_lens)[:, None]
+        return (
+            jnp.where(live, new, delta),
+            jnp.where(live, bp, jnp.zeros_like(bp)),
+        )
+
+    if T > 1:
+        delta, bps = jax.lax.scan(
+            step, delta0, (emit[1:], jnp.arange(1, T, dtype=jnp.int32))
+        )  # bps: (T-1, N, S)
+    else:
+        delta, bps = delta0, jnp.zeros((0, N, S), jnp.int8)
+
+    # best final state: last blank (2 U_b) or last token (2 U_b - 1)
+    end_blank = 2 * ref_lens
+    end_tok = jnp.clip(2 * ref_lens - 1, 0, S - 1)
+    d_blank = jnp.take_along_axis(delta, end_blank[:, None], 1)[:, 0]
+    d_tok = jnp.where(
+        ref_lens > 0,
+        jnp.take_along_axis(delta, end_tok[:, None], 1)[:, 0],
+        neg,
+    )
+    scores = jnp.maximum(d_blank, d_tok)
+    state_T = jnp.where(d_blank >= d_tok, end_blank, end_tok).astype(jnp.int32)
+
+    def back(state, bp_t):
+        bp = jnp.take_along_axis(bp_t, state[:, None], 1)[:, 0]
+        prev = state - bp
+        return prev, state
+
+    state0, states = jax.lax.scan(back, state_T, bps, reverse=True)
+    states = jnp.concatenate([state0[None], states], 0)  # (T, N)
+    paths = jnp.take_along_axis(z, states.T, 1).T  # (T, N)
+    if batch_first:
+        paths = paths.T
+    return paths, scores

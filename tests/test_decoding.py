@@ -1072,3 +1072,146 @@ def test_ctc_beam_kernel_interpret_matches_search(shape):
         for w in range(W):
             L = l0[n, w]
             np.testing.assert_array_equal(y0[:L, n, w], y1[:L, n, w])
+
+
+def _collapse_ctc(path, blank):
+    """Standard CTC collapse: merge repeats, then drop blanks."""
+    out, prev = [], None
+    for p in path:
+        if p != prev and p != blank:
+            out.append(p)
+        prev = p
+    return out
+
+
+def test_ctc_forced_align_bruteforce():
+    """Exhaustive path enumeration oracle on tiny shapes.
+
+    For each batch element, enumerate every frame-level labelling of
+    length in_lens[n] over V labels, keep those that CTC-collapse to the
+    reference, and take the max-probability one. ctc_forced_align must
+    return that score, and its path must achieve it.
+    """
+    import itertools
+
+    T, N, V = 5, 6, 3
+    blank = V - 1
+    logits = np.random.randn(T, N, V).astype(np.float32)
+    lp = np.log(
+        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    )
+    in_lens = np.array([T, T, T - 1, T, 2, T], dtype=np.int32)
+    U = 3
+    refs = np.random.randint(0, V - 1, (N, U)).astype(np.int32)
+    ref_lens = np.array([1, 2, 3, 3, 2, 0], dtype=np.int32)
+    # make one element have a repeated label (exercises the no-skip rule)
+    refs[3] = [1, 1, 0]
+
+    paths, scores = D.ctc_forced_align(
+        jnp.asarray(logits.transpose(1, 0, 2)),
+        jnp.asarray(refs),
+        jnp.asarray(in_lens),
+        jnp.asarray(ref_lens),
+        blank_idx=blank,
+        batch_first=True,
+    )
+    paths, scores = np.asarray(paths), np.asarray(scores)
+    assert paths.shape == (N, T)
+
+    for n in range(N):
+        Tn, Un = int(in_lens[n]), int(ref_lens[n])
+        ref = list(refs[n, :Un])
+        best = -np.inf
+        for cand in itertools.product(range(V), repeat=Tn):
+            if _collapse_ctc(cand, blank) != ref:
+                continue
+            best = max(best, sum(lp[t, n, cand[t]] for t in range(Tn)))
+        if best == -np.inf:
+            assert scores[n] < -1e30, f"n={n}: expected -inf"
+            continue
+        np.testing.assert_allclose(scores[n], best, rtol=1e-5, err_msg=f"n={n}")
+        # the returned path must itself achieve the score
+        got = paths[n, :Tn]
+        assert _collapse_ctc(list(got), blank) == ref, f"n={n}: {got} !~ {ref}"
+        np.testing.assert_allclose(
+            sum(lp[t, n, got[t]] for t in range(Tn)), best, rtol=1e-5,
+            err_msg=f"n={n}",
+        )
+
+
+@pytest.mark.parametrize("batch_first", [False, True])
+@pytest.mark.parametrize("is_probs", [False, True])
+def test_ctc_forced_align_properties(jit_fn, batch_first, is_probs):
+    """Larger random shapes: the path collapses to the ref, the score is
+    the path's joint log-prob, and infeasible refs give -inf."""
+    T, N, V, U = 23, 5, 11, 7
+    blank = 0
+    logits = np.random.randn(T, N, V).astype(np.float32)
+    x = (
+        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        if is_probs
+        else logits
+    )
+    lp = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+    in_lens = np.random.randint(U * 2 + 1, T + 1, (N,)).astype(np.int32)
+    refs = np.random.randint(1, V, (N, U)).astype(np.int32)
+    ref_lens = np.random.randint(0, U + 1, (N,)).astype(np.int32)
+    # force an infeasible element: U tokens in < U frames
+    in_lens[2], ref_lens[2] = U - 1, U
+
+    xin = np.ascontiguousarray(x.transpose(1, 0, 2) if batch_first else x)
+    rin = np.ascontiguousarray(refs if batch_first else refs.T)
+    fn = jit_fn(
+        lambda a, b, c, d: D.ctc_forced_align(
+            a, b, c, d, blank_idx=blank, batch_first=batch_first,
+            is_probs=is_probs,
+        )
+    )
+    paths, scores = fn(
+        jnp.asarray(xin), jnp.asarray(rin), jnp.asarray(in_lens),
+        jnp.asarray(ref_lens),
+    )
+    paths, scores = np.asarray(paths), np.asarray(scores)
+    if not batch_first:
+        paths = paths.T
+    assert paths.shape == (N, T)
+    for n in range(N):
+        Tn, Un = int(in_lens[n]), int(ref_lens[n])
+        ref = list(refs[n, :Un])
+        if n == 2:
+            assert scores[n] < -1e30
+            continue
+        got = list(paths[n, :Tn])
+        assert _collapse_ctc(got, blank) == ref, f"n={n}"
+        np.testing.assert_allclose(
+            scores[n], sum(lp[t, n, got[t]] for t in range(Tn)), rtol=1e-4,
+            err_msg=f"n={n}",
+        )
+
+
+def test_ctc_forced_align_beats_greedy_when_feasible():
+    """Viterbi-aligned score >= any other collapsing path's score; in
+    particular, aligning to the greedy transcript scores at least the
+    greedy path (its own frame labelling collapses to it)."""
+    T, N, V = 17, 4, 6
+    logits = np.random.randn(T, N, V).astype(np.float32)
+    lp = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+    blank = V - 1
+    greedy = lp.argmax(-1)  # (T, N)
+    max_u = 0
+    refs_l, lens_l = [], []
+    for n in range(N):
+        c = _collapse_ctc(list(greedy[:, n]), blank)
+        refs_l.append(c)
+        lens_l.append(len(c))
+        max_u = max(max_u, len(c))
+    refs = np.zeros((N, max(max_u, 1)), np.int32)
+    for n, c in enumerate(refs_l):
+        refs[n, : len(c)] = c
+    _, scores = D.ctc_forced_align(
+        jnp.asarray(logits.transpose(1, 0, 2)), jnp.asarray(refs), None,
+        jnp.asarray(lens_l, dtype=jnp.int32), blank_idx=blank,
+        batch_first=True,
+    )
+    greedy_score = lp.max(-1).sum(0)  # (N,)
+    assert (np.asarray(scores) >= greedy_score - 1e-5).all()
