@@ -43,6 +43,7 @@ __all__ = [
     "subset_torch_spect_data_dir",
     "textgrids_to_torch_token_data_dir",
     "torch_ali_data_dir_to_torch_token_data_dir",
+    "torch_logit_data_dir_to_torch_ali_data_dir",
     "torch_spect_data_dir_to_wds",
     "torch_token_data_dir_to_ctm",
     "torch_token_data_dir_to_textgrids",
@@ -1541,6 +1542,149 @@ def torch_ali_data_dir_to_torch_token_data_dir(
         options.ali_dir,
         options.ref_dir,
     )
+    return 0
+
+
+def torch_logit_data_dir_to_torch_ali_data_dir(
+    args: Optional[Sequence[str]] = None,
+):
+    """CTC-force-align a logit dir against a ref dir, writing an ali dir
+
+Each "<file-prefix><utt><file-suffix>" in "logit_dir" stores a float tensor
+of shape "(T, V)" (frame-wise CTC logits, or probabilities with
+"--is-probs"); the like-named file in "ref_dir" stores the token sequence
+(segment info in "(R, 3)" files is ignored; column 0 is used). The command
+writes the Viterbi CTC alignment — the most probable frame-level labelling
+(token ids and blanks) collapsing to the reference — as a long tensor of
+shape "(T,)" to "ali_dir". A TPU-native extra: the reference's
+"torch-token-data-dir-to-torch-ali-data-dir" needs segment boundaries
+already present; this derives them from a CTC model's outputs.
+
+Utterances are padded into shape buckets and aligned on-device in batches
+(one jitted program per bucket shape)."""
+    parser = argparse.ArgumentParser(
+        description=torch_logit_data_dir_to_torch_ali_data_dir.__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    parser.add_argument(
+        "logit_dir", type=_as_dir, help="The logit data directory (input)"
+    )
+    parser.add_argument(
+        "ref_dir",
+        type=_as_dir,
+        help="The token sequence data directory (input)",
+    )
+    parser.add_argument(
+        "ali_dir", help="The frame alignment data directory (output)"
+    )
+    parser.add_argument(
+        "--blank-idx",
+        type=int,
+        default=-1,
+        help="The index of the blank label in the logits' vocab dimension",
+    )
+    parser.add_argument(
+        "--is-probs",
+        action="store_true",
+        default=False,
+        help="Logit files store probabilities, not logits",
+    )
+    parser.add_argument(
+        "--batch-size",
+        type=int,
+        default=32,
+        help="Utterances aligned per device batch",
+    )
+    parser.add_argument(
+        "--quiet",
+        action="store_true",
+        default=False,
+        help="Suppress warnings about infeasible alignments",
+    )
+    _add_common_arg(parser, "--file-prefix")
+    _add_common_arg(parser, "--file-suffix")
+    try:
+        options = parser.parse_args(args)
+    except SystemExit as ex:
+        return ex.code
+    import jax.numpy as jnp
+
+    from .ops.decoding import ctc_forced_align
+
+    basenames = sorted(
+        x
+        for x in os.listdir(options.logit_dir)
+        if x.startswith(options.file_prefix)
+        and x.endswith(options.file_suffix)
+    )
+    os.makedirs(options.ali_dir, exist_ok=True)
+
+    def bucket(n):  # next power of two, floor 32: few jit shapes
+        b = 32
+        while b < n:
+            b <<= 1
+        return b
+
+    # (T_bucket, U_bucket) -> [(basename, logits (T, V), tokens (U,))]
+    buckets = defaultdict(list)
+    V = None
+    for basename in basenames:
+        logits = np.asarray(
+            load_tensor(os.path.join(options.logit_dir, basename)), np.float32
+        )
+        if logits.ndim != 2:
+            raise ValueError(
+                f"logit file {basename} has shape {logits.shape}; expected "
+                "(T, V)"
+            )
+        if V is None:
+            V = logits.shape[1]
+        elif logits.shape[1] != V:
+            raise ValueError(
+                f"logit file {basename} has vocab size {logits.shape[1]}; "
+                f"expected {V}"
+            )
+        ref = np.asarray(
+            load_tensor(os.path.join(options.ref_dir, basename)), np.int64
+        )
+        tokens = ref[:, 0] if ref.ndim == 2 else ref
+        buckets[(bucket(len(logits)), bucket(max(len(tokens), 1)))].append(
+            (basename, logits, tokens.astype(np.int32))
+        )
+
+    for (Tb, Ub), items in sorted(buckets.items()):
+        for lo in range(0, len(items), options.batch_size):
+            batch = items[lo : lo + options.batch_size]
+            N = len(batch)
+            logits = np.zeros((N, Tb, V), np.float32)
+            refs = np.zeros((N, Ub), np.int32)
+            in_lens = np.empty((N,), np.int32)
+            ref_lens = np.empty((N,), np.int32)
+            for n, (_, lg, tk) in enumerate(batch):
+                logits[n, : len(lg)] = lg
+                refs[n, : len(tk)] = tk
+                in_lens[n], ref_lens[n] = len(lg), len(tk)
+            paths, scores = ctc_forced_align(
+                jnp.asarray(logits),
+                jnp.asarray(refs),
+                jnp.asarray(in_lens),
+                jnp.asarray(ref_lens),
+                blank_idx=options.blank_idx,
+                batch_first=True,
+                is_probs=options.is_probs,
+            )
+            paths, scores = np.asarray(paths), np.asarray(scores)
+            for n, (basename, lg, tk) in enumerate(batch):
+                if not options.quiet and not np.isfinite(scores[n]):
+                    warnings.warn(
+                        f"utterance {basename}: no alignment exists "
+                        f"({len(tk)} tokens cannot fit in {len(lg)} frames); "
+                        "writing the arbitrary path anyway"
+                    )
+                save_tensor(
+                    paths[n, : len(lg)].astype(np.int64),
+                    os.path.join(options.ali_dir, basename),
+                )
     return 0
 
 

@@ -363,3 +363,59 @@ ngram 2=3
     assert info["sos"] == "3"
     assert info["max_ngram"] == "2"
     assert int(info["order2_contexts"]) >= 3
+
+
+def test_logit_dir_forced_align(tmp_path):
+    """torch-logit-data-dir-to-torch-ali-data-dir writes Viterbi CTC
+    alignments that collapse back to the reference tokens, round-tripping
+    through torch-ali-data-dir-to-torch-token-data-dir (blanks removed)."""
+    rng = np.random.RandomState(11)
+    logit_dir = str(tmp_path / "logit")
+    ref_dir = str(tmp_path / "ref")
+    ali_dir = str(tmp_path / "ali")
+    os.makedirs(logit_dir)
+    os.makedirs(ref_dir)
+    V, blank = 7, 6
+    truths = {}
+    for i, (T, U) in enumerate([(12, 3), (9, 4), (40, 1), (5, 0)]):
+        utt = f"utt_{i}.pt"
+        toks = rng.randint(0, blank, (U,)).astype(np.int64)
+        logits = rng.randn(T, V).astype(np.float32)
+        # boost the true tokens' logits at spread-out frames so the
+        # alignment is non-degenerate
+        for u, t in enumerate(np.linspace(0, T - 1, max(U, 1), dtype=int)[:U]):
+            logits[t, toks[u]] += 8.0
+        save_tensor(logits, os.path.join(logit_dir, utt))
+        # one utterance exercises the (R, 3) segment-file branch
+        ref = (
+            np.stack([toks, np.arange(U), np.arange(U) + 1], 1)
+            if i == 1
+            else toks
+        )
+        save_tensor(ref, os.path.join(ref_dir, utt))
+        truths[utt] = toks
+    assert not command_line.torch_logit_data_dir_to_torch_ali_data_dir(
+        [logit_dir, ref_dir, ali_dir, "--blank-idx", str(blank)]
+    )
+    for i, (utt, toks) in enumerate(truths.items()):
+        ali = np.asarray(load_tensor(os.path.join(ali_dir, utt)))
+        T = {0: 12, 1: 9, 2: 40, 3: 5}[i]
+        assert ali.shape == (T,) and ali.dtype == np.int64
+        collapsed = [
+            t
+            for j, t in enumerate(ali)
+            if t != blank and (j == 0 or t != ali[j - 1])
+        ]
+        assert collapsed == list(toks), utt
+    # infeasible alignment warns but still writes
+    save_tensor(
+        rng.randn(2, V).astype(np.float32), os.path.join(logit_dir, "bad.pt")
+    )
+    save_tensor(
+        np.asarray([0, 0, 0], np.int64), os.path.join(ref_dir, "bad.pt")
+    )
+    with pytest.warns(UserWarning, match="no alignment"):
+        command_line.torch_logit_data_dir_to_torch_ali_data_dir(
+            [logit_dir, ref_dir, ali_dir, "--blank-idx", str(blank)]
+        )
+    assert os.path.exists(os.path.join(ali_dir, "bad.pt"))
