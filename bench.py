@@ -157,6 +157,24 @@ def bench_ctc_beam16_bs256():
     return _bench_search(CTCPrefixSearch(16), 256, 500, 1024, seed=3)[0]
 
 
+def bench_ctc_beam16_bf16_bs256():
+    """No-LM decode on bfloat16 logits at serving batch size: the
+    prologue's full-(T, N, V) read — the bandwidth-bound part on real
+    chips — moves half the bytes; selection math upcasts exactly in
+    VMEM (results identical to f32, parity-pinned in tests)."""
+    logits, lens = _decode_inputs(256, 500, 1024, seed=3)
+    lg16 = logits.astype(jnp.bfloat16)
+    search = CTCPrefixSearch(16)
+
+    def run(lg, lens):
+        y, y_lens, y_probs = search(lg, lens)
+        return y_probs.sum(), y_lens
+
+    compiled, _ = _compile(run, lg16, lens)
+    dt = _time(compiled, lg16, lens)
+    return 256 / dt
+
+
 def bench_ctc_greedy_wer(B=32, T=500, V=1024):
     """BASELINE config #2: CTC greedy decode + error_rate scoring, one
     jitted program (argmax/dedup scan + batched edit-distance DP)."""
@@ -604,6 +622,10 @@ def main():
     if within():
         _RESULTS["fused_bs256_utt_per_sec"] = round(
             _guard(bench_ctc_beam16_fused_bs256, 0.0), 1
+        )
+    if within():
+        _RESULTS["decode_bf16_bs256_utt_per_sec"] = round(
+            _guard(bench_ctc_beam16_bf16_bs256, 0.0), 1
         )
     if within():
         train_steps, train_tflops, train_mfu = _guard(

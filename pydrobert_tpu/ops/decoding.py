@@ -107,6 +107,10 @@ def _decode_prologue(logits, M, g_bias=None):
     if M <= V and kernel_top_m_ok(logits.dtype, Vp1, M):
         tl, ti, mx, den, blank = decode_prologue_pallas(logits, M, g_bias)
         return tl, ti, mx, den, jnp.exp(blank - mx) / den
+    # bf16 logits upcast here: XLA fuses the convert into each consumer, so
+    # the full-width HBM reads stay bf16 (half the bytes) while the math —
+    # and therefore parity with the kernel path — is f32
+    logits = logits.astype(jnp.float32)
     sm_max = logits.max(2)  # (T, N)
     sm_den = jnp.exp(logits - sm_max[..., None]).sum(2)  # (T, N)
     blank_probs = jnp.exp(logits[..., V] - sm_max) / sm_den
@@ -637,6 +641,10 @@ def ctc_greedy_search(
     blank_idx = (blank_idx + V) % V
     if in_lens is not None:
         in_lens = jnp.asarray(in_lens)
+    if logits.dtype == jnp.bfloat16:
+        # argmax order is dtype-invariant; max-prob sums return f32 (the
+        # bf16->f32 converts fuse into the consumers, reads stay bf16)
+        logits = logits.astype(jnp.float32)
     return _ctc_greedy(logits, in_lens, blank_idx, batch_first, is_probs)
 
 
@@ -1550,11 +1558,12 @@ class CTCPrefixSearch:
             and ctc_beam_search_vmem_ok(T, N, V, W)
             and beam_kernel_preferred()
         ):
-            sm_max = logits.max(2)  # (T, N)
-            sm_den = jnp.exp(logits - sm_max[..., None]).sum(2)  # (T, N)
-            blank_probs = jnp.exp(logits[..., V] - sm_max) / sm_den
+            lg32 = logits.astype(jnp.float32)  # exact; convert fuses
+            sm_max = lg32.max(2)  # (T, N)
+            sm_den = jnp.exp(lg32 - sm_max[..., None]).sum(2)  # (T, N)
+            blank_probs = jnp.exp(lg32[..., V] - sm_max) / sm_den
             nonext_probs = (
-                jnp.exp(logits[..., :V] - sm_max[..., None])
+                jnp.exp(lg32[..., :V] - sm_max[..., None])
                 / sm_den[..., None]
             )
             return ctc_beam_search_pallas(nonext_probs, blank_probs, lens, W)
@@ -1569,7 +1578,7 @@ class CTCPrefixSearch:
             return y, y_lens, y_probs
 
         if use_lm and not use_sparse and not use_uni:
-            probs = jax.nn.softmax(logits, axis=2)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
             blank_probs = probs[..., V]  # (T, N)
             nonext_probs = probs[..., :V]  # (T, N, V)
         else:
@@ -1652,7 +1661,9 @@ class CTCPrefixSearch:
                 keep it — ``exp(x - log_norm)`` does not. The unigram read
                 rides the same one-hot as a second dot (a ``jnp.take(uni,
                 toks)`` measured ~7 dispatched kernels per decode step).
+                bf16 rows upcast exactly here (the stream stays bf16).
                 """
+                lgts_row = lgts_row.astype(jnp.float32)
                 oh = (
                     jnp.clip(toks, 0, V - 1)[:, :, None]
                     == iota_vrow[None, None]
@@ -2529,6 +2540,8 @@ def ctc_forced_align(
         if ref_lens is None
         else jnp.asarray(ref_lens, jnp.int32)
     )
+    if logits.dtype == jnp.bfloat16:
+        logits = logits.astype(jnp.float32)  # exact; Viterbi math in f32
     # is_probs follows ctc_greedy_search: True = inputs are probabilities
     lp = jnp.log(logits) if is_probs else jax.nn.log_softmax(logits, -1)
 

@@ -991,7 +991,9 @@ def _select_rounds_to_refs(key, iota, M, vals_ref, idx_ref):
 
 
 def _topm_kernel(x_ref, vals_ref, idx_ref, *, M, V):
-    x = x_ref[:]
+    # bf16 inputs stream from HBM in bf16 (half the bytes of the kernel's
+    # one full-width read) and upcast here, VMEM-resident and exact
+    x = x_ref[:].astype(jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     _select_rounds_to_refs(
         _total_order_key(x, iota, V), iota, M, vals_ref, idx_ref
@@ -1010,10 +1012,11 @@ def top_m_pallas(
     lowering's multiple full-width passes. Exact ``lax.top_k`` value,
     index, and tie semantics (same total-order keys as
     :func:`pydrobert_tpu.ops.topk.exact_top_k`; parity-pinned in tests).
-    float32 only.
+    float32 or bfloat16 input (bf16 streams in bf16 — half the bytes of
+    the read — and upcasts exactly in VMEM); outputs are float32.
     """
-    if x.dtype != jnp.float32:
-        raise TypeError("top_m_pallas is float32-only")
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        raise TypeError("top_m_pallas takes float32 or bfloat16")
     V = x.shape[-1]
     m = int(m)
     if not 0 < m <= V:
@@ -1184,8 +1187,9 @@ def _prologue_kernel(
     x_ref, bias_ref, vals_ref, idx_ref, stats_ref, *, M, V
 ):
     """Fused decode-prologue tile: softmax stats + blank logit + top-M of
-    the biased vocab lanes, all from ONE VMEM-resident read of the block."""
-    x = x_ref[:]  # (RB, Lp) with Lp >= V + 1 physical lanes
+    the biased vocab lanes, all from ONE VMEM-resident read of the block.
+    bf16 blocks upcast here (exact, VMEM-resident); math is f32."""
+    x = x_ref[:].astype(jnp.float32)  # (RB, Lp), Lp >= V + 1 physical lanes
     RB, Lp = x.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (RB, Lp), 1)
     valid = iota <= V  # the V + 1 real lanes
@@ -1225,8 +1229,8 @@ def decode_prologue_pallas(
     may differ from XLA's reduction order in the last ulp (it divides
     every candidate of a frame uniformly, so rankings are unaffected).
     """
-    if logits.dtype != jnp.float32:
-        raise TypeError("decode_prologue_pallas is float32-only")
+    if logits.dtype not in (jnp.float32, jnp.bfloat16):
+        raise TypeError("decode_prologue_pallas takes float32 or bfloat16")
     T, N, Vp1 = logits.shape
     V = Vp1 - 1
     m = int(m)

@@ -74,14 +74,15 @@ def kernel_top_m_ok(dtype, row_lanes: int, k: int) -> bool:
     """The ONE gate for routing hoisted top-M work through the Pallas
     selection kernels (:func:`hoisted_top_k` and the fused decode prologue
     both use it, so they can never route differently for the same inputs):
-    float32 rows wide enough to be bandwidth-bound, small enough ``k`` that
+    float32/bfloat16 rows wide enough to be bandwidth-bound (bf16 streams
+    half the bytes and upcasts exactly in VMEM), small enough ``k`` that
     the unrolled selection rounds stay cheap, VMEM-fitting tiles, and a
     per-device calibration verdict (``config.USE_PALLAS_TOPM``; always
     False off-TPU)."""
     from .pallas import top_m_vmem_ok, topm_kernel_preferred
 
     return (
-        dtype == jnp.float32
+        dtype in (jnp.float32, jnp.bfloat16)
         and row_lanes >= 256
         and 0 < k <= 64
         and top_m_vmem_ok(row_lanes)

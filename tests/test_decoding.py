@@ -1215,3 +1215,106 @@ def test_ctc_forced_align_beats_greedy_when_feasible():
     )
     greedy_score = lp.max(-1).sum(0)  # (N,)
     assert (np.asarray(scores) >= greedy_score - 1e-5).all()
+
+
+def test_ctc_prefix_search_bf16_matches_f32():
+    """bf16 logits stream half the bytes through the decode prologue; the
+    math upcasts exactly to f32, so results must be IDENTICAL to running
+    the search on the f32 upcast of the same bf16 array."""
+    T, N, V, W = 20, 4, 64, 8
+    rng = np.random.RandomState(3)
+    lg16 = jnp.asarray(rng.randn(T, N, V + 1), jnp.bfloat16)
+    lens = jnp.asarray(rng.randint(1, T + 1, (N,)).astype(np.int32))
+    search = D.CTCPrefixSearch(W)
+    y16, l16, p16 = search(lg16, lens)
+    y32, l32, p32 = search(lg16.astype(jnp.float32), lens)
+    np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+    assert p16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(p16), np.asarray(p32), rtol=1e-6, atol=0
+    )
+
+
+def test_ctc_prefix_search_bf16_fused_matches_f32():
+    from pydrobert_tpu.lm import LookupLanguageModel
+
+    T, N, V, W = 12, 3, 32, 4
+    rng = np.random.RandomState(5)
+    uni = {w: (float(-rng.rand() * 4 - 0.1), float(-rng.rand()))
+           for w in range(V)}
+    uni[V] = (float("-inf"), float(-rng.rand()))
+    bi = {}
+    for _ in range(200):
+        bi[(int(rng.randint(V + 1)), int(rng.randint(V)))] = (
+            float(-rng.rand() * 4 - 0.1), float(-rng.rand())
+        )
+    lm = LookupLanguageModel(V, sos=V, prob_dicts=[uni, bi])
+    search = D.CTCPrefixSearch(W, beta=0.4, lm=lm)
+    lg16 = jnp.asarray(rng.randn(T, N, V + 1), jnp.bfloat16)
+    lens = jnp.asarray(rng.randint(1, T + 1, (N,)).astype(np.int32))
+    y16, l16, p16 = search(lg16, lens)
+    y32, l32, p32 = search(lg16.astype(jnp.float32), lens)
+    np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+    np.testing.assert_allclose(
+        np.asarray(p16), np.asarray(p32), rtol=1e-6, atol=0
+    )
+
+
+def test_ctc_greedy_and_forced_align_bf16():
+    T, N, V = 15, 4, 9
+    rng = np.random.RandomState(7)
+    lg16 = jnp.asarray(rng.randn(T, N, V), jnp.bfloat16)
+    lens = jnp.asarray(rng.randint(1, T + 1, (N,)).astype(np.int32))
+    m16 = D.ctc_greedy_search(lg16, lens)
+    m32 = D.ctc_greedy_search(lg16.astype(jnp.float32), lens)
+    for a, b in zip(m16, m32):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    refs = jnp.asarray(rng.randint(0, V - 1, (N, 3)), jnp.int32)
+    pa16, s16 = D.ctc_forced_align(lg16, refs.T, lens, batch_first=False)
+    pa32, s32 = D.ctc_forced_align(
+        lg16.astype(jnp.float32), refs.T, lens, batch_first=False
+    )
+    np.testing.assert_array_equal(np.asarray(pa16), np.asarray(pa32))
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), rtol=1e-6)
+
+
+def test_top_m_pallas_bf16_interpret_matches_f32_upcast(seeded):
+    """bf16 inputs: the kernel upcasts in VMEM, so values/indices/ties must
+    match lax.top_k on the f32 upcast of the same bf16 array, with f32
+    output values."""
+    from pydrobert_tpu.ops.pallas import top_m_pallas
+
+    x16 = jnp.asarray(np.random.randn(6, 150), jnp.bfloat16)
+    for arr in (x16, jnp.round(x16 * 2) / 2):
+        arr = arr.astype(jnp.bfloat16)
+        wv, wi = jax.lax.top_k(arr.astype(jnp.float32), 9)
+        gv, gi = top_m_pallas(arr, 9, block_rows=8, interpret=True)
+        assert gv.dtype == jnp.float32
+        assert (np.asarray(gv) == np.asarray(wv)).all()
+        assert (np.asarray(gi) == np.asarray(wi)).all()
+
+
+def test_decode_prologue_pallas_bf16_interpret(seeded):
+    from pydrobert_tpu.ops.pallas import decode_prologue_pallas
+    from pydrobert_tpu.ops.topk import exact_top_k
+
+    T, N, V, M = 4, 2, 200, 8
+    lg16 = jnp.asarray(np.random.randn(T, N, V + 1), jnp.bfloat16)
+    g_bias = jnp.asarray(np.random.randn(V), jnp.float32)
+    tl, ti, mx, den, blank = decode_prologue_pallas(
+        lg16, M, g_bias, block_rows=8, interpret=True
+    )
+    lg32 = lg16.astype(jnp.float32)
+    wl, wi = exact_top_k(lg32[..., :V] + g_bias, M)
+    assert tl.dtype == jnp.float32
+    assert (np.asarray(tl) == np.asarray(wl)).all()
+    assert (np.asarray(ti) == np.asarray(wi)).all()
+    np.testing.assert_array_equal(np.asarray(mx), np.asarray(lg32.max(2)))
+    np.testing.assert_allclose(
+        np.asarray(den),
+        np.asarray(jnp.exp(lg32 - lg32.max(2)[..., None]).sum(2)),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(np.asarray(blank), np.asarray(lg32[..., V]))
