@@ -175,6 +175,38 @@ def bench_ctc_beam16_bf16_bs256():
     return 256 / dt
 
 
+def bench_ctc_blankskip(B=256, T=500, V=1024, max_frames=128):
+    """Spike decoding (compress_blank_frames + width-16 search) on
+    CTC-like SPIKY posteriors — synthetic but shaped like trained-model
+    outputs (~1 token spike per 6 frames, near-certain blanks elsewhere).
+    Compression + decode run as ONE jitted program; the search scan runs
+    `max_frames` steps instead of T. Not comparable to the headline
+    (different input distribution) — it measures the serving-path win of
+    skipping blank-dominated frames."""
+    from pydrobert_tpu.ops.decoding import compress_blank_frames
+
+    rng = np.random.RandomState(8)
+    logits = rng.randn(T, B, V + 1).astype(np.float32)
+    logits[..., V] += 9.0
+    for n in range(B):
+        idx = rng.choice(T, size=T // 6, replace=False)
+        logits[idx, n, rng.randint(V, size=T // 6)] += 18.0
+    logits = jnp.asarray(logits)
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
+    search = CTCPrefixSearch(16)
+
+    def run(lg, lens):
+        clg, clens = compress_blank_frames(
+            lg, lens, threshold=0.99, max_frames=max_frames
+        )
+        y, y_lens, y_probs = search(clg, clens)
+        return y_probs.sum(), y_lens
+
+    compiled, _ = _compile(run, logits, lens)
+    dt = _time(compiled, logits, lens)
+    return B / dt
+
+
 def bench_ctc_greedy_wer(B=32, T=500, V=1024):
     """BASELINE config #2: CTC greedy decode + error_rate scoring, one
     jitted program (argmax/dedup scan + batched edit-distance DP)."""
@@ -626,6 +658,10 @@ def main():
     if within():
         _RESULTS["decode_bf16_bs256_utt_per_sec"] = round(
             _guard(bench_ctc_beam16_bf16_bs256, 0.0), 1
+        )
+    if within():
+        _RESULTS["decode_blankskip_spiky_utt_per_sec"] = round(
+            _guard(bench_ctc_blankskip, 0.0), 1
         )
     if within():
         train_steps, train_tflops, train_mfu = _guard(

@@ -15,6 +15,7 @@ from .ops.combinatorics import (  # noqa: F401
 )
 from .ops.decoding import (  # noqa: F401
     beam_search_advance,
+    compress_blank_frames,
     ctc_forced_align,
     ctc_greedy_search,
     ctc_prefix_search_advance,
@@ -61,6 +62,7 @@ __all__ = [
     "binomial_coefficient",
     "chunk_by_slices",
     "chunk_token_sequences_by_slices",
+    "compress_blank_frames",
     "ctc_forced_align",
     "ctc_greedy_search",
     "ctc_prefix_search_advance",

@@ -44,6 +44,7 @@ from ..lm import (
 __all__ = [
     "BeamSearch",
     "beam_search_advance",
+    "compress_blank_frames",
     "CTCForcedAligner",
     "CTCGreedySearch",
     "ctc_forced_align",
@@ -2622,3 +2623,79 @@ def ctc_forced_align(
     if batch_first:
         paths = paths.T
     return paths, scores
+
+
+def compress_blank_frames(
+    logits: jax.Array,
+    in_lens: Optional[jax.Array] = None,
+    threshold: float = 0.99,
+    max_frames: Optional[int] = None,
+    batch_first: bool = False,
+    is_probs: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop CTC frames inside blank-dominated runs before decoding.
+
+    Trained CTC posteriors are *spiky*: most frames are near-certain blanks
+    that contribute nothing to the transcript but still cost one full decode
+    step each — and on TPU the decode scans are step-count-bound. This
+    collapses every run of consecutive frames whose blank probability is at
+    least `threshold` down to its FIRST frame (one surviving blank keeps
+    repeated tokens on either side separated, which outright blank deletion
+    would merge), packing the kept frames to the front of the time axis.
+    Decode the result with :func:`ctc_greedy_search` /
+    :class:`CTCPrefixSearch` at a fraction of the steps. A TPU-native extra
+    (the reference decodes every frame); the frame-skipping idea follows the
+    public blank-skipping / spike-decoding literature (FlexCTC
+    arXiv:2508.07315; Spike Window Decoding arXiv:2501.03257).
+
+    Greedy transcripts are unchanged for any `threshold` > 0.5 (only
+    blank-argmax frames are dropped, and each run keeps one blank). Beam
+    search results are near-identical at high thresholds: dropped frames
+    multiply every prefix's mass by nearly the same near-1 blank factor.
+
+    Parameters follow :func:`ctc_greedy_search`: `logits` ``(T, N, V + 1)``
+    (or batch-first) with the blank as the LAST class, `in_lens` masking
+    valid frames. `threshold` is a probability (applied to
+    ``softmax(logits)`` unless `is_probs`). `max_frames`, if given, is the
+    static time length of the output (kept frames past it are cut and
+    counted off `new_lens`); otherwise the output keeps length ``T``.
+    Returns ``(new_logits, new_lens)`` in the input layout; rows past
+    ``new_lens[n]`` are arbitrary (the searches mask by length).
+    """
+    logits = jnp.asarray(logits)
+    if logits.ndim != 3:
+        raise RuntimeError("logits must be 3-dimensional")
+    if not 0.0 < threshold <= 1.0:
+        raise RuntimeError(f"threshold must be in (0, 1], got {threshold}")
+    if batch_first:
+        logits = jnp.swapaxes(logits, 0, 1)
+    T, N, Vp1 = logits.shape
+    if in_lens is None:
+        in_lens = jnp.full((N,), T, jnp.int32)
+    else:
+        in_lens = jnp.asarray(in_lens, jnp.int32)
+    lp32 = logits[..., -1].astype(jnp.float32)  # blank lane, (T, N)
+    if is_probs:
+        p_blank = lp32
+    else:
+        mx = logits.max(2).astype(jnp.float32)
+        den = jnp.exp(logits.astype(jnp.float32) - mx[..., None]).sum(2)
+        p_blank = jnp.exp(lp32 - mx) / den
+    valid = jnp.arange(T, dtype=jnp.int32)[:, None] < in_lens[None]  # (T, N)
+    dom = (p_blank >= threshold) & valid
+    prev_dom = jnp.pad(dom[:-1], ((1, 0), (0, 0)))
+    keep = valid & ~(dom & prev_dom)
+    # stable compaction: kept frames keyed by their position, dropped/pad
+    # frames pushed past T — one argsort + one full gather, outside any loop
+    t_iota = jnp.arange(T, dtype=jnp.int32)[:, None]
+    order = jnp.argsort(
+        jnp.where(keep, t_iota, T + t_iota), axis=0, stable=True
+    )  # (T, N)
+    new_lens = keep.sum(0).astype(jnp.int32)
+    out = jnp.take_along_axis(logits, order[..., None], axis=0)
+    if max_frames is not None and max_frames < T:
+        out = out[:max_frames]
+        new_lens = jnp.minimum(new_lens, max_frames)
+    if batch_first:
+        out = jnp.swapaxes(out, 0, 1)
+    return out, new_lens

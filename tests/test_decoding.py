@@ -1318,3 +1318,100 @@ def test_decode_prologue_pallas_bf16_interpret(seeded):
         rtol=1e-6,
     )
     np.testing.assert_array_equal(np.asarray(blank), np.asarray(lg32[..., V]))
+
+
+def _spiky_logits(rng, T, N, V, scale=9.0):
+    """CTC-like spiky posteriors: mostly near-certain blanks with scattered
+    token spikes (blank = last class)."""
+    logits = rng.randn(T, N, V + 1).astype(np.float32)
+    logits[..., V] += scale  # blank-dominated by default
+    for n in range(N):
+        for t in rng.choice(T, size=max(2, T // 6), replace=False):
+            logits[t, n, rng.randint(V)] += 2 * scale  # token spike
+    return logits
+
+
+@pytest.mark.parametrize("batch_first", [False, True])
+def test_compress_blank_frames_greedy_invariant(jit_fn, batch_first):
+    """Greedy transcripts are unchanged by blank-run compression (each run
+    keeps one blank, so repeated tokens stay separated), while the frame
+    count drops substantially on spiky posteriors."""
+    T, N, V = 48, 5, 7
+    rng = np.random.RandomState(13)
+    logits = _spiky_logits(rng, T, N, V)
+    # force a repeated token straddling a blank run (the merge hazard)
+    logits[10, 0, :] = 0.0
+    logits[10, 0, 2] = 20.0
+    logits[14, 0, :] = 0.0
+    logits[14, 0, 2] = 20.0
+    in_lens = rng.randint(T // 2, T + 1, (N,)).astype(np.int32)
+    lg = logits.transpose(1, 0, 2) if batch_first else logits
+    fn = jit_fn(
+        lambda x, l: D.compress_blank_frames(
+            x, l, threshold=0.9, batch_first=batch_first
+        )
+    )
+    new_lg, new_lens = fn(jnp.asarray(lg), jnp.asarray(in_lens))
+    assert np.asarray(new_lens).max() < T // 2  # actually compresses
+    _, y0, l0 = D.ctc_greedy_search(
+        jnp.asarray(lg), jnp.asarray(in_lens), batch_first=batch_first
+    )
+    _, y1, l1 = D.ctc_greedy_search(new_lg, new_lens, batch_first=batch_first)
+    y0, l0, y1, l1 = map(np.asarray, (y0, l0, y1, l1))
+    np.testing.assert_array_equal(l0, l1)
+    if not batch_first:
+        y0, y1 = y0.T, y1.T
+    for n in range(N):
+        np.testing.assert_array_equal(
+            y0[n, : l0[n]], y1[n, : l1[n]], err_msg=f"n={n}"
+        )
+
+
+def test_compress_blank_frames_beam_search_near_exact():
+    """At high thresholds the dropped frames multiply every prefix by the
+    same near-1 blank factor: beam-16 transcripts match and masses agree
+    to the dropped mass tolerance."""
+    T, N, V, W = 60, 4, 9, 16
+    rng = np.random.RandomState(29)
+    logits = _spiky_logits(rng, T, N, V, scale=12.0)
+    lens = jnp.full((N,), T, jnp.int32)
+    search = D.CTCPrefixSearch(W)
+    new_lg, new_lens = D.compress_blank_frames(
+        jnp.asarray(logits), lens, threshold=0.999
+    )
+    y0, l0, p0 = search(jnp.asarray(logits), lens)
+    y1, l1, p1 = search(new_lg, new_lens)
+    y0, l0, p0, y1, l1, p1 = map(np.asarray, (y0, l0, p0, y1, l1, p1))
+    # top transcript identical
+    np.testing.assert_array_equal(l0[:, 0], l1[:, 0])
+    for n in range(N):
+        np.testing.assert_array_equal(
+            y0[: l0[n, 0], n, 0], y1[: l1[n, 0], n, 0], err_msg=f"n={n}"
+        )
+    np.testing.assert_allclose(p0[:, 0], p1[:, 0], rtol=0.05)
+
+
+def test_compress_blank_frames_properties():
+    T, N, V = 20, 3, 4
+    rng = np.random.RandomState(3)
+    logits = rng.randn(T, N, V + 1).astype(np.float32)
+    # threshold 1.0 + non-saturated probs: nothing dropped
+    out, lens = D.compress_blank_frames(jnp.asarray(logits), threshold=1.0)
+    np.testing.assert_array_equal(np.asarray(lens), [T] * N)
+    np.testing.assert_array_equal(np.asarray(out), logits)
+    # is_probs path + max_frames clipping
+    probs = np.zeros((T, N, V + 1), np.float32)
+    probs[..., V] = 1.0  # all blank: each column collapses to ONE frame
+    probs[0, :, V] = 0.2
+    probs[0, :, 0] = 0.8  # non-blank first frame survives
+    out, lens = D.compress_blank_frames(
+        jnp.asarray(probs), threshold=0.5, is_probs=True
+    )
+    np.testing.assert_array_equal(np.asarray(lens), [2] * N)  # spike + 1 blank
+    out, lens = D.compress_blank_frames(
+        jnp.asarray(probs), threshold=0.5, is_probs=True, max_frames=8
+    )
+    assert out.shape == (8, N, V + 1)
+    np.testing.assert_array_equal(np.asarray(lens), [2] * N)
+    with pytest.raises(RuntimeError):
+        D.compress_blank_frames(jnp.asarray(probs), threshold=0.0)
