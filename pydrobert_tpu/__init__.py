@@ -26,6 +26,7 @@ TPU-specific additions:
 - :mod:`pydrobert_tpu.models` — reference model families (Conformer-CTC, ...)
 - :mod:`pydrobert_tpu.parallel` — mesh/sharding utilities
 - :mod:`pydrobert_tpu.serving` — online (streaming) recognition sessions
+- :mod:`pydrobert_tpu.export` — AOT serving artifacts (StableHLO export)
 """
 
 __version__ = "0.1.0"
@@ -36,6 +37,7 @@ __all__ = [
     "data",
     "distributions",
     "estimators",
+    "export",
     "functional",
     "models",
     "modules",
