@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import export as _jax_export
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from . import config
 
@@ -57,22 +58,26 @@ _PARAMS_NAME = "params.npz"
 _VERSION = 1
 
 
-def flatten_arrays(tree: Dict[str, Any], _prefix: str = "") -> Dict[str, np.ndarray]:
-    """Flatten a nested dict-of-arrays into ``{'a/b/c': array}``.
-
-    The inverse of :func:`unflatten_arrays`. Keys must not contain ``/``.
-    """
-    out: Dict[str, np.ndarray] = {}
+def _flatten_dict(tree: Dict[str, Any], _prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
     for key, val in tree.items():
         key = str(key)
         if "/" in key:
             raise ValueError(f"key {key!r} contains '/'")
         path = _prefix + key
         if isinstance(val, dict):
-            out.update(flatten_arrays(val, path + "/"))
+            out.update(_flatten_dict(val, path + "/"))
         else:
-            out[path] = np.asarray(val)
+            out[path] = val
     return out
+
+
+def flatten_arrays(tree: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Flatten a nested dict-of-arrays into ``{'a/b/c': array}``.
+
+    The inverse of :func:`unflatten_arrays`. Keys must not contain ``/``.
+    """
+    return {k: np.asarray(v) for k, v in _flatten_dict(tree).items()}
 
 
 def unflatten_arrays(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -89,6 +94,26 @@ def unflatten_arrays(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 def _sig_entry(x) -> Dict[str, Any]:
     return {"shape": list(x.shape), "dtype": str(np.dtype(x.dtype))}
+
+
+def _spec_to_json(spec: PartitionSpec) -> List[Any]:
+    return [
+        None if e is None else (e if isinstance(e, str) else list(e))
+        for e in spec
+    ]
+
+
+def _spec_from_json(entries: Sequence[Any]) -> PartitionSpec:
+    return PartitionSpec(
+        *(
+            None if e is None else (e if isinstance(e, str) else tuple(e))
+            for e in entries
+        )
+    )
+
+
+def _is_spec(x) -> bool:
+    return isinstance(x, PartitionSpec)
 
 
 class _NoPallas:
@@ -134,6 +159,8 @@ class ServingArtifact:
         self.params = params
         self._blobs = modules
         self._compiled: Dict[int, Callable] = {}
+        self._mesh: Optional[Mesh] = None
+        self._placed_params: Optional[Any] = None
 
     # -- construction -------------------------------------------------
 
@@ -150,6 +177,9 @@ class ServingArtifact:
         paddable: Optional[Sequence[Sequence[int]]] = None,
         output_batch_axis: Optional[int] = 0,
         extra_meta: Optional[Dict[str, Any]] = None,
+        mesh: Optional[Mesh] = None,
+        param_specs: Optional[Any] = None,
+        input_specs: Optional[Sequence[PartitionSpec]] = None,
     ) -> "ServingArtifact":
         """Trace ``fn(params, *inputs)`` at every spec and write `path`.
 
@@ -158,6 +188,14 @@ class ServingArtifact:
         input the axes the loader may zero-pad to reach a larger
         specialization; `output_batch_axis` (or ``None``) tells the loader
         which output axis to slice back after batch padding.
+
+        **Multi-chip artifacts**: pass `mesh` together with `param_specs`
+        (a pytree of ``PartitionSpec`` congruent with `params`, e.g. from
+        :func:`pydrobert_tpu.parallel.param_partition_specs`) and
+        `input_specs` (one ``PartitionSpec`` per input). The module is
+        traced with those shardings baked in — XLA inserts the collectives
+        — and the loader rebuilds a same-shape mesh over the serving
+        host's devices (which must number at least the mesh size).
         """
         if allow_pallas and "cpu" in platforms:
             raise ValueError(
@@ -166,7 +204,22 @@ class ServingArtifact:
             )
         if not specs:
             raise ValueError("need at least one input specialization")
-        jit_fn = jax.jit(fn)
+        if mesh is not None:
+            if param_specs is None or input_specs is None:
+                raise ValueError(
+                    "mesh exports need param_specs and input_specs"
+                )
+            param_shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), param_specs,
+                is_leaf=_is_spec,
+            )
+            in_shardings = (
+                param_shardings,
+                *(NamedSharding(mesh, s) for s in input_specs),
+            )
+            jit_fn = jax.jit(fn, in_shardings=in_shardings)
+        else:
+            jit_fn = jax.jit(fn)
         blobs: List[bytes] = []
         sigs: List[List[Dict[str, Any]]] = []
         for spec in specs:
@@ -197,6 +250,16 @@ class ServingArtifact:
             ),
             "output_batch_axis": output_batch_axis,
         }
+        if mesh is not None:
+            meta["mesh"] = {
+                "axis_names": list(mesh.axis_names),
+                "shape": [int(mesh.shape[a]) for a in mesh.axis_names],
+            }
+            meta["param_specs"] = {
+                k: _spec_to_json(v)
+                for k, v in _flatten_dict(param_specs).items()
+            }
+            meta["input_specs"] = [_spec_to_json(s) for s in input_specs]
         if extra_meta:
             meta["extra"] = extra_meta
         os.makedirs(path, exist_ok=True)
@@ -253,6 +316,42 @@ class ServingArtifact:
             sum(int(np.prod(entry["shape"])) for entry in sig)
         )
 
+    def _ensure_mesh(self) -> Mesh:
+        """(Re)build the export-time mesh over this host's devices."""
+        if self._mesh is None:
+            info = self.meta["mesh"]
+            shape = tuple(info["shape"])
+            n = int(np.prod(shape))
+            devices = jax.devices()
+            if len(devices) < n:
+                raise RuntimeError(
+                    f"artifact was exported for a {shape} mesh "
+                    f"({n} devices); this host has {len(devices)}"
+                )
+            self._mesh = Mesh(
+                np.asarray(devices[:n]).reshape(shape),
+                tuple(info["axis_names"]),
+            )
+        return self._mesh
+
+    def _mesh_params(self) -> Any:
+        """Parameters placed on the mesh per the exported specs, once."""
+        if self._placed_params is None:
+            mesh = self._ensure_mesh()
+            specs = unflatten_arrays(
+                {
+                    k: _spec_from_json(v)
+                    for k, v in self.meta["param_specs"].items()
+                }
+            )
+            self._placed_params = jax.tree.map(
+                lambda leaf, s: jax.device_put(leaf, NamedSharding(mesh, s)),
+                self.params,
+                specs,
+                is_leaf=_is_spec,
+            )
+        return self._placed_params
+
     def _call_k(self, k: int) -> Callable:
         fn = self._compiled.get(k)
         if fn is None:
@@ -291,7 +390,18 @@ class ServingArtifact:
             if any(hi for _, hi in widths):
                 x = np.pad(x, widths)
             padded.append(x)
-        out = self._call_k(k)(self.params, *padded)
+        if self.meta.get("mesh"):
+            mesh = self._ensure_mesh()
+            padded = [
+                jax.device_put(
+                    x,
+                    NamedSharding(mesh, _spec_from_json(spec_json)),
+                )
+                for x, spec_json in zip(padded, self.meta["input_specs"])
+            ]
+            out = self._call_k(k)(self._mesh_params(), *padded)
+        else:
+            out = self._call_k(k)(self.params, *padded)
         bax = self.meta.get("output_batch_axis")
         if bax is None or batch_in == sig[0]["shape"][0]:
             return out
@@ -304,6 +414,32 @@ class ServingArtifact:
         return jax.tree.map(_slice, out)
 
 
+def _mesh_kwargs(
+    mesh: Optional[Mesh], partition_rules: Optional[Callable], params
+) -> Dict[str, Any]:
+    """Mesh/sharding kwargs for :meth:`ServingArtifact.export`.
+
+    Batch inputs (feats, lens) shard over the ``data`` axis; params get
+    the effective specs from `partition_rules` (with
+    :func:`~pydrobert_tpu.parallel.shard_params`'s divisibility
+    fallback).
+    """
+    if mesh is None:
+        return {}
+    if partition_rules is None:
+        raise ValueError("mesh exports need partition_rules")
+    from .parallel import DATA_AXIS, param_partition_specs
+
+    return {
+        "mesh": mesh,
+        "param_specs": param_partition_specs(params, mesh, partition_rules),
+        "input_specs": [
+            PartitionSpec(DATA_AXIS),
+            PartitionSpec(DATA_AXIS),
+        ],
+    }
+
+
 def export_ctc_recognizer(
     path: str,
     model,
@@ -314,6 +450,8 @@ def export_ctc_recognizer(
     lm=None,
     beta: float = 0.2,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    mesh: Optional[Mesh] = None,
+    partition_rules: Optional[Callable] = None,
 ) -> ServingArtifact:
     """Export a CTC ASR serving head: ``artifact(feats, lens)``.
 
@@ -322,8 +460,15 @@ def export_ctc_recognizer(
     otherwise a width-`width` CTC prefix search (outputs batch-major
     ``hyps (N, W, S)``, ``lens (N, W)``, ``log_probs (N, W)``), optionally
     shallow-fused with `lm` at weight `beta`.
+
+    Passing `mesh` + `partition_rules` (e.g.
+    :func:`~pydrobert_tpu.models.conformer_partition_rules`) exports a
+    multi-chip artifact: params shard per the rules, batches shard over
+    the ``data`` axis, and the loader rebuilds the mesh at serving time.
     """
     from .ops.decoding import CTCPrefixSearch, ctc_greedy_search
+
+    mesh_kw = _mesh_kwargs(mesh, partition_rules, params)
 
     num_filts = model.cfg.num_filts
     if width is None:
@@ -362,6 +507,7 @@ def export_ctc_recognizer(
         platforms=platforms,
         paddable=[(0, 1), (0,)],
         output_batch_axis=0,
+        **mesh_kw,
         extra_meta={
             "family": "ctc",
             "width": width,
@@ -384,17 +530,22 @@ def export_transducer_recognizer(
     lm=None,
     lm_weight: float = 0.3,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    mesh: Optional[Mesh] = None,
+    partition_rules: Optional[Callable] = None,
 ) -> ServingArtifact:
     """Export an RNN-T serving head: ``artifact(feats, lens)``.
 
     `specs` lists ``(batch, max_frames)`` specializations. ``mode`` is
     ``"greedy"`` (outputs ``hyps (N, U)``, ``lens (N,)``) or ``"beam"``
     (outputs ``hyps (N, W, U)``, ``lens (N, W)``, ``scores (N, W)``,
-    optional shallow-fusion `lm`).
+    optional shallow-fusion `lm`). `mesh` + `partition_rules` (e.g.
+    :func:`~pydrobert_tpu.models.transducer_partition_rules`) export a
+    multi-chip artifact, as in :func:`export_ctc_recognizer`.
     """
     if mode not in ("greedy", "beam"):
         raise ValueError(f"mode must be 'greedy' or 'beam', got {mode!r}")
     num_filts = model.cfg.encoder.num_filts
+    mesh_kw = _mesh_kwargs(mesh, partition_rules, params)
 
     if mode == "greedy":
 
@@ -437,6 +588,7 @@ def export_transducer_recognizer(
         platforms=platforms,
         paddable=[(0, 1), (0,)],
         output_batch_axis=0,
+        **mesh_kw,
         extra_meta={
             "family": "transducer",
             "mode": mode,

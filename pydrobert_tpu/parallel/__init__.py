@@ -16,6 +16,7 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     host_shard_info,
     make_mesh,
+    param_partition_specs,
     replicated_sharding,
     sequence_sharding,
     shard_params,
@@ -40,6 +41,7 @@ __all__ = [
     "host_shard_info",
     "make_mesh",
     "make_pipeline_mesh",
+    "param_partition_specs",
     "pipeline_apply",
     "replicated_sharding",
     "restore_sharded",

@@ -89,19 +89,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
-def shard_params(
+def param_partition_specs(
     params: Any,
     mesh: Mesh,
     rules: Callable[[Tuple[Any, ...], jax.Array], PartitionSpec],
 ) -> Any:
-    """Place a parameter pytree on `mesh` according to path-based `rules`.
+    """The *effective* ``PartitionSpec`` for every leaf of `params`.
 
-    `rules` maps ``(path, leaf) -> PartitionSpec``; see
-    :func:`pydrobert_tpu.models.conformer.conformer_partition_rules` for the
-    flagship model's tensor-parallel layout.
+    Applies `rules` plus the divisibility fallback :func:`shard_params`
+    uses (a leaf whose dims don't divide the assigned mesh axes is
+    replicated), so the result is exactly how :func:`shard_params` would
+    place each leaf — reusable for jit ``in_shardings`` or serialization
+    (:mod:`pydrobert_tpu.export`).
     """
 
-    def place(path, leaf):
+    def effective(path, leaf):
         spec = rules(path, leaf)
         # replicate any leaf whose dims don't divide the assigned mesh axes
         # (e.g. a vocab+1 CTC head on an even-way model axis)
@@ -113,11 +115,30 @@ def shard_params(
             for a in axes:
                 size *= mesh.shape[a]
             if leaf.shape[dim] % size:
-                spec = PartitionSpec()
-                break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+                return PartitionSpec()
+        return spec
 
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map_with_path(effective, params)
+
+
+def shard_params(
+    params: Any,
+    mesh: Mesh,
+    rules: Callable[[Tuple[Any, ...], jax.Array], PartitionSpec],
+) -> Any:
+    """Place a parameter pytree on `mesh` according to path-based `rules`.
+
+    `rules` maps ``(path, leaf) -> PartitionSpec``; see
+    :func:`pydrobert_tpu.models.conformer.conformer_partition_rules` for the
+    flagship model's tensor-parallel layout.
+    """
+    specs = param_partition_specs(params, mesh, rules)
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, PartitionSpec),
+    )
 
 
 def host_shard_info() -> Tuple[int, int]:

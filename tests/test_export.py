@@ -47,7 +47,10 @@ def _ctc_setup(key, N=3, T=33):
     model = ConformerCTC(_CTC_CFG)
     rng = np.random.RandomState(7)
     feats = jnp.asarray(rng.randn(N, T, 8), jnp.float32)
-    lens = jnp.asarray([T, T - 9, T // 2][:N], jnp.int32)
+    lens = jnp.asarray(
+        ([T, T - 9, T // 2] + list(rng.randint(1, T, max(0, N - 3))))[:N],
+        jnp.int32,
+    )
     params = model.init(key, feats, lens)["params"]
     return model, params, feats, lens
 
@@ -158,6 +161,37 @@ def test_artifact_runs_without_model_code(key, tmp_path):
     hyps, hyp_lens = art(np.asarray(feats), np.asarray(lens))
     assert 0 in art._compiled
     assert hyps.shape[0] == N
+
+
+def test_sharded_ctc_artifact_matches_unsharded_live(key, tmp_path):
+    """A dp=4 x tp=2 mesh artifact must reload (rebuilding the mesh over
+    this host's 8 virtual devices) and match the single-program decode."""
+    from pydrobert_tpu.models import conformer_partition_rules
+    from pydrobert_tpu.parallel import make_mesh
+
+    model, params, feats, lens = _ctc_setup(key, N=4, T=32)
+    mesh = make_mesh(2)
+    path = os.path.join(tmp_path, "art")
+    export_ctc_recognizer(
+        path, model, params, specs=[(4, 32)],
+        mesh=mesh, partition_rules=conformer_partition_rules,
+    )
+    art = ServingArtifact.load(path)
+    assert art.meta["mesh"]["shape"] == [4, 2]
+    hyps, hyp_lens = art(np.asarray(feats), np.asarray(lens))
+
+    from pydrobert_tpu.ops.decoding import ctc_greedy_search
+
+    logits, out_lens = model.apply({"params": params}, feats, lens)
+    _, exp_hyps, exp_lens = ctc_greedy_search(
+        logits, out_lens, batch_first=True
+    )
+    assert np.array_equal(hyps, exp_hyps)
+    assert np.array_equal(hyp_lens, exp_lens)
+    # a smaller batch still pads onto the mesh and slices back
+    h3, l3 = art(np.asarray(feats)[:3], np.asarray(lens)[:3])
+    assert np.array_equal(h3, np.asarray(exp_hyps)[:3])
+    assert np.array_equal(l3, np.asarray(exp_lens)[:3])
 
 
 def test_transducer_greedy_artifact_matches_live(key, tmp_path):
