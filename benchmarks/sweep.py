@@ -5,10 +5,13 @@ essentials: (1) no-LM + fused throughput/kernels, (2) fresh HLO dumps,
 (3) beam-gate calibration (new kernel), (4) unroll sweep.
 """
 import json
+import os
+import sys
 import time
 
 import jax
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 import pydrobert_tpu.config as config
 from pydrobert_tpu.ops.decoding import CTCPrefixSearch

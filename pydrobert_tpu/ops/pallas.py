@@ -923,7 +923,12 @@ def beam_kernel_preferred() -> bool:
             return use
     except (OSError, ValueError, KeyError):
         pass
-    use = _calibrate_beam_kernel(key)
+    # The gate is usually consulted at trace time (inside the user's jit of
+    # the decode step); ensure_compile_time_eval lets the calibration's own
+    # jitted probes run eagerly on-device even then (observed crash
+    # otherwise: the probe outputs became tracers of the ambient trace).
+    with jax.ensure_compile_time_eval():
+        use = _calibrate_beam_kernel(key)
     _BEAM_GATE_CACHE[key] = use
     return use
 
@@ -1175,7 +1180,8 @@ def topm_kernel_preferred() -> bool:
             return use
     except (OSError, ValueError, KeyError):
         pass
-    use = _calibrate_topm(key)
+    with jax.ensure_compile_time_eval():  # see beam_kernel_preferred
+        use = _calibrate_topm(key)
     _TOPM_GATE_CACHE[key] = use
     return use
 

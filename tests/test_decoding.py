@@ -1044,6 +1044,45 @@ def test_beam_gate_calibration_survives_kernel_failure(monkeypatch, tmp_path):
     assert rec["use_pallas"] is False and "error" in rec
 
 
+def test_beam_gate_calibrates_under_ambient_trace(monkeypatch, tmp_path):
+    """The gate is usually first consulted while the user's decode step is
+    being TRACED (inside jit/scan). Calibration runs real device probes +
+    host syncs; without ensure_compile_time_eval those become tracers and
+    crash (observed on-TPU: TracerArrayConversionError from inside
+    bench.py's scan body). Reproduce the shape on CPU by faking the TPU
+    check and consulting the gate from inside a jit trace."""
+    from pydrobert_tpu.ops import pallas
+
+    monkeypatch.setattr(pallas, "tpu_available", lambda: True)
+    monkeypatch.setattr(
+        pallas, "_beam_gate_path", lambda: str(tmp_path / "gate.json")
+    )
+
+    calls = []
+
+    def fake_calibrate(key):
+        # what the real calibration does: jitted probe + host materialize
+        out = jax.jit(lambda x: x * 2)(jnp.ones(3))
+        np.asarray(out)  # crashes if `out` is a tracer
+        calls.append(key)
+        return False
+
+    monkeypatch.setattr(pallas, "_calibrate_beam_kernel", fake_calibrate)
+    monkeypatch.setattr(pallas, "_calibrate_topm", fake_calibrate)
+    pallas._BEAM_GATE_CACHE.clear()
+    pallas._TOPM_GATE_CACHE.clear()
+
+    def traced(x):
+        pallas.beam_kernel_preferred()
+        pallas.topm_kernel_preferred()
+        return x + 1
+
+    jax.jit(traced)(jnp.ones(2))  # must not raise
+    assert len(calls) == 2
+    pallas._BEAM_GATE_CACHE.clear()
+    pallas._TOPM_GATE_CACHE.clear()
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("shape", [(12, 3, 9, 4), (7, 2, 3, 8)])
 def test_ctc_beam_kernel_interpret_matches_search(shape):
