@@ -809,6 +809,28 @@ def _beam_kernel_rev() -> str:
     return hashlib.sha1(src.encode()).hexdigest()[:10]
 
 
+def _tracing_now() -> bool:
+    """True when called under an ambient JAX trace (jit/scan tracing).
+
+    Auto-calibration times REAL device runs of both paths. Under a trace
+    that is impossible: plain probes become tracers (observed
+    TracerArrayConversionError from a user's scan body), and running them
+    under ``ensure_compile_time_eval`` eagerly evaluates primitive-by-
+    primitive, where ``pallas_call`` cannot execute (no eval rule for
+    ``program_id``; closure constants get rejected) — which would persist
+    a bogus "kernel failed" decision. Gates therefore return the
+    always-correct XLA path under tracing WITHOUT caching; the first
+    eager consult (or benchmarks/sweep.py) performs the real calibration
+    and persists it for later traced consults to read.
+    """
+    try:
+        from jax._src import core as _core
+
+        return not _core.trace_state_clean()
+    except Exception:  # pragma: no cover - private API moved
+        return False
+
+
 def _calibrate_beam_kernel(key: str) -> bool:
     """Time BOTH no-LM beam-search paths on a small representative decode
     and return whether the Pallas whole-loop kernel wins. Each path is the
@@ -923,12 +945,9 @@ def beam_kernel_preferred() -> bool:
             return use
     except (OSError, ValueError, KeyError):
         pass
-    # The gate is usually consulted at trace time (inside the user's jit of
-    # the decode step); ensure_compile_time_eval lets the calibration's own
-    # jitted probes run eagerly on-device even then (observed crash
-    # otherwise: the probe outputs became tracers of the ambient trace).
-    with jax.ensure_compile_time_eval():
-        use = _calibrate_beam_kernel(key)
+    if _tracing_now():
+        return False  # no caching: a later eager consult calibrates
+    use = _calibrate_beam_kernel(key)
     _BEAM_GATE_CACHE[key] = use
     return use
 
@@ -1180,8 +1199,9 @@ def topm_kernel_preferred() -> bool:
             return use
     except (OSError, ValueError, KeyError):
         pass
-    with jax.ensure_compile_time_eval():  # see beam_kernel_preferred
-        use = _calibrate_topm(key)
+    if _tracing_now():
+        return False  # no caching: a later eager consult calibrates
+    use = _calibrate_topm(key)
     _TOPM_GATE_CACHE[key] = use
     return use
 

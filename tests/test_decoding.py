@@ -1044,13 +1044,14 @@ def test_beam_gate_calibration_survives_kernel_failure(monkeypatch, tmp_path):
     assert rec["use_pallas"] is False and "error" in rec
 
 
-def test_beam_gate_calibrates_under_ambient_trace(monkeypatch, tmp_path):
+def test_beam_gate_defers_calibration_under_ambient_trace(monkeypatch, tmp_path):
     """The gate is usually first consulted while the user's decode step is
-    being TRACED (inside jit/scan). Calibration runs real device probes +
-    host syncs; without ensure_compile_time_eval those become tracers and
-    crash (observed on-TPU: TracerArrayConversionError from inside
-    bench.py's scan body). Reproduce the shape on CPU by faking the TPU
-    check and consulting the gate from inside a jit trace."""
+    being TRACED (inside jit/scan). Calibration times real device runs,
+    which is impossible under a trace (probes become tracers — observed
+    TracerArrayConversionError on-TPU from bench.py's scan body; and
+    ensure_compile_time_eval can't execute pallas_call). Under tracing the
+    gate must pick the XLA path WITHOUT calibrating or caching, so a later
+    eager consult still performs the real calibration."""
     from pydrobert_tpu.ops import pallas
 
     monkeypatch.setattr(pallas, "tpu_available", lambda: True)
@@ -1065,7 +1066,7 @@ def test_beam_gate_calibrates_under_ambient_trace(monkeypatch, tmp_path):
         out = jax.jit(lambda x: x * 2)(jnp.ones(3))
         np.asarray(out)  # crashes if `out` is a tracer
         calls.append(key)
-        return False
+        return True
 
     monkeypatch.setattr(pallas, "_calibrate_beam_kernel", fake_calibrate)
     monkeypatch.setattr(pallas, "_calibrate_topm", fake_calibrate)
@@ -1073,11 +1074,16 @@ def test_beam_gate_calibrates_under_ambient_trace(monkeypatch, tmp_path):
     pallas._TOPM_GATE_CACHE.clear()
 
     def traced(x):
-        pallas.beam_kernel_preferred()
-        pallas.topm_kernel_preferred()
+        assert pallas.beam_kernel_preferred() is False
+        assert pallas.topm_kernel_preferred() is False
         return x + 1
 
     jax.jit(traced)(jnp.ones(2))  # must not raise
+    assert calls == []  # deferred, nothing cached
+    assert not pallas._BEAM_GATE_CACHE and not pallas._TOPM_GATE_CACHE
+    # eager consult afterwards performs the real calibration and caches it
+    assert pallas.beam_kernel_preferred() is True
+    assert pallas.topm_kernel_preferred() is True
     assert len(calls) == 2
     pallas._BEAM_GATE_CACHE.clear()
     pallas._TOPM_GATE_CACHE.clear()
