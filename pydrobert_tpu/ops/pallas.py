@@ -975,16 +975,23 @@ __all__ += [
 # ---------------------------------------------------------------------------
 
 
-_KEY_TOP = np.uint32(0x80000000)
+# Signed-i32 total-order keys: Mosaic has no unsigned-integer reductions
+# (observed on TPU v5e: "Reductions over unsigned integers not implemented"
+# from the u32 formulation; interpret mode accepted it, hiding the gap).
+# The involution ``i >= 0 ? i : i ^ 0x7FFFFFFF`` on the raw float bits
+# gives the identical ordering in SIGNED space (and is its own decode).
+_KEY_FLIP = np.int32(0x7FFFFFFF)
+_KEY_MIN = np.int32(-0x80000000)
 
 
 def _total_order_key(x, iota, V):
-    """Ascending IEEE-total-order uint32 key of `x` (bigger key <=> bigger
-    float, -0.0 < +0.0, same mapping exact_top_k sorts by); physical lane
-    padding past `V` keyed 0 so it can never win a selection round."""
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    key = jnp.where(u >= _KEY_TOP, ~u, u | _KEY_TOP)
-    return jnp.where(iota < V, key, jnp.uint32(0))
+    """Ascending IEEE-total-order int32 key of `x` (bigger key <=> bigger
+    float, -0.0 < +0.0, same ordering exact_top_k sorts by); physical lane
+    padding past `V` keyed int32-min so it can never win a selection
+    round."""
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    key = jnp.where(i >= 0, i, i ^ _KEY_FLIP)
+    return jnp.where(iota < V, key, _KEY_MIN)
 
 
 def _select_rounds_to_refs(key, iota, M, vals_ref, idx_ref):
@@ -999,10 +1006,10 @@ def _select_rounds_to_refs(key, iota, M, vals_ref, idx_ref):
         i = jnp.where(hit, iota, key.shape[1]).min(1)
         key_cols.append(k[:, None])
         idx_cols.append(i[:, None])
-        key = jnp.where(hit & (iota == i[:, None]), jnp.uint32(0), key)
+        key = jnp.where(hit & (iota == i[:, None]), _KEY_MIN, key)
     keys = jnp.concatenate(key_cols, 1)  # (RB, M)
     vals_ref[:, :M] = jax.lax.bitcast_convert_type(
-        jnp.where(keys >= _KEY_TOP, keys ^ _KEY_TOP, ~keys), jnp.float32
+        jnp.where(keys >= 0, keys, keys ^ _KEY_FLIP), jnp.float32
     )
     idx_ref[:, :M] = jnp.concatenate(idx_cols, 1)
     if vals_ref.shape[1] > M:  # lane padding of the output block
