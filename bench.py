@@ -87,6 +87,54 @@ def _time(fn, *args, reps=3):
     return statistics.median(times)
 
 
+def bench_canary():
+    """Pinned phase canary (VERDICT r2: round-over-round numbers on the
+    shared dev tunnel are uninterpretable without one). Two fixed
+    micro-workloads, identical every run: a matmul loop (compute/phase
+    proxy) and a sequential gather scan (per-kernel dispatch proxy — the
+    quantity decode scans are bound by). Throughput fields from different
+    runs can be compared after normalizing by these."""
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(512, 512).astype(np.float32))
+
+    def mm(a):
+        def step(c, _):
+            return (c @ a) * (1.0 / 64.0), None
+
+        out, _ = jax.lax.scan(step, a, None, length=64)
+        return out
+
+    cm, _ = _compile(mm, a)
+    mm_ms = _time(cm, a) * 1e3
+
+    tbl = jnp.asarray(rng.randn(2048, 128).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 2048, (256,)).astype(np.int32))
+
+    def gather_loop(tbl, idx):
+        def step(c, i):
+            return c + tbl[i] * 1e-3, None
+
+        out, _ = jax.lax.scan(step, jnp.zeros((128,), jnp.float32), idx)
+        return out
+
+    cg, _ = _compile(gather_loop, tbl, idx)
+    dispatch_us = _time(cg, tbl, idx) / 256 * 1e6
+    return round(mm_ms, 3), round(dispatch_us, 2)
+
+
+def calibrate_pallas_gates():
+    """Eager Pallas gate calibration under the ORGANIC cache keys, run
+    BEFORE any decode benchmark traces (VERDICT r2 #1: every earlier driver
+    bench measured pure-XLA paths because gates consulted under tracing
+    defer). Cached decisions (user cache or the repo-committed seed in
+    pydrobert_tpu/ops/calibration/gates.json) return instantly; a changed
+    kernel rev re-times both paths here, so the headline fields below are
+    always measured with the calibrated winner engaged."""
+    from pydrobert_tpu.ops.pallas import calibrate_gates
+
+    return calibrate_gates()
+
+
 def bench_spec_augment(inner=16):
     B, T, F = 16, 1000, 80
     rng = np.random.RandomState(0)
@@ -611,6 +659,18 @@ def main():
     _RESULTS["loader_native_utt_per_sec"] = round(loader_nat, 1)
     _RESULTS["loader_python_utt_per_sec"] = round(loader_py, 1)
 
+    # phase canary first (cheap compiles): every throughput field below can
+    # be phase-normalized against these two pinned numbers
+    canary_ms, canary_dispatch = _guard(bench_canary, (0.0, 0.0))
+    _RESULTS["canary_ms"] = canary_ms
+    _RESULTS["canary_dispatch_us"] = canary_dispatch
+
+    # calibrate the Pallas kernel gates EAGERLY, under the organic keys,
+    # before anything traces a decode: the decode/SpecAugment numbers below
+    # are measured with the calibrated winners engaged, and the decisions
+    # ship in the JSON line as evidence
+    _RESULTS["gates"] = _guard(calibrate_pallas_gates, {})
+
     dec, per_utt, dec_kernels, dec_upk = _guard(
         bench_ctc_beam16, (0.0, float("inf"), 0, 0.0)
     )
@@ -697,38 +757,67 @@ _LAST_GOOD_PATH = os.path.join(
 )
 
 
-def _carry_last_good():
-    """Persist on-chip results across runs; surface them when the tunnel dies.
+def _good_field(k, v):
+    """A field worth persisting: a real measurement, not a guard default.
+    Failed sub-benchmarks report 0 / inf; those never overwrite a snapshot."""
+    if k in ("last_good", "error", "metric", "unit", "timing", "device"):
+        return False
+    if k == "gates":
+        return isinstance(v, dict) and "beam" in v
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return False
+    return 0 < v < float("inf")
 
-    The shared dev tunnel goes unresponsive for hours at a time; if that
-    happens during the driver's end-of-round bench run, the watchdog prints
-    zeros and the round's real on-chip evidence is lost. A run whose headline
-    succeeded on an accelerator snapshots its numbers; a run that got nothing
-    embeds the newest snapshot under ``last_good`` (clearly labeled with its
-    wall-clock time and device — supporting evidence, never the headline).
+
+def _carry_last_good():
+    """Persist on-chip results across runs PER FIELD; surface what's missing.
+
+    The shared dev tunnel goes unresponsive for hours at a time and the
+    budget cuts late fields on slow-phase runs; merging the snapshot per
+    field (VERDICT r2 #5) means every field measured at least once during
+    the round survives to the driver's end-of-round JSON line. Fields the
+    current run did measure stay headline; fields it missed appear under
+    ``last_good`` with per-field timestamps — clearly labeled supporting
+    evidence, never the headline.
     """
-    ok = _RESULTS.get("value", 0.0) > 0 and _RESULTS.get("device") not in (
-        None,
-        "cpu",
-    )
     try:
-        if ok:
+        snap = {"fields": {}, "recorded_at": {}}
+        if os.path.exists(_LAST_GOOD_PATH):
+            with open(_LAST_GOOD_PATH) as f:
+                old = json.load(f)
+            if "fields" in old:
+                snap = old
+            else:  # pre-r3 whole-run snapshot format
+                ts = old.pop("recorded_at", "")
+                snap["fields"] = {
+                    k: v for k, v in old.items() if _good_field(k, v)
+                }
+                snap["recorded_at"] = {k: ts for k in snap["fields"]}
+        on_chip = _RESULTS.get("device") not in (None, "cpu")
+        if on_chip:
+            now = time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+            for k, v in _RESULTS.items():
+                if _good_field(k, v):
+                    snap["fields"][k] = v
+                    snap["recorded_at"][k] = now
             os.makedirs(os.path.dirname(_LAST_GOOD_PATH), exist_ok=True)
-            snap = {
-                k: v for k, v in _RESULTS.items() if k != "last_good"
-            }
-            snap["recorded_at"] = time.strftime(
-                "%Y-%m-%d %H:%M:%S UTC", time.gmtime()
-            )
             with open(_LAST_GOOD_PATH, "w") as f:
                 json.dump(snap, f)
-        elif os.path.exists(_LAST_GOOD_PATH):
-            with open(_LAST_GOOD_PATH) as f:
-                _RESULTS["last_good"] = json.load(f)
+        missing = {
+            k: v
+            for k, v in snap["fields"].items()
+            if not _good_field(k, _RESULTS.get(k))
+        }
+        if missing:
+            missing["recorded_at"] = {
+                k: snap["recorded_at"].get(k, "") for k in missing
+            }
+            _RESULTS["last_good"] = missing
             _RESULTS.setdefault(
-                "error",
-                "device benchmarks did not complete this run; last_good "
-                "holds the most recent successful on-chip run",
+                "note",
+                "fields under last_good were cut from this run by the time "
+                "budget (or failed); values are the most recent on-chip "
+                "measurements, with per-field timestamps",
             )
     except Exception:
         pass

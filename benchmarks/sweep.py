@@ -20,6 +20,14 @@ from pydrobert_tpu.utils.hlostats import count_body_kernels
 out = {}
 print("devices:", jax.devices(), flush=True)
 
+# --- 0. prime the Pallas gates (organic keys; instant when cached) so the
+# decode traces below bake in the calibrated winners
+from pydrobert_tpu.ops import pallas as _pallas
+try:
+    print("gates primed:", json.dumps(_pallas.calibrate_gates()), flush=True)
+except Exception as e:
+    print("gate priming error:", e, flush=True)
+
 # --- 1. no-LM + fused throughput + kernels/step
 t0 = time.perf_counter()
 thr, per_utt, kernels, upk = bench._bench_search(
@@ -55,13 +63,15 @@ txt = jax.jit(lambda l, n: fsearch(l, n)).lower(logits, lens).compile().as_text(
 open("/tmp/fused_hlo_new.txt", "w").write(txt)
 print("HLO dumps written", flush=True)
 
-# --- 3. beam-gate calibration with the new kernel (logs + caches)
+# --- 3. gate calibration under the ORGANIC keys (the ones the gates read
+# back at decode time — r2's "manual:*" keys were write-only), forced fresh
 import logging
 logging.basicConfig(level=logging.INFO)
 from pydrobert_tpu.ops import pallas
 try:
-    use = pallas._calibrate_beam_kernel("manual:" + pallas._beam_kernel_rev())
-    print("gate says pallas:", use, flush=True)
+    gates = pallas.calibrate_gates(force=True)
+    out["gates"] = gates
+    print("gates:", json.dumps(gates), flush=True)
 except Exception as e:
     print("gate calibration error:", e, flush=True)
 
@@ -82,11 +92,9 @@ for name, s in (("nolm", search), ("fused", fsearch)):
 
 print("SWEEP", json.dumps(out), flush=True)
 
-# --- 5. top-M kernel calibration (new: single-pass selection vs sort)
+# --- 5. top-M kernel headline-shape A/B (gate already calibrated above
+# under its organic key): the prologue top-M was ~60% of no-LM decode
 try:
-    use_topm = pallas._calibrate_topm("manual-topm:" + pallas._topm_rev())
-    print("topm gate says pallas:", use_topm, flush=True)
-    # headline-shape A/B: the prologue top-M was ~60% of no-LM decode
     import pydrobert_tpu.config as _cfg
     for mode in ("0", "1"):
         _cfg.USE_PALLAS_TOPM = mode

@@ -55,25 +55,27 @@ __all__ = [
 _COMMON_ARGS = {
     "--file-prefix": {
         "default": config.DEFT_FILE_PREFIX,
-        "help": "The file prefix indicating a torch data file",
+        "help": "Prefix marking a tensor data file in the directory "
+        "(.pt-compatible serialization; torch is not required to read or "
+        "write them)",
     },
     "--file-suffix": {
         "default": config.DEFT_FILE_SUFFIX,
-        "help": "The file suffix indicating a torch data file",
+        "help": "Suffix marking a tensor data file in the directory "
+        "(.pt-compatible serialization; torch is not required to read or "
+        "write them)",
     },
     "token2id": {
         "type": argparse.FileType("r"),
-        "help": "A file containing mappings from tokens (e.g. words or "
-        'phones) to unique IDs. Each line has the format "<token> <id>". '
-        'The flag "--swap" can be used to swap the expected ordering (i.e. '
-        'to "<id> <token>")',
+        "help": "Token-to-ID mapping file, one entry per line in the "
+        'format "<token> <id>" (tokens are e.g. words or phones). Pass '
+        '"--swap" if the file lists "<id> <token>" instead',
     },
     "id2token": {
         "type": argparse.FileType("r"),
-        "help": "A file containing mappings from unique IDs to tokens (e.g. "
-        'words or phones). Each line has the format "<id> <token>". The '
-        'flag "--swap" can be used to swap the expected ordering (i.e. to '
-        '"<token> <id>")',
+        "help": "ID-to-token mapping file, one entry per line in the "
+        'format "<id> <token>" (tokens are e.g. words or phones). Pass '
+        '"--swap" if the file lists "<token> <id>" instead',
     },
     "--num-workers": {
         "type": int,
@@ -84,56 +86,57 @@ _COMMON_ARGS = {
     "--swap": {
         "action": "store_true",
         "default": False,
-        "help": "If set, swaps the order of the key and value in token/id "
-        "mapping",
+        "help": "Read the token/id mapping file with its two columns in "
+        "the opposite order",
     },
     "--unk-symbol": {
         "default": None,
-        "help": "If set, will map out-of-vocabulary tokens to this symbol",
+        "help": "Map out-of-vocabulary tokens to this symbol instead of "
+        "erroring",
     },
     "--frame-shift-ms": {
         "type": float,
         "default": config.DEFT_FRAME_SHIFT_MS,
-        "help": "The number of milliseconds that have passed between "
-        "consecutive frames. Used to convert between time in seconds and "
-        "frame index. If your features are the raw samples, set this to "
-        "1000 / sample_rate_hz",
+        "help": "Milliseconds between consecutive feature frames; converts "
+        "segment times in seconds to frame indices and back. For "
+        "raw-sample features use 1000 / sample_rate_hz",
     },
     "--skip-frame-times": {
         "action": "store_true",
         "default": False,
-        "help": "If true, will store token tensors of shape (R,) instead of "
-        "(R, 3), foregoing segment start and end times.",
+        "help": "Store token tensors of shape (R,) — token IDs only — "
+        "rather than (R, 3) with segment start/end frames",
     },
     "--feat-sizing": {
         "action": "store_true",
         "default": False,
-        "help": "If true, will store token tensors of shape (R, 1) instead "
-        "of (R, 3), foregoing segment start and end times (which trn does "
-        "not have). The extra dimension will allow data in this directory "
-        "to be loaded as features in a SpectDataSet.",
+        "help": "Store token tensors of shape (R, 1) rather than (R, 3), "
+        "dropping segment start/end frames (which trn files lack anyway); "
+        "the trailing size-1 axis lets the directory double as a "
+        "SpectDataSet feature dir",
     },
     "--mp-chunk-size": {
         "type": int,
         "default": config.DEFT_CHUNK_SIZE,
-        "help": "The number of utterances that a multiprocessing worker "
-        "will process at once. Impacts speed and memory consumption.",
+        "help": "Utterances handed to each multiprocessing worker at a "
+        "time; trades dispatch overhead against peak memory",
     },
     "--textgrid-suffix": {
         "default": config.DEFT_TEXTGRID_SUFFIX,
-        "help": "The file suffix in tg_dir indicating a TextGrid file.",
+        "help": "Suffix marking a TextGrid file in tg_dir",
     },
     "--feat-subdir": {
         "default": config.DEFT_FEAT_SUBDIR,
-        "help": "Subdirectory where features are stored.",
+        "help": "Subdirectory of the data dir holding feature tensors",
     },
     "--ali-subdir": {
         "default": config.DEFT_ALI_SUBDIR,
-        "help": "Subdirectory where per-frame alignments are stored.",
+        "help": "Subdirectory of the data dir holding per-frame alignments",
     },
     "--ref-subdir": {
         "default": config.DEFT_REF_SUBDIR,
-        "help": "Subdirectory where reference token sequences are stored.",
+        "help": "Subdirectory of the data dir holding reference token "
+        "sequences",
     },
 }
 

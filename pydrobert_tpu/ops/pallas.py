@@ -793,6 +793,56 @@ def _beam_gate_path() -> str:
     )
 
 
+def _gate_seed_path() -> str:
+    """Repo-committed calibration seeds: decisions measured on known device
+    kinds, shipped with the package so a fresh host (empty ``~/.cache``)
+    running on the same device kind engages the winning kernels without
+    paying the first-run calibration compiles. User-cache entries always
+    take precedence; keys are device-kind + kernel-source-hash scoped, so a
+    kernel edit invalidates the seed exactly like the user cache."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "calibration", "gates.json"
+    )
+
+
+def _gate_disk_lookup(key: str):
+    """Cached gate decision for `key`: the user cache first, then the
+    repo-committed seed file. Returns the entry dict or None."""
+    for path in (_beam_gate_path(), _gate_seed_path()):
+        try:
+            with open(path) as f:
+                disk = json.load(f)
+            if key in disk:
+                return disk[key]
+        except (OSError, ValueError):
+            continue
+    return None
+
+
+_DEFER_LOGGED = set()
+
+
+def _log_deferral(gate: str, key: str) -> None:
+    """One warning per gate per process when a first-ever consult happens at
+    trace time: the compiled program bakes in the XLA path and will NOT
+    retrace after calibration, so the user should calibrate eagerly
+    (``pydrobert_tpu.ops.pallas.calibrate_gates()``) if they want the
+    kernel."""
+    if gate in _DEFER_LOGGED:
+        return
+    _DEFER_LOGGED.add(gate)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s kernel gate consulted for the first time under a jit trace "
+        "(key %s): the traced program uses the XLA path and will keep it "
+        "until re-traced. Call pydrobert_tpu.ops.pallas.calibrate_gates() "
+        "eagerly (once, outside jit) to calibrate and persist the decision.",
+        gate,
+        key,
+    )
+
+
 def _beam_kernel_rev() -> str:
     """Hash of the kernel-relevant source: cached gate decisions timed a
     specific kernel implementation, so any edit must re-calibrate."""
@@ -828,7 +878,11 @@ def _tracing_now() -> bool:
 
         return not _core.trace_state_clean()
     except Exception:  # pragma: no cover - private API moved
-        return False
+        # Fail safe-but-slow: claim we ARE tracing, so the gate defers to
+        # the always-correct XLA path instead of attempting a real-device
+        # calibration that would crash under an ambient trace. Eager
+        # calibration stays available through calibrate_gates().
+        return True
 
 
 def _calibrate_beam_kernel(key: str) -> bool:
@@ -936,17 +990,18 @@ def beam_kernel_preferred() -> bool:
         return False
     if key in _BEAM_GATE_CACHE:
         return _BEAM_GATE_CACHE[key]
-    try:
-        with open(_beam_gate_path()) as f:
-            disk = json.load(f)
-        if key in disk:
-            use = bool(disk[key]["use_pallas"])
+    entry = _gate_disk_lookup(key)
+    if entry is not None:
+        try:
+            use = bool(entry["use_pallas"])
             _BEAM_GATE_CACHE[key] = use
             return use
-    except (OSError, ValueError, KeyError):
-        pass
+        except (TypeError, KeyError):
+            pass
     if _tracing_now():
-        return False  # no caching: a later eager consult calibrates
+        # no caching: a later eager consult calibrates
+        _log_deferral("beam", key)
+        return False
     use = _calibrate_beam_kernel(key)
     _BEAM_GATE_CACHE[key] = use
     return use
@@ -1197,23 +1252,80 @@ def topm_kernel_preferred() -> bool:
         return False
     if key in _TOPM_GATE_CACHE:
         return _TOPM_GATE_CACHE[key]
-    try:
-        with open(_beam_gate_path()) as f:
-            disk = json.load(f)
-        if key in disk:
-            use = bool(disk[key]["use_pallas"])
+    entry = _gate_disk_lookup(key)
+    if entry is not None:
+        try:
+            use = bool(entry["use_pallas"])
             _TOPM_GATE_CACHE[key] = use
             return use
-    except (OSError, ValueError, KeyError):
-        pass
+        except (TypeError, KeyError):
+            pass
     if _tracing_now():
-        return False  # no caching: a later eager consult calibrates
+        # no caching: a later eager consult calibrates
+        _log_deferral("topm", key)
+        return False
     use = _calibrate_topm(key)
     _TOPM_GATE_CACHE[key] = use
     return use
 
 
-__all__ += ["top_m_pallas", "top_m_vmem_ok", "topm_kernel_preferred"]
+def calibrate_gates(force: bool = False) -> dict:
+    """Eagerly calibrate every Pallas kernel auto-gate under its organic
+    cache key; return the decisions and timings.
+
+    Call this ONCE, outside any ``jax.jit`` trace, before building jitted
+    decode programs: gates consulted for the first time *during* tracing
+    cannot run their real-device A/B timing, so the traced program bakes in
+    the XLA fallback path. This function runs (or loads) the calibration for
+    the current device kind, persists it to
+    ``~/.cache/pydrobert_tpu/beam_gate.json``, and primes the in-process
+    caches so subsequent traced consults see the decision.
+
+    Returns a dict like ``{"tpu": True, "beam": {"key": ..., "use_pallas":
+    True, "pallas_ms": ..., "xla_ms": ..., "calibrated_now": False},
+    "topm": {...}}``. Off TPU it returns ``{"tpu": False}`` (the kernels
+    never engage there). With ``force=True`` cached decisions are ignored
+    and both paths re-timed.
+    """
+    out = {"tpu": tpu_available()}
+    if not out["tpu"]:
+        return out
+    if _tracing_now():
+        raise RuntimeError(
+            "calibrate_gates() must be called eagerly, outside jax.jit"
+        )
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "unknown")
+    for gate, rev_fn, cal_fn, cache in (
+        ("beam", _beam_kernel_rev, _calibrate_beam_kernel, _BEAM_GATE_CACHE),
+        ("topm", _topm_rev, _calibrate_topm, _TOPM_GATE_CACHE),
+    ):
+        prefix = "topm:" if gate == "topm" else ""
+        key = f"{prefix}{d.platform}:{kind}:{rev_fn()}"
+        entry = None if force else _gate_disk_lookup(key)
+        fresh = entry is None
+        if fresh:
+            try:
+                cal_fn(key)
+            except Exception as e:  # pragma: no cover - device-dependent
+                out[gate] = {
+                    "key": key,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+                continue
+            entry = _gate_disk_lookup(key) or {}
+        out[gate] = dict(entry, key=key, calibrated_now=fresh)
+        if "use_pallas" in entry:
+            cache[key] = bool(entry["use_pallas"])
+    return out
+
+
+__all__ += [
+    "top_m_pallas",
+    "top_m_vmem_ok",
+    "topm_kernel_preferred",
+    "calibrate_gates",
+]
 
 
 def _prologue_kernel(
