@@ -91,9 +91,10 @@ def bench_canary():
     """Pinned phase canary (VERDICT r2: round-over-round numbers on the
     shared dev tunnel are uninterpretable without one). Two fixed
     micro-workloads, identical every run: a matmul loop (compute/phase
-    proxy) and a sequential gather scan (per-kernel dispatch proxy — the
-    quantity decode scans are bound by). Throughput fields from different
-    runs can be compared after normalizing by these."""
+    proxy) and a sequential standalone-gather scan (the ~100us/step
+    dispatch+gather penalty decode-loop formulations fight — see
+    BASELINE.md "device behavior"). Throughput fields from different runs
+    can be compared after normalizing by these."""
     rng = np.random.RandomState(0)
     a = jnp.asarray(rng.randn(512, 512).astype(np.float32))
 
@@ -661,9 +662,9 @@ def main():
 
     # phase canary first (cheap compiles): every throughput field below can
     # be phase-normalized against these two pinned numbers
-    canary_ms, canary_dispatch = _guard(bench_canary, (0.0, 0.0))
+    canary_ms, canary_gather = _guard(bench_canary, (0.0, 0.0))
     _RESULTS["canary_ms"] = canary_ms
-    _RESULTS["canary_dispatch_us"] = canary_dispatch
+    _RESULTS["canary_gather_us"] = canary_gather
 
     # calibrate the Pallas kernel gates EAGERLY, under the organic keys,
     # before anything traces a decode: the decode/SpecAugment numbers below

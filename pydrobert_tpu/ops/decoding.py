@@ -658,6 +658,7 @@ def ctc_prefix_search_advance(
     y_prev_lens: jax.Array,
     prev_is_prefix: jax.Array,
     return_core: bool = False,
+    valid=None,
 ):
     """One frame of CTC prefix search (probabilities in linear space).
 
@@ -738,6 +739,7 @@ def ctc_prefix_search_advance(
         y_prev, y_prev_last, y_prev_lens, prev_is_prefix,
         next_src, next_ext, next_is_nonext, nb_ext_sel,
         nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
+        valid=valid,
     )
     if return_core:
         return core
@@ -776,6 +778,7 @@ def ctc_prefix_search_advance_factored(
     p_last_ext: Optional[jax.Array] = None,
     vocab_size: Optional[int] = None,
     batch_major: bool = False,
+    valid: Optional[jax.Array] = None,
 ):
     """One frame of CTC prefix search when extension probabilities factor as
     ``ext[n, k, v] = nonext_probs_t[n, v]`` (no per-beam LM fusion).
@@ -911,6 +914,7 @@ def ctc_prefix_search_advance_factored(
         next_src, next_ext, next_is_nonext, nb_ext_sel,
         nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
         batch_major=batch_major,
+        valid=valid,
     )
     if return_core:
         return core
@@ -933,6 +937,7 @@ def _ctc_prefix_search_advance_sparse(
     bi: Optional[jax.Array] = None,
     c1: Optional[jax.Array] = None,
     batch_major: bool = False,
+    valid: Optional[jax.Array] = None,
 ):
     """One frame of CTC prefix search with a backoff n-gram LM shallow-fused
     (``lm_probs**beta * am``), scoring only candidate slots.
@@ -1137,6 +1142,7 @@ def _ctc_prefix_search_advance_sparse(
         next_src, next_ext, next_is_nonext, sel_vals,
         nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
         batch_major=batch_major,
+        valid=valid,
     )
 
 
@@ -1165,6 +1171,7 @@ def _ctc_advance_tail(
     next_src, next_ext, next_is_nonext, nb_ext_sel,
     nb_nonext_probs_cand, b_nonext_probs_cand, width, K,
     batch_major: bool = False,
+    valid=None,
 ):
     """Common bookkeeping after candidate selection: masses, lengths, and
     prefix matrix. Reads the old path buffer only through an ``O(N K^2)``
@@ -1184,12 +1191,27 @@ def _ctc_advance_tail(
     Returns ``(y_next_prefix_lens, y_next_last, y_next_lens,
     (nb, b), next_is_prefix, next_src, next_ext, next_is_nonext)``,
     width-padded.
+
+    With ``valid`` (``(N, 1)`` bool, in-loop batch freezing), frozen rows
+    permute by the IDENTITY instead of ``next_src``: the caller's path
+    buffer then needs no buffer-wide freeze select (``cols`` already
+    carries frozen rows through unchanged), removing a whole (N, K, T)
+    read+select from every decode step. Every other tail output is
+    discarded for frozen rows anyway: the per-(N, K) carries are masked by
+    the caller, and once ``t >= lens[n]`` the row stays frozen, so its
+    clobbered ``y_last``/``is_prefix`` never reach a live step.
     """
     if batch_major:
         N, Kp, tm1 = y_prev.shape
     else:
         tm1, N, Kp = y_prev.shape
     K_new = next_src.shape[1]
+    if valid is None:
+        src_eff = next_src
+    else:
+        src_eff = jnp.where(
+            valid, next_src, jnp.arange(K_new, dtype=next_src.dtype)[None]
+        )
     if batch_major:
         # shared one-hot over the source beams; ALL per-beam picks (four
         # scalars-per-beam plus the prefix matrix's Kp-wide rows) ride ONE
@@ -1198,37 +1220,49 @@ def _ctc_advance_tail(
         # single packed gather. Exact: one nonzero term per dot row picks
         # each value verbatim (1 * x + 0s == x), ints are < 2**24.
         oh_src = (
-            next_src[:, :, None]
-            == jnp.arange(Kp, dtype=next_src.dtype)[None, None]
+            src_eff[:, :, None]
+            == jnp.arange(Kp, dtype=src_eff.dtype)[None, None]
         )  # (N, K, Kp)
         oh_src_f = oh_src.astype(jnp.float32)
-        packed_vals = jnp.concatenate(
+        # per-beam scalar picks: stack the four (N, Kp) carries along a NEW
+        # AXIS 1 — beams stay in the lane dimension, so the stack is a
+        # same-layout concatenate (the earlier lane-axis pack cost one
+        # relayout copy kernel per operand per decode step) — and orient
+        # the dot's output (N, c, K) so each picked row slices out as a
+        # (N, K) in the carries' own layout (the (N, K, c) orientation cost
+        # four more relayout copies slicing it)
+        packed_scalars = jnp.stack(
             [
-                y_prev_lens.astype(jnp.float32)[:, :, None],
-                nb_nonext_probs_cand.astype(jnp.float32)[:, :, None],
-                b_nonext_probs_cand.astype(jnp.float32)[:, :, None],
-                y_prev_last.astype(jnp.float32)[:, :, None],
-                prev_is_prefix.astype(jnp.float32),  # rides the same dot
+                y_prev_lens.astype(jnp.float32),
+                nb_nonext_probs_cand.astype(jnp.float32),
+                b_nonext_probs_cand.astype(jnp.float32),
+                y_prev_last.astype(jnp.float32),
             ],
-            2,
-        )  # (N, Kp, 4 + Kp)
+            1,
+        )  # (N, 4, Kp)
         picked = jnp.einsum(
-            "nkj,njc->nkc",
+            "ncj,nkj->nck",
+            packed_scalars,
             oh_src_f,
-            packed_vals,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (N, K, 4 + Kp)
-        y_next_prefix_lens = picked[..., 0].astype(jnp.int32)
+        )  # (N, 4, K)
+        y_next_prefix_lens = picked[:, 0].astype(jnp.int32)
         y_next_lens = y_next_prefix_lens + (~next_is_nonext)
         nb_probs_next = jnp.where(
-            next_is_nonext, picked[..., 1], nb_ext_sel
+            next_is_nonext, picked[:, 1], nb_ext_sel
         )
-        b_probs_next = picked[..., 2] * next_is_nonext
-        last_src = picked[..., 3].astype(jnp.int32)
+        b_probs_next = picked[:, 2] * next_is_nonext
+        last_src = picked[:, 3].astype(jnp.int32)
         y_next_last = last_src * next_is_nonext + next_ext * (
             ~next_is_nonext
         )
-        ip_rows = picked[..., 4:]  # (N, K, Kp) = ip[n, src_k, :], 0/1 f32
+        # prefix-matrix row pick rides its own dot (same one-hot)
+        ip_rows = jnp.einsum(
+            "nkj,njc->nkc",
+            oh_src_f,
+            prev_is_prefix.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, K, Kp) = ip[n, src_k, :], 0/1 f32
         # column pick ip[n, src_k, src_j]: second contraction over Kp
         # (contracting dim minor on both operands)
         next_prefix_is_prefix = (
@@ -1344,7 +1378,7 @@ def _ctc_advance_tail(
             # O(T N K) cols stream — was measured: take_along_axis columns
             # serialize (~1000x) and the one-hot-einsum column select blows
             # XLA compile time up ~30x.)
-            cols = jnp.take_along_axis(y_prev, next_src[None], axis=2)
+            cols = jnp.take_along_axis(y_prev, src_eff[None], axis=2)
             rows_idx = (
                 jnp.clip(p, None, tm1 - 1) * N
                 + jnp.arange(N, dtype=p.dtype)[:, None]
@@ -1419,17 +1453,20 @@ def _ctc_advance_tail(
 
 
 def _apply_advance_to_buffer(
-    y_buf, prefix_lens, next_src, next_ext, valid, cols=None
+    y_buf, prefix_lens, next_src, next_ext, valid, cols=None,
+    cols_frozen=False,
 ):
     """Caller-side path-buffer maintenance: reorder columns by `next_src`
     (identity where `valid` is False, freezing those batch rows) and write
     each path's new token at its prefix length (dropped where frozen).
     When the advance core already gathered the buffer columns by
     ``next_src`` (its ``cols`` output over the full buffer), pass them to
-    replace this gather with a select."""
+    replace this gather with a select; with ``cols_frozen`` the core was
+    given ``valid`` too (frozen rows gathered by the identity), so even the
+    select disappears."""
     T, N, W = y_buf.shape
     if cols is not None and cols.shape == y_buf.shape:
-        y_buf = jnp.where(valid[None], cols, y_buf)
+        y_buf = cols if cols_frozen else jnp.where(valid[None], cols, y_buf)
     else:
         src_eff = jnp.where(
             valid, next_src, jnp.arange(W, dtype=jnp.int32)[None]
@@ -1442,20 +1479,22 @@ def _apply_advance_to_buffer(
     return jnp.where(mask, next_ext[None].astype(y_buf.dtype), y_buf)
 
 
-def _apply_advance_to_buffer_nt(
-    y_buf, prefix_lens, next_ext, valid, cols
-):
+def _apply_advance_to_buffer_nt(prefix_lens, next_ext, valid, cols):
     """Batch-major (``(N, W, T)`` float32, time in lanes) variant of
     :func:`_apply_advance_to_buffer` for the in-loop path: the advance core
-    always supplies the permuted ``cols``, so only the freeze-select and
-    the token write remain — one fused streaming pass, no gathers."""
-    N, W, T = y_buf.shape
-    y_buf = jnp.where(valid[:, :, None], cols, y_buf)
+    supplies ``cols`` permuted with frozen rows already identity-mapped
+    (``valid`` threaded into :func:`_ctc_advance_tail`), so only the token
+    write remains — a single elementwise mask that fuses into the permute
+    dot's output. The old carry buffer's only in-loop reader is then the
+    permute itself (the buffer-wide freeze select this function used to do
+    cost a whole extra (N, W, T) read + a relayout copy kernel per decode
+    step on TPU)."""
+    N, W, T = cols.shape
     pos = jnp.where(valid, prefix_lens, T)  # T -> dropped
     mask = (
         jnp.arange(T, dtype=pos.dtype)[None, None, :] == pos[:, :, None]
     )
-    return jnp.where(mask, next_ext[:, :, None].astype(y_buf.dtype), y_buf)
+    return jnp.where(mask, next_ext[:, :, None].astype(cols.dtype), cols)
 
 
 class CTCPrefixSearch:
@@ -1809,8 +1848,7 @@ class CTCPrefixSearch:
             # scan step (the per-step dot emits row-major)
             zeros_nt = jnp.zeros((N, W, T), jnp.float32)
             y_buf = _apply_advance_to_buffer_nt(
-                zeros_nt, prefix_lens0, next_ext0,
-                jnp.ones((N, 1), bool), zeros_nt,
+                prefix_lens0, next_ext0, jnp.ones((N, 1), bool), zeros_nt,
             )
         else:
             y_buf = _apply_advance_to_buffer(
@@ -1881,6 +1919,7 @@ class CTCPrefixSearch:
                         bi=bi_dev,
                         c1=ctx[0],
                         batch_major=True,
+                        valid=valid_mask,
                     )
                 elif use_lm and not use_uni:
                     ext_t, in_next = lm_ext_probs(
@@ -1895,6 +1934,7 @@ class CTCPrefixSearch:
                         y_lens,
                         is_prefix,
                         return_core=True,
+                        valid=valid_mask,
                     )
                 else:
                     in_next = state
@@ -1911,6 +1951,7 @@ class CTCPrefixSearch:
                         return_core=True,
                         vocab_size=V,
                         batch_major=True,
+                        valid=valid_mask,
                         **p_last_kw(lgts_t, st_t, y_last),
                     )
                 (
@@ -1931,12 +1972,12 @@ class CTCPrefixSearch:
                 # frozen batch rows) instead of rewriting it wholesale
                 if stream_buf:
                     y_buf = _apply_advance_to_buffer_nt(
-                        y_buf, prefix_lens, next_ext, valid_mask, cols
+                        prefix_lens, next_ext, valid_mask, cols
                     )
                 else:
                     y_buf = _apply_advance_to_buffer(
                         y_buf, prefix_lens, next_src, next_ext, valid_mask,
-                        cols=cols,
+                        cols=cols, cols_frozen=True,
                     )
                 y_lens = jnp.where(valid_mask, y_next_lens, y_lens)
                 nb = jnp.where(valid_mask, nb_next, nb)

@@ -1,13 +1,15 @@
-"""Host-keyed persistent-compilation-cache location.
+"""Platform-aware persistent-compilation-cache location.
 
 The XLA:CPU backend caches ahead-of-time-compiled executables keyed only by
 the program, not by the machine that compiled it. When the same cache
 directory is reused from a host with a different CPU (common here: the repo —
 cache included — moves between build hosts), every load logs a loud
 machine-feature-mismatch error and risks SIGILL from unsupported
-instructions. Keying the directory by a fingerprint of the host's CPU
-features keeps caches warm per host while making cross-host reuse
-impossible.
+instructions. CPU caches are therefore keyed by a fingerprint of the host's
+CPU features. TPU executables have no host-CPU dependence — keying them by
+host would just cold-start every benchmark run after a host swap (it cost
+this repo a full bench window in round 3) — so accelerator-platform
+processes share one un-fingerprinted directory.
 """
 
 import hashlib
@@ -17,23 +19,55 @@ import platform
 __all__ = ["host_fingerprint", "compilation_cache_dir", "enable_cache"]
 
 
+def _platform_tag() -> str:
+    """"cpu" when this process is pinned to the CPU backend (env var or
+    jax config, as tests/conftest.py and the multichip dryrun do), else
+    "tpu" (the default platform here is the accelerator tunnel). Checked
+    WITHOUT initializing a backend: enable_cache runs before first device
+    contact and must not hang on a dead tunnel."""
+    try:
+        import jax
+
+        conf = getattr(jax.config, "jax_platforms", None)
+    except Exception:  # pragma: no cover
+        conf = None
+    plats = conf or os.environ.get("JAX_PLATFORMS", "")
+    return "cpu" if "cpu" in str(plats).split(",") else "tpu"
+
+
 def host_fingerprint() -> str:
-    """A short stable id for this machine's instruction-set features."""
-    feats = ""
+    """A short stable id for this machine's CPU microarchitecture.
+
+    Hashes the instruction-set flags AND the family/model/stepping lines:
+    two build hosts here exposed identical cpuinfo *flags* yet different
+    LLVM-detected models, so XLA:CPU compiled with model-derived tuning
+    features (``+prefer-no-scatter``/``+prefer-no-gather``) one host lacks
+    — flags alone collided and the AOT loader logged feature mismatches.
+    """
+    feats = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    feats.append(
+                        " ".join(sorted(line.split(":", 1)[1].split()))
+                    )
                     break
+                if line.startswith(("cpu family", "model", "stepping")):
+                    feats.append(line.strip())
     except OSError:
         pass
-    raw = f"{platform.machine()}|{feats}"
+    raw = f"{platform.machine()}|{'|'.join(feats)}"
     return hashlib.sha1(raw.encode()).hexdigest()[:10]
 
 
 def compilation_cache_dir(base: str) -> str:
-    """``<base>-<host fingerprint>``: a per-host cache directory path."""
+    """The cache directory for this process: ``<base>-tpu`` (shared across
+    hosts) for accelerator processes, ``<base>-<host fingerprint>`` for
+    CPU-pinned ones (XLA:CPU AOT entries are host-CPU-specific)."""
+    tag = _platform_tag()
+    if tag == "tpu":
+        return f"{base.rstrip(os.sep)}-tpu"
     return f"{base.rstrip(os.sep)}-{host_fingerprint()}"
 
 

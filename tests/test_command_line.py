@@ -22,11 +22,29 @@ def _write_token2id(path, ids=range(20)):
     return path
 
 
+def _console_entry_points():
+    """The console scripts from pyproject.toml (the reference smoke-tests
+    every installed command's --help in tox; reference tox.ini:27-43)."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    txt = open(os.path.join(root, "pyproject.toml")).read()
+    return dict(
+        re.findall(
+            r'^([\w-]+) = "pydrobert_tpu\.command_line:(\w+)"', txt, re.M
+        )
+    )
+
+
 def test_all_commands_have_help(capsys):
-    # commands catch SystemExit and return the exit code (0 for --help)
-    for name in command_line.__all__:
+    # every pyproject console script resolves and its --help exits 0, and
+    # the installed surface is exactly command_line.__all__ (no orphan
+    # either way); commands catch SystemExit and return the exit code
+    eps = _console_entry_points()
+    assert sorted(eps.values()) == sorted(command_line.__all__)
+    for script, name in eps.items():
         cmd = getattr(command_line, name)
-        assert not cmd(["--help"]), name
+        assert not cmd(["--help"]), script
         assert "usage:" in capsys.readouterr().out
 
 
