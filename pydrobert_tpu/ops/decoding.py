@@ -1596,7 +1596,7 @@ class CTCPrefixSearch:
             and T >= 2
             and 1 < W <= min(32, V)
             and ctc_beam_search_vmem_ok(T, N, V, W)
-            and beam_kernel_preferred()
+            and beam_kernel_preferred(T, N, V, W)
         ):
             lg32 = logits.astype(jnp.float32)  # exact; convert fuses
             sm_max = lg32.max(2)  # (T, N)

@@ -885,13 +885,114 @@ def _tracing_now() -> bool:
         return True
 
 
-def _calibrate_beam_kernel(key: str) -> bool:
-    """Time BOTH no-LM beam-search paths on a small representative decode
-    and return whether the Pallas whole-loop kernel wins. Each path is the
-    REAL user-visible one — ``CTCPrefixSearch`` with ``USE_PALLAS_BEAM``
-    forced off/on (the forced modes short-circuit the gate, so no
-    recursion) — not a simulator proxy. Medians of 3 device-synced reps;
-    both timings are logged and persisted."""
+_BEAM_CAL_SHAPE = (64, 8, 128, 8)  # default representative (T, N, V, W)
+
+
+def ctc_beam_search_compile_ok(T, N, V, W) -> bool:
+    """Whether the whole-loop kernel's Mosaic COMPILE is tractable at this
+    shape.
+
+    Compile time is strongly shape-dependent: seconds at the small
+    calibration shape but >28 minutes (killed, never finished) at the
+    headline decode shape (T=500, N=32, V=1024, W=16) on v5e — an
+    uninterruptible in-process wall no runtime win justifies. The dominant
+    cost axes are the select stage's rank-4 one-hot blocks (``N*W*S*S``
+    with ``S = min(V, 2W) + 2``) and the full-vocab interrogations
+    (``N*W*V``); the envelope bounds their vector-register unroll counts.
+    Bounds set by on-chip probes (see BASELINE.md round-3 notes): shapes
+    within compile in under ~2 minutes; the first shapes beyond blow past
+    10. Conservative by design — outside the envelope the XLA scan path is
+    taken without ever attempting the kernel compile.
+    """
+    M = min(V, 2 * W)
+    S = M + 2
+    return N * W * S * S <= 165_000 and N * W * V <= 600_000
+
+# child program for deadline-guarded kernel timing in OFFLINE sweeps:
+# compiles + times the FORCED kernel path in its own process so a
+# pathological Mosaic compile can be killed. Requires exclusive device
+# access (a parent holding the single-client TPU blocks the child's device
+# init — observed on the axon tunnel), so the ORGANIC gate never uses it;
+# benchmarks/sweep.py can, between its own device uses.
+_BEAM_CHILD_SRC = """
+import json, os, statistics, sys, time
+sys.path.insert(0, {root!r})
+import jax, jax.numpy as jnp, numpy as np
+cache_dir = os.environ.get("_PDT_CACHE_DIR")
+if cache_dir:
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from pydrobert_tpu import config
+from pydrobert_tpu.ops import pallas
+from pydrobert_tpu.ops.decoding import CTCPrefixSearch
+assert pallas.tpu_available(), "kernel timing child needs the TPU backend"
+config.USE_PALLAS_BEAM = "1"
+T, N, V, W = {T}, {N}, {V}, {W}
+rng = np.random.RandomState(0)
+logits = jnp.asarray(rng.randn(T, N, V + 1), jnp.float32)
+lens = jnp.full((N,), T, jnp.int32)
+search = CTCPrefixSearch(W)
+fn = jax.jit(lambda l, n: search(l, n))
+out = fn(logits, lens)
+np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+reps = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    out = fn(logits, lens)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].reshape(-1)[:1])
+    reps.append(time.perf_counter() - t0)
+print("PDT_RESULT " + json.dumps({{"pallas_ms": statistics.median(reps) * 1e3}}))
+"""
+
+
+def _time_beam_kernel_subprocess(T, N, V, W, deadline_s: float):
+    """(pallas_ms, err) from a deadline-guarded child process."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    cache_dir = None
+    try:
+        cache_dir = jax.config.jax_compilation_cache_dir
+    except Exception:
+        pass
+    if cache_dir:
+        env["_PDT_CACHE_DIR"] = cache_dir
+    src = _BEAM_CHILD_SRC.format(root=root, T=T, N=N, V=V, W=W)
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", src], env=env, capture_output=True,
+            text=True, timeout=deadline_s,
+        )
+    except subprocess.TimeoutExpired:
+        return float("inf"), (
+            f"compile/run deadline exceeded ({deadline_s:.0f}s) at "
+            f"T={T} N={N} V={V} W={W}"
+        )
+    for line in proc.stdout.splitlines():
+        if line.startswith("PDT_RESULT "):
+            try:
+                return float(json.loads(line[11:])["pallas_ms"]), None
+            except (ValueError, KeyError):
+                break
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+    return float("inf"), (tail[-1][:500] if tail else "child produced no result")
+
+
+def _calibrate_beam_kernel(key: str, shape=None) -> bool:
+    """Time BOTH no-LM beam-search paths AT THE CONSULTED SHAPE and return
+    whether the Pallas whole-loop kernel wins there. Each path is the REAL
+    user-visible one — ``CTCPrefixSearch`` with ``USE_PALLAS_BEAM`` forced
+    off/on (the forced modes short-circuit the gate, so no recursion).
+    Shapes outside :func:`ctc_beam_search_compile_ok` never attempt the
+    kernel: its Mosaic compile there is an uninterruptible in-process wall
+    (>28 min observed at the headline shape), so "unusable" is recorded as
+    the A/B verdict for the bucket. Medians of 3 device-synced reps; both
+    timings persisted under the shape-bucketed key."""
     import logging
     import statistics
     import time as _time
@@ -900,7 +1001,7 @@ def _calibrate_beam_kernel(key: str) -> bool:
     from .decoding import CTCPrefixSearch
 
     log = logging.getLogger(__name__)
-    T, N, V, W = 64, 8, 128, 8
+    T, N, V, W = shape or _BEAM_CAL_SHAPE
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(T, N, V + 1), jnp.float32)
     lens = jnp.full((N,), T, jnp.int32)
@@ -922,19 +1023,25 @@ def _calibrate_beam_kernel(key: str) -> bool:
         _config.USE_PALLAS_BEAM = "0"
         t_xla = timed(jax.jit(lambda l, n: search(l, n)), logits, lens)
         err = None
-        try:
-            _config.USE_PALLAS_BEAM = "1"
-            t_pl = timed(jax.jit(lambda l, n: search(l, n)), logits, lens)
-        except Exception as e:  # Mosaic lowering/compile failure: never
-            # crash the user's decode from inside auto-calibration — the
-            # XLA scan is always available
+        if not ctc_beam_search_compile_ok(T, N, V, W):
             t_pl = float("inf")
-            err = f"{type(e).__name__}: {e}"[:500]
-            log.warning(
-                "beam kernel failed to compile; using XLA scan: %s", err
+            err = (
+                f"kernel compile intractable at T={T} N={N} V={V} W={W} "
+                "(outside ctc_beam_search_compile_ok envelope)"
             )
+        else:
+            try:
+                _config.USE_PALLAS_BEAM = "1"
+                t_pl = timed(jax.jit(lambda l, n: search(l, n)), logits, lens)
+            except Exception as e:  # Mosaic lowering/compile failure: never
+                # crash the user's decode from inside auto-calibration — the
+                # XLA scan is always available
+                t_pl = float("inf")
+                err = f"{type(e).__name__}: {e}"[:500]
     finally:
         _config.USE_PALLAS_BEAM = old_mode
+    if err is not None:
+        log.warning("beam kernel unusable at %s; using XLA scan: %s", key, err)
     use = t_pl < t_xla
     log.info(
         "beam-kernel calibration on %s: pallas %.2f ms vs xla-scan %.2f ms "
@@ -962,12 +1069,28 @@ def _calibrate_beam_kernel(key: str) -> bool:
     return bool(use)
 
 
-def beam_kernel_preferred() -> bool:
+def _beam_shape_bucket(T, N, V, W) -> str:
+    """Coarse shape bucket for gate keys: T/N/V round UP to powers of two
+    (beam width W stays exact — it changes the kernel's unrolled structure,
+    not just its extents). Both the kernel's runtime win and, critically,
+    its Mosaic COMPILE time are strongly shape-dependent (seconds at
+    T=64/N=8/V=128/W=8; >17 minutes at T=500/N=32/V=1024/W=16 on v5e), so
+    one decision per device kind was wrong in both directions."""
+    def up2(x):
+        return 1 << max(int(x) - 1, 0).bit_length()
+
+    return f"T{up2(T)}xN{up2(N)}xV{up2(V)}xW{int(W)}"
+
+
+def beam_kernel_preferred(T=None, N=None, V=None, W=None) -> bool:
     """Whether CTCPrefixSearch's no-LM path should use the whole-loop
-    Pallas kernel. Honors ``config.USE_PALLAS_BEAM``: forced on ("1"/True),
-    forced off ("0"/False), or "auto" — a one-time per-device-kind
-    micro-calibration that times both paths (cached in-process and at
-    ``~/.cache/pydrobert_tpu/beam_gate.json``)."""
+    Pallas kernel FOR THIS SHAPE. Honors ``config.USE_PALLAS_BEAM``:
+    forced on ("1"/True), forced off ("0"/False), or "auto" — a one-time
+    per-(device kind, shape bucket) calibration that times both paths at
+    the consulted shape (kernel compile deadline-guarded in a subprocess;
+    cached in-process and at ``~/.cache/pydrobert_tpu/beam_gate.json``).
+    With no shape given, the default representative shape's bucket is
+    consulted."""
     from .. import config
 
     mode = config.USE_PALLAS_BEAM
@@ -980,11 +1103,16 @@ def beam_kernel_preferred() -> bool:
         return False
     if mode in (True, 1, "1", "true", "on"):
         return True
+    shape = (
+        _BEAM_CAL_SHAPE
+        if T is None
+        else (int(T), int(N), int(V), int(W))
+    )
     try:
         d = jax.devices()[0]
         key = (
             f"{d.platform}:{getattr(d, 'device_kind', 'unknown')}"
-            f":{_beam_kernel_rev()}"
+            f":{_beam_kernel_rev()}:{_beam_shape_bucket(*shape)}"
         )
     except Exception:  # pragma: no cover
         return False
@@ -1002,7 +1130,7 @@ def beam_kernel_preferred() -> bool:
         # no caching: a later eager consult calibrates
         _log_deferral("beam", key)
         return False
-    use = _calibrate_beam_kernel(key)
+    use = _calibrate_beam_kernel(key, shape)
     _BEAM_GATE_CACHE[key] = use
     return use
 
@@ -1269,7 +1397,7 @@ def topm_kernel_preferred() -> bool:
     return use
 
 
-def calibrate_gates(force: bool = False) -> dict:
+def calibrate_gates(force: bool = False, beam_shapes=None) -> dict:
     """Eagerly calibrate every Pallas kernel auto-gate under its organic
     cache key; return the decisions and timings.
 
@@ -1281,11 +1409,16 @@ def calibrate_gates(force: bool = False) -> dict:
     ``~/.cache/pydrobert_tpu/beam_gate.json``, and primes the in-process
     caches so subsequent traced consults see the decision.
 
+    The beam gate is per-shape-bucket; ``beam_shapes`` is an iterable of
+    ``(T, N, V, W)`` decode shapes to calibrate (default: the small
+    representative shape). Shapes the kernel's VMEM budget rejects are
+    skipped with a note (the gate is never consulted for them).
+
     Returns a dict like ``{"tpu": True, "beam": {"key": ..., "use_pallas":
     True, "pallas_ms": ..., "xla_ms": ..., "calibrated_now": False},
-    "topm": {...}}``. Off TPU it returns ``{"tpu": False}`` (the kernels
-    never engage there). With ``force=True`` cached decisions are ignored
-    and both paths re-timed.
+    "beam@T512xN32xV1024xW16": {...}, "topm": {...}}``. Off TPU it returns
+    ``{"tpu": False}`` (the kernels never engage there). With
+    ``force=True`` cached decisions are ignored and both paths re-timed.
     """
     out = {"tpu": tpu_available()}
     if not out["tpu"]:
@@ -1296,27 +1429,44 @@ def calibrate_gates(force: bool = False) -> dict:
         )
     d = jax.devices()[0]
     kind = getattr(d, "device_kind", "unknown")
-    for gate, rev_fn, cal_fn, cache in (
-        ("beam", _beam_kernel_rev, _calibrate_beam_kernel, _BEAM_GATE_CACHE),
-        ("topm", _topm_rev, _calibrate_topm, _TOPM_GATE_CACHE),
-    ):
-        prefix = "topm:" if gate == "topm" else ""
-        key = f"{prefix}{d.platform}:{kind}:{rev_fn()}"
+
+    def run_one(gate, key, cal, cache):
         entry = None if force else _gate_disk_lookup(key)
         fresh = entry is None
         if fresh:
             try:
-                cal_fn(key)
+                cal()
             except Exception as e:  # pragma: no cover - device-dependent
                 out[gate] = {
                     "key": key,
                     "error": f"{type(e).__name__}: {e}"[:300],
                 }
-                continue
+                return
             entry = _gate_disk_lookup(key) or {}
         out[gate] = dict(entry, key=key, calibrated_now=fresh)
         if "use_pallas" in entry:
             cache[key] = bool(entry["use_pallas"])
+
+    shapes = list(beam_shapes) if beam_shapes else [_BEAM_CAL_SHAPE]
+    for i, shape in enumerate(shapes):
+        T, N, V, W = (int(x) for x in shape)
+        gate = "beam" if i == 0 else f"beam@{_beam_shape_bucket(T, N, V, W)}"
+        if not ctc_beam_search_vmem_ok(T, N, V, W):
+            out[gate] = {"skipped": "kernel VMEM budget rejects this shape"}
+            continue
+        key = (
+            f"{d.platform}:{kind}:{_beam_kernel_rev()}"
+            f":{_beam_shape_bucket(T, N, V, W)}"
+        )
+        run_one(
+            gate, key,
+            lambda k=key, s=(T, N, V, W): _calibrate_beam_kernel(k, s),
+            _BEAM_GATE_CACHE,
+        )
+    topm_key = f"topm:{d.platform}:{kind}:{_topm_rev()}"
+    run_one(
+        "topm", topm_key, lambda: _calibrate_topm(topm_key), _TOPM_GATE_CACHE
+    )
     return out
 
 

@@ -31,8 +31,14 @@ def _platform_tag() -> str:
         conf = getattr(jax.config, "jax_platforms", None)
     except Exception:  # pragma: no cover
         conf = None
-    plats = conf or os.environ.get("JAX_PLATFORMS", "")
-    return "cpu" if "cpu" in str(plats).split(",") else "tpu"
+    plats = [
+        p.strip()
+        for p in str(conf or os.environ.get("JAX_PLATFORMS", "")).split(",")
+        if p.strip()
+    ]
+    # only the PRIMARY platform decides: the axon tunnel registers itself
+    # as "axon,cpu" (cpu as fallback), which must still key as tpu
+    return "cpu" if plats and plats[0] == "cpu" else "tpu"
 
 
 def host_fingerprint() -> str:

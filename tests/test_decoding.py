@@ -1026,11 +1026,12 @@ def test_beam_gate_calibration_survives_kernel_failure(monkeypatch, tmp_path):
     the XLA scan, not crash the user's decode."""
     from pydrobert_tpu.ops import pallas
 
-    def boom(*a, **k):
-        raise RuntimeError("mosaic says no")
-
-    monkeypatch.setattr(pallas, "ctc_beam_search_pallas", boom)
-    # pretend we're on TPU so the forced-on path actually tries the kernel
+    # the kernel path is compiled/timed in a deadline-guarded subprocess;
+    # a compile failure (or deadline miss) surfaces as (inf, error)
+    monkeypatch.setattr(
+        pallas, "_time_beam_kernel_subprocess",
+        lambda *a, **k: (float("inf"), "RuntimeError: mosaic says no"),
+    )
     monkeypatch.setattr(pallas, "tpu_available", lambda: True)
     monkeypatch.setattr(
         pallas, "_beam_gate_path",
@@ -1061,7 +1062,7 @@ def test_beam_gate_defers_calibration_under_ambient_trace(monkeypatch, tmp_path)
 
     calls = []
 
-    def fake_calibrate(key):
+    def fake_calibrate(key, *shape):
         # what the real calibration does: jitted probe + host materialize
         out = jax.jit(lambda x: x * 2)(jnp.ones(3))
         np.asarray(out)  # crashes if `out` is a tracer
