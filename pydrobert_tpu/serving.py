@@ -137,6 +137,21 @@ class StreamingTransducerRecognizer:
 
         self._encode = jax.jit(encode)
 
+        # fixed-size window encode + in-program chunk slice: ONE compiled
+        # program for warm-up and steady state alike. A naturally-growing
+        # margin window (4*(chunk + min(o0, R + 1)) raw frames) changes
+        # shape every push until o0 > R — that's ~R/chunk pushes each
+        # paying a full encoder recompile (seconds over a remote-device
+        # tunnel; measured 5.9 s/push in BENCH r3 before this fix).
+        self.Lw = 4 * (self.chunk + self.R + 1)
+
+        def encode_chunk(p, f, l, off, sl0):
+            enc = model.apply({"params": p}, f, l, True, off,
+                              method="encode")[0]
+            return jax.lax.dynamic_slice_in_dim(enc, sl0, self.chunk, 1)
+
+        self._encode_chunk = jax.jit(encode_chunk)
+
         def pred_step_of(p):
             def pred_step(tok, state):
                 return self._pred.apply(
@@ -327,14 +342,24 @@ class StreamingTransducerRecognizer:
         m0 = max(sess.o0 - self.R - 1, 0)
         i0, i1 = 4 * m0, min(4 * o1, sess.pushed)
         f = sess.buf[:, i0 - sess.base : i1 - sess.base]
+        N, Tf, F = f.shape
+        if Tf < self.Lw:
+            # pad to the fixed window size; padded frames sit beyond every
+            # stream's valid length l, so the encoder masks them out
+            f = np.concatenate(
+                [f, np.zeros((N, self.Lw - Tf, F), f.dtype)], 1
+            )
         l = np.clip(sess.total - i0, 0, i1 - i0)
-        enc = self._encode(
+        # rows [o0 - m0, o0 - m0 + chunk) sliced inside the program; when
+        # called from finish() with o1 - o0 < chunk the extra rows are
+        # ignored (chunk_lens below is clipped to o1 - o0)
+        enc_chunk = self._encode_chunk(
             self.params,
             jnp.asarray(f),
             jnp.asarray(l, jnp.int32),
             jnp.asarray(m0, jnp.int32),
+            jnp.asarray(sess.o0 - m0, jnp.int32),
         )
-        enc_chunk = enc[:, sess.o0 - m0 : o1 - m0]
         # only frontier streams (consumed == o0) read this globally-aligned
         # window; drained streams' deferred tail frames (behind the
         # frontier) are handled by finish()'s per-stream gather pass
@@ -434,10 +459,17 @@ class StreamingCTCRecognizer:
         self.decode_pad_multiple = max(1, int(decode_pad_multiple))
         self.search = CTCPrefixSearch(width, beta=beta, lm=lm)
 
-        def encode(p, f, l, off):
-            return model.apply({"params": p}, f, l, True, off)[0]
+        # fixed-size window encode + in-program row slice: one compiled
+        # program for warm-up and steady state alike (see
+        # StreamingTransducerRecognizer — a growing margin window recompiles
+        # the encoder every push until o0 > R)
+        self.Lw = 4 * (self.chunk + self.R + 1)
 
-        self._encode = jax.jit(encode)
+        def encode_rows(p, f, l, off, sl0):
+            lg = model.apply({"params": p}, f, l, True, off)[0]
+            return jax.lax.dynamic_slice_in_dim(lg, sl0, self.chunk, 1)
+
+        self._encode_rows = jax.jit(encode_rows)
 
         def decode(logits, lens):
             return self.search(logits, lens)
@@ -520,15 +552,24 @@ class StreamingCTCRecognizer:
         m0 = max(sess.o0 - self.R - 1, 0)
         i0, i1 = 4 * m0, min(4 * o1, sess.pushed)
         f = sess.buf[:, i0 - sess.base : i1 - sess.base]
+        N, Tf, F = f.shape
+        if Tf < self.Lw:
+            # pad to the fixed window size; padded frames sit beyond every
+            # stream's valid length l, so the encoder masks them out
+            f = np.concatenate(
+                [f, np.zeros((N, self.Lw - Tf, F), f.dtype)], 1
+            )
         l = np.clip(sess.total - i0, 0, i1 - i0)
-        logits = self._encode(
+        rows = self._encode_rows(
             self.params,
             jnp.asarray(f),
             jnp.asarray(l, jnp.int32),
             jnp.asarray(m0, jnp.int32),
+            jnp.asarray(sess.o0 - m0, jnp.int32),
         )
+        # final (finish-time) windows can be shorter than a full chunk
         sess.logits = np.concatenate(
-            [sess.logits, np.asarray(logits[:, sess.o0 - m0 : o1 - m0])], 1
+            [sess.logits, np.asarray(rows)[:, : o1 - sess.o0]], 1
         )
         sess.o0 = o1
         keep_from = 4 * max(sess.o0 - self.R - 1, 0)
