@@ -60,9 +60,16 @@ def _compile(fn, *args):
     try:
         bodies = count_body_kernels(compiled.as_text())
         if bodies:
-            stats["loop_kernels"] = max(
-                b["kernels"] for b in bodies.values()
+            # the decode frame loop is the while with the LARGEST TRIP
+            # COUNT; the benches' outer repeat scan is also a while whose
+            # body holds the whole program (prologue + frame loop +
+            # epilogue) and so has MORE ops — picking by kernel count
+            # reported that wrapper (63 vs the real 33 at r3 start)
+            hot = max(
+                bodies.values(),
+                key=lambda b: (b["trip_count"], b["kernels"]),
             )
+            stats["loop_kernels"] = hot["kernels"]
     except Exception:
         pass
     try:
@@ -120,7 +127,18 @@ def bench_canary():
 
     cg, _ = _compile(gather_loop, tbl, idx)
     dispatch_us = _time(cg, tbl, idx) / 256 * 1e6
-    return round(mm_ms, 3), round(dispatch_us, 2)
+
+    # per-CALL overhead: one timed call of a trivial program isolates the
+    # host->device dispatch + device->host sync cost the tunnel charges
+    # every _time rep. Measured ~27 ms in r3 (vs ~11 ms of real device
+    # work in the headline decode): workload benches amortize it by
+    # iterating inside one jitted scan (`inner`), and cross-run throughput
+    # comparisons should subtract it (fields below report amortized
+    # values; sync_ms says how much residue remains: sync_ms / inner).
+    tiny = jnp.zeros((8,), jnp.float32)
+    csync, _ = _compile(lambda x: x + 1.0, tiny)
+    sync_ms = _time(csync, tiny, reps=5) * 1e3
+    return round(mm_ms, 3), round(dispatch_us, 2), round(sync_ms, 3)
 
 
 def calibrate_pallas_gates():
@@ -203,13 +221,21 @@ def _bench_search(search, B, T, V, seed, reps=3, inner=1):
 
 
 def bench_ctc_beam16():
-    return _bench_search(CTCPrefixSearch(16), 32, 500, 1024, seed=1, inner=2)
+    # inner=16: the tunnel charges ~25 ms of per-call dispatch+sync
+    # overhead (canary_sync_ms) vs ~11 ms of real decode; iterating 16
+    # decodes inside one jitted scan leaves ~10% overhead residue in the
+    # headline number (measured: inner=1 840, inner=8 2035 utt/s, same
+    # phase, true device rate ~2.6k)
+    return _bench_search(
+        CTCPrefixSearch(16), 32, 500, 1024, seed=1, inner=16
+    )
 
 
 def bench_ctc_beam16_bs256():
     """Throughput at serving batch size: the decode scan's per-step op count
     is batch-size-independent, so larger batches amortize it."""
-    return _bench_search(CTCPrefixSearch(16), 256, 500, 1024, seed=3)[0]
+    return _bench_search(CTCPrefixSearch(16), 256, 500, 1024, seed=3,
+                         inner=4)[0]
 
 
 def bench_ctc_beam16_bf16_bs256():
@@ -220,13 +246,17 @@ def bench_ctc_beam16_bf16_bs256():
     logits, lens = _decode_inputs(256, 500, 1024, seed=3)
     lg16 = logits.astype(jnp.bfloat16)
     search = CTCPrefixSearch(16)
+    inner = 4
 
     def run(lg, lens):
-        y, y_lens, y_probs = search(lg, lens)
-        return y_probs.sum(), y_lens
+        def step(carry, _):
+            y, y_lens, y_probs = search(carry, lens)
+            return carry + (y_probs.sum() * 1e-9).astype(carry.dtype), y_lens
+        out, y_lens = jax.lax.scan(step, lg, None, length=inner)
+        return out, y_lens
 
     compiled, _ = _compile(run, lg16, lens)
-    dt = _time(compiled, lg16, lens)
+    dt = _time(compiled, lg16, lens) / inner
     return 256 / dt
 
 
@@ -250,15 +280,20 @@ def bench_ctc_blankskip(B=256, T=500, V=1024, max_frames=128):
     lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
     search = CTCPrefixSearch(16)
 
+    inner = 4
+
     def run(lg, lens):
-        clg, clens = compress_blank_frames(
-            lg, lens, threshold=0.99, max_frames=max_frames
-        )
-        y, y_lens, y_probs = search(clg, clens)
-        return y_probs.sum(), y_lens
+        def step(carry, _):
+            clg, clens = compress_blank_frames(
+                carry, lens, threshold=0.99, max_frames=max_frames
+            )
+            y, y_lens, y_probs = search(clg, clens)
+            return carry + y_probs.sum() * 1e-9, y_lens
+        out, y_lens = jax.lax.scan(step, lg, None, length=inner)
+        return out, y_lens
 
     compiled, _ = _compile(run, logits, lens)
-    dt = _time(compiled, logits, lens)
+    dt = _time(compiled, logits, lens) / inner
     return B / dt
 
 
@@ -271,15 +306,21 @@ def bench_ctc_greedy_wer(B=32, T=500, V=1024):
     rng = np.random.RandomState(6)
     refs = jnp.asarray(rng.randint(0, V, (40, B)), jnp.int32)
 
+    inner = 8
+
     def run(logits, lens, refs):
-        # reference return convention: (max path probs, paths, out_lens)
-        _, y, y_lens = ctc_greedy_search(logits, lens, batch_first=False)
-        S = y.shape[0]
-        y = jnp.where(jnp.arange(S)[:, None] < y_lens[None], y, -1)
-        return error_rate(refs, y, eos=-1, norm=False), y_lens
+        def step(carry, _):
+            # reference return convention: (max path probs, paths, out_lens)
+            _, y, y_lens = ctc_greedy_search(carry, lens, batch_first=False)
+            S = y.shape[0]
+            y = jnp.where(jnp.arange(S)[:, None] < y_lens[None], y, -1)
+            er = error_rate(refs, y, eos=-1, norm=False)
+            return carry + er.sum() * 1e-9, y_lens
+        out, y_lens = jax.lax.scan(step, logits, None, length=inner)
+        return out, y_lens
 
     compiled, _ = _compile(run, logits, lens, refs)
-    dt = _time(compiled, logits, lens, refs)
+    dt = _time(compiled, logits, lens, refs) / inner
     return B / dt
 
 
@@ -306,7 +347,8 @@ def bench_ctc_beam16_fused():
     (BASELINE config #3)."""
     lm = _bench_lm()
     search = CTCPrefixSearch(16, beta=0.5, lm=lm)
-    thr, _, kernels, upk = _bench_search(search, 32, 500, 1024, seed=2)
+    thr, _, kernels, upk = _bench_search(search, 32, 500, 1024, seed=2,
+                                         inner=8)
     return thr, kernels, upk
 
 
@@ -316,7 +358,7 @@ def bench_ctc_beam16_fused_bs256():
     batched gather), so large batches amortize the per-kernel floor."""
     lm = _bench_lm()
     search = CTCPrefixSearch(16, beta=0.5, lm=lm)
-    return _bench_search(search, 256, 500, 1024, seed=2)[0]
+    return _bench_search(search, 256, 500, 1024, seed=2, inner=2)[0]
 
 
 def bench_ngram_beam_search():
@@ -667,10 +709,13 @@ def main():
     _RESULTS["loader_python_utt_per_sec"] = round(loader_py, 1)
 
     # phase canary first (cheap compiles): every throughput field below can
-    # be phase-normalized against these two pinned numbers
-    canary_ms, canary_gather = _guard(bench_canary, (0.0, 0.0))
+    # be phase-normalized against these pinned numbers
+    canary_ms, canary_gather, canary_sync = _guard(
+        bench_canary, (0.0, 0.0, 0.0)
+    )
     _RESULTS["canary_ms"] = canary_ms
     _RESULTS["canary_gather_us"] = canary_gather
+    _RESULTS["canary_sync_ms"] = canary_sync
 
     # calibrate the Pallas kernel gates EAGERLY, under the organic keys,
     # before anything traces a decode: the decode/SpecAugment numbers below

@@ -835,23 +835,29 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             dense_all = jnp.asarray(dense_all)
             child_all = jnp.asarray(child_all)
             base_ix = self._ctx_tables[0].base
-            flats, in_ranges = [], []
-            for n in range(2, N + 1):
-                ctx_n = ctx[: n - 1][::-1]  # (n-1, B) earliest-first
-                flat = jnp.zeros((B,), jnp.int32)
-                in_range = jnp.ones((B,), bool)
-                for j in range(n - 1):
-                    q = ctx_n[j]
-                    in_range = in_range & (q >= 0) & (q < base_ix)
-                    flat = flat * base_ix + jnp.clip(q, 0, base_ix - 1)
-                flats.append(flat + row_offs[n - 2])
-                in_ranges.append(in_range)
-            rows = dense_all[jnp.stack(flats, 1)]  # (B, N-1, 4): ONE gather
+            # order-n row index = sum_i ctx[i] * base^i over the n-1 most
+            # recent context tokens — a CUMSUM over the order axis (and
+            # in-range validity a cumulative AND), so all orders' indices
+            # come from one fused pass instead of a per-order Python loop
+            # (the unrolled Horner form cost ~6 dispatched kernels per
+            # decode step). base^(N-2) * base fits int32 whenever the
+            # direct-indexed dense table itself fits memory.
+            q = ctx.astype(jnp.int32)  # (N - 1, B) most recent first
+            ok = (q >= 0) & (q < base_ix)
+            pw = jnp.asarray(
+                [base_ix**i for i in range(N - 1)], jnp.int32
+            )[:, None]
+            flats_all = jnp.cumsum(jnp.clip(q, 0, base_ix - 1) * pw, 0)
+            in_range_col = jnp.cumprod(ok.astype(jnp.int32), 0) != 0
+            idx = flats_all.T + jnp.asarray(
+                np.asarray(row_offs, np.int32)
+            )[None]  # (B, N-1)
+            rows = dense_all[idx]  # (B, N-1, 4): ONE gather
             # out-of-range context tokens must read as not-found (the
             # probing fallback reports a key mismatch); the all-zeros
             # default row already encodes "absent", so masking length and
             # backoff suffices — no separate found flag is needed here
-            in_range = jnp.stack(in_ranges, 1)  # (B, N-1)
+            in_range = in_range_col.T  # (B, N-1)
             lengths = jnp.where(in_range, rows[..., 2], 0)
             logb_all = jnp.where(
                 in_range,
@@ -896,17 +902,6 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     1,
                 )
 
-            starts = spread(rows[..., 1])  # (B, Ctot)
-            pos = jnp.clip(
-                starts + slot_off[None], 0, child_all.shape[0] - 1
-            )
-            got = child_all[pos]  # (B, Ctot, 2): ONE gather
-            valid = jnp.asarray(slot_off - np.take(child_offs, slot_order))[
-                None
-            ] < spread(lengths)
-            toks = got[..., 0]
-            lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
-            base = logb_all.sum(1)
             # value of an order-n match = stored logp + backoffs of all
             # HIGHER orders escaped through: a suffix sum over orders,
             # spread to slots by the static map
@@ -922,7 +917,45 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 ],
                 1,
             )  # (B, N-1)
-            val = lps + spread(sfx_excl)
+            if child_all.shape[0] < (1 << 24):
+                # all three spreads ride ONE exact one-hot dot (each output
+                # element copies exactly one input: 1 * x + 0s == x; child
+                # row offsets < 2**24 are exact in f32) instead of 3 x
+                # (broadcast+concat) chains (~8 dispatched kernels per
+                # decode step measured on TPU)
+                sel = np.zeros((N - 1, len(slot_order)), np.float32)
+                sel[slot_order, np.arange(len(slot_order))] = 1.0
+                spread3 = jnp.einsum(
+                    "bcn,nt->bct",
+                    jnp.stack(
+                        [
+                            rows[..., 1].astype(jnp.float32),
+                            lengths.astype(jnp.float32),
+                            sfx_excl,
+                        ],
+                        1,
+                    ),
+                    jnp.asarray(sel),
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (B, 3, Ctot)
+                starts = spread3[:, 0].astype(jnp.int32)
+                len_spread = spread3[:, 1].astype(jnp.int32)
+                sfx_spread = spread3[:, 2]
+            else:  # pragma: no cover - LMs beyond f32-exact row offsets
+                starts = spread(rows[..., 1])
+                len_spread = spread(lengths)
+                sfx_spread = spread(sfx_excl)
+            pos = jnp.clip(
+                starts + slot_off[None], 0, child_all.shape[0] - 1
+            )
+            got = child_all[pos]  # (B, Ctot, 2): ONE gather
+            valid = jnp.asarray(slot_off - np.take(child_offs, slot_order))[
+                None
+            ] < len_spread
+            toks = got[..., 0]
+            lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
+            base = logb_all.sum(1)
+            val = lps + sfx_spread
             # higher-order matches override lower ones; only the static
             # lower-order x strictly-higher-order blocks can collide, so
             # compare those instead of the full (B, Ctot, Ctot) all-pairs

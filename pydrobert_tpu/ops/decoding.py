@@ -866,25 +866,32 @@ def ctc_prefix_search_advance_factored(
     absorbed = jnp.where(ext_is_exact, tm_coeff * p_tm, 0.0).sum(1)
     nb_nonext_probs_cand = nb_nonext_probs_cand + absorbed
 
-    cand_v = jnp.concatenate(
-        [
-            jnp.broadcast_to(top_inds[:, None], (N, Kp, M)),
-            y_prev_last[:, :, None],
-        ],
-        2,
+    # slot assembly as pad + select instead of concatenate: inside the
+    # decode scan each concat materializes its (N, Kp, 1) operands through
+    # relayout copy kernels (3 per step measured on TPU), while the
+    # pad/where chain stays elementwise and fuses into one loop fusion.
+    # Slot map (unchanged): [0, M) shared top-M | M last token | M+1 nonext.
+    is_shared = (jnp.arange(M + 1) < M)[None, None]  # (1, 1, M + 1)
+    cand_v = jnp.where(
+        is_shared,
+        jnp.pad(top_inds, ((0, 0), (0, 1)))[:, None],
+        y_prev_last[:, :, None],
     )  # (N, Kp, M + 1)
     removed = (
         ext_is_exact[:, :, None, :]
         & (cand_v[:, :, :, None] == to_match[:, :, None, :])
     ).any(-1)
-    ext_scores = jnp.concatenate(
-        [shared_scores, last_scores[:, :, None]], 2
+    ext_scores = jnp.where(
+        is_shared,
+        jnp.pad(shared_scores, ((0, 0), (0, 0), (0, 1))),
+        last_scores[:, :, None],
     )
     ext_scores = jnp.where(removed, NEG_INF, ext_scores)
 
-    tot_probs_cand = jnp.concatenate(
-        [ext_scores, (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None]],
-        2,
+    tot_probs_cand = jnp.where(
+        (jnp.arange(S) < S - 1)[None, None],
+        jnp.pad(ext_scores, ((0, 0), (0, 0), (0, 1))),
+        (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None],
     ).reshape(N, Kp * S)
     sel_vals, next_ind = jax.lax.top_k(tot_probs_cand, K)
 
@@ -1095,28 +1102,44 @@ def _ctc_prefix_search_advance_sparse(
     absorbed = jnp.where(ext_is_exact, tm_coeff * p_tm, 0.0).sum(1)
     nb_nonext_probs_cand = nb_probs_prev * am_last + absorbed
 
-    # absorption removal across all ext slots
-    slot_toks = jnp.concatenate(
-        [
-            jnp.broadcast_to(top_inds[:, None], (N, Kp, M)),
-            ctoks,
+    # absorption removal across all ext slots. Slot assembly as pad +
+    # select instead of concatenate: inside the decode scan each concat
+    # materializes its operands through relayout copy kernels, while the
+    # pad/where chain stays elementwise and fuses into one loop fusion.
+    # Slot map (unchanged): [0, M) shared | [M, M + C) corrections | M + C
+    # last token | M + C + 1 nonext.
+    li = jnp.arange(L)[None, None]  # (1, 1, L)
+    in_sh = li < M
+    in_corr = (li >= M) & (li < M + C)
+    slot_toks = jnp.where(
+        in_sh,
+        jnp.pad(top_inds, ((0, 0), (0, L - M)))[:, None],
+        jnp.where(
+            in_corr,
+            jnp.pad(ctoks, ((0, 0), (0, 0), (M, 1))),
             y_prev_last[:, :, None],
-        ],
-        2,
+        ),
     )  # (N, Kp, L)
     removed = (
         ext_is_exact[:, :, None, :]
         & (slot_toks[:, :, :, None] == to_match[:, :, None, :])
     ).any(3)
-    ext_scores = jnp.concatenate(
-        [shared_scores, corr_scores, last_scores[:, :, None]], 2
+    ext_scores = jnp.where(
+        in_sh,
+        jnp.pad(shared_scores, ((0, 0), (0, 0), (0, C + 1))),
+        jnp.where(
+            in_corr,
+            jnp.pad(corr_scores, ((0, 0), (0, 0), (M, 1))),
+            last_scores[:, :, None],
+        ),
     )
     ext_scores = jnp.where(removed, NEG_INF, ext_scores)
 
     S = L + 1
-    tot_probs_cand = jnp.concatenate(
-        [ext_scores, (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None]],
-        2,
+    tot_probs_cand = jnp.where(
+        (jnp.arange(S) < L)[None, None],
+        jnp.pad(ext_scores, ((0, 0), (0, 0), (0, 1))),
+        (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None],
     ).reshape(N, Kp * S)
     sel_vals, next_ind = jax.lax.top_k(tot_probs_cand, K)
 
@@ -1898,9 +1921,22 @@ class CTCPrefixSearch:
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx = carry
                 if use_lm and not use_sparse and not use_uni:
                     nonext_t, blank_t, t = xs
+                    valid_mask = (t < lens)[:, None]  # (N, 1)
                 else:
-                    blank_t, t, top_vals_t, top_inds_t, lgts_t, st_t = xs
-                valid_mask = (t < lens)[:, None]  # (N, 1)
+                    # ONE packed f32 xs row instead of five: each extra xs
+                    # component costs its own dynamic-slice (+ a relayout
+                    # copy on some layouts) per scan step; static slices of
+                    # the single packed row fuse into their consumers.
+                    # Layout: [top_vals (M) | top_inds bits (M) | sm_max |
+                    # sm_den | blank | valid].
+                    pack_t, lgts_t = xs
+                    top_vals_t = pack_t[:, :M]
+                    top_inds_t = jax.lax.bitcast_convert_type(
+                        pack_t[:, M : 2 * M], jnp.int32
+                    )
+                    st_t = pack_t[:, 2 * M : 2 * M + 2]
+                    blank_t = pack_t[:, 2 * M + 2]
+                    valid_mask = (pack_t[:, 2 * M + 3] > 0)[:, None]
                 if use_sparse:
                     in_next = state
                     advanced = _ctc_prefix_search_advance_sparse(
@@ -2037,15 +2073,26 @@ class CTCPrefixSearch:
             else:
                 # the raw logits stream through the scan (sliced views, no
                 # copy): the advance reads its per-token acoustic values
-                # straight off the frame via the shared one-hot
-                xs = (
-                    blank_probs[1:],
-                    jnp.arange(1, T, dtype=jnp.int32),
-                    top_vals[1:],
-                    top_inds[1:],
-                    logits[1:],
-                    sm_stats[1:],
-                )
+                # straight off the frame via the shared one-hot. Everything
+                # else is packed into one f32 xs array (see step); the
+                # valid mask is precomputed as a lane so the step needs no
+                # iteration counter at all.
+                validf = (
+                    jnp.arange(1, T)[:, None] < lens[None]
+                ).astype(jnp.float32)
+                pack = jnp.concatenate(
+                    [
+                        top_vals[1:],
+                        jax.lax.bitcast_convert_type(
+                            top_inds[1:].astype(jnp.int32), jnp.float32
+                        ),
+                        sm_stats[1:],
+                        blank_probs[1:, :, None],
+                        validf[:, :, None],
+                    ],
+                    2,
+                )  # (T - 1, N, 2M + 4)
+                xs = (pack, logits[1:])
             (
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
             ), _ = jax.lax.scan(

@@ -45,19 +45,39 @@ def _count_ops(body: str) -> Dict[str, int]:
     return ops
 
 
+_TRIP_RE = re.compile(r"constant\((\d+)\)")
+
+
+def _trip_count(hlo_text: str, cond_name: str) -> int:
+    """Trip count of a counted while loop, parsed from its condition.
+
+    XLA canonicalizes counted loops to ``compare(induction, constant(N),
+    direction=LT)``; the condition computation holds exactly that constant.
+    Returns 0 when the pattern doesn't hold (data-dependent loop)."""
+    cond = _computation_body(hlo_text, cond_name)
+    if cond is None or "direction=LT" not in cond:
+        return 0
+    consts = _TRIP_RE.findall(cond)
+    return int(consts[0]) if len(consts) == 1 else 0
+
+
 def count_body_kernels(hlo_text: str) -> Dict[str, Any]:
     """Kernel-ish instruction counts for each while-loop body in `hlo_text`.
 
-    Returns ``{body_name: {"kernels": int, "ops": {op: count}}}`` where
-    ``kernels`` excludes tuple plumbing (parameters, GTEs, bitcasts, ...).
-    Each counted instruction dispatches roughly one kernel per loop
-    iteration on TPU.
+    Returns ``{body_name: {"kernels": int, "ops": {op: count},
+    "trip_count": int}}`` where ``kernels`` excludes tuple plumbing
+    (parameters, GTEs, bitcasts, ...). Each counted instruction dispatches
+    roughly one kernel per loop iteration on TPU. ``trip_count`` is the
+    loop's static iteration count (0 when data-dependent): a benchmark
+    wrapping its workload in an outer repeat scan should report the body
+    with the LARGEST trip count — the innermost hot loop — not the largest
+    kernel count (the outer wrapper body contains the whole program).
     """
     out: Dict[str, Any] = {}
     for m in re.finditer(
         r"while\([^)]*\), condition=%?([\w.\-]+), body=%?([\w.\-]+)", hlo_text
     ):
-        body_name = m.group(2)
+        cond_name, body_name = m.group(1), m.group(2)
         if body_name in out:
             continue
         body = _computation_body(hlo_text, body_name)
@@ -65,7 +85,11 @@ def count_body_kernels(hlo_text: str) -> Dict[str, Any]:
             continue
         ops = _count_ops(body)
         kernels = sum(v for k, v in ops.items() if k not in _FREE_OPS)
-        out[body_name] = {"kernels": kernels, "ops": ops}
+        out[body_name] = {
+            "kernels": kernels,
+            "ops": ops,
+            "trip_count": _trip_count(hlo_text, cond_name),
+        }
     return out
 
 
@@ -77,8 +101,9 @@ def compiled_stats(fn, *args, **kwargs) -> Dict[str, Any]:
     - ``bytes_accessed``: total bytes read+written per execution (XLA cost
       analysis)
     - ``flops``, ``transcendentals``: arithmetic totals per execution
-    - ``loop_kernels``: per-iteration kernel count of the largest while
-      loop (the decode scan), or 0 if the program has none
+    - ``loop_kernels``: per-iteration kernel count of the hottest while
+      loop — the one with the largest trip count (the decode scan), kernel
+      count breaking ties — or 0 if the program has none
     - ``loop_op_histogram``: op → count for that loop body
     """
     import jax
@@ -99,7 +124,9 @@ def compiled_stats(fn, *args, **kwargs) -> Dict[str, Any]:
         stats["transcendentals"] = 0.0
     bodies = count_body_kernels(txt)
     if bodies:
-        biggest = max(bodies.values(), key=lambda b: b["kernels"])
+        biggest = max(
+            bodies.values(), key=lambda b: (b["trip_count"], b["kernels"])
+        )
         stats["loop_kernels"] = biggest["kernels"]
         stats["loop_op_histogram"] = biggest["ops"]
     else:
