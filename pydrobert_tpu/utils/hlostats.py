@@ -52,10 +52,13 @@ def _trip_count(hlo_text: str, cond_name: str) -> int:
     """Trip count of a counted while loop, parsed from its condition.
 
     XLA canonicalizes counted loops to ``compare(induction, constant(N),
-    direction=LT)``; the condition computation holds exactly that constant.
-    Returns 0 when the pattern doesn't hold (data-dependent loop)."""
+    direction=LT)``; the condition computation holds exactly that constant
+    (the TPU backend emits the compare inline, the CPU backend wraps it in
+    a ``wrapped_compare`` fusion — both leave the one constant in the
+    condition body). Returns 0 when the pattern doesn't hold
+    (data-dependent loop, or extra constants)."""
     cond = _computation_body(hlo_text, cond_name)
-    if cond is None or "direction=LT" not in cond:
+    if cond is None:
         return 0
     consts = _TRIP_RE.findall(cond)
     return int(consts[0]) if len(consts) == 1 else 0

@@ -1461,3 +1461,27 @@ def test_compress_blank_frames_properties():
     np.testing.assert_array_equal(np.asarray(lens), [2] * N)
     with pytest.raises(RuntimeError):
         D.compress_blank_frames(jnp.asarray(probs), threshold=0.0)
+
+
+def test_count_body_kernels_trip_counts():
+    """The hottest loop for kernels-per-step metrics is the one with the
+    largest TRIP COUNT — an outer repeat wrapper contains the whole program
+    (more ops) but few trips; picking by op count over-reported the decode
+    scan body 2x in BENCH r3 (63 vs the real 33)."""
+    from pydrobert_tpu.utils.hlostats import count_body_kernels
+
+    def f(x):
+        def outer(c, _):
+            def inner(c2, _):
+                return c2 * 1.0001 + 1.0, None
+            c2, _ = jax.lax.scan(inner, c, None, length=37)
+            return c2 * 0.999, None
+        out, _ = jax.lax.scan(outer, x, None, length=5)
+        return out
+
+    txt = jax.jit(f).lower(jnp.ones((4,))).compile().as_text()
+    bodies = count_body_kernels(txt)
+    trips = sorted(b["trip_count"] for b in bodies.values())
+    assert trips == [5, 37], bodies
+    hot = max(bodies.values(), key=lambda b: (b["trip_count"], b["kernels"]))
+    assert hot["trip_count"] == 37

@@ -193,3 +193,23 @@ def test_streaming_ctc_session_with_lm_fusion(key):
     np.testing.assert_allclose(
         np.asarray(sy_probs), np.asarray(y_probs), atol=1e-5
     )
+
+
+def test_streaming_session_compiles_one_encode_program(key):
+    """Warm-up and steady-state pushes must share ONE compiled encode
+    program: the margin window used to grow with the frontier for the
+    first ~R/chunk pushes, recompiling the encoder every push (measured
+    5.9 s/push over the remote-device tunnel, BENCH r3)."""
+    model, params, feats, lens = _setup(key, T=60)
+    rec = StreamingTransducerRecognizer(
+        model, params, chunk=2, mode="greedy", max_symbols_per_frame=3,
+        max_frames=32,
+    )
+    # R = num_layers * (left + conv_kernel - 1) = 2 * (4 + 4) = 16 post-
+    # subsample frames; with chunk=2 the growing-window formulation would
+    # compile ~8 distinct encode shapes over these pushes
+    sess = rec.start(feats.shape[0])
+    for t in range(0, 56, 8):
+        rec.push(sess, feats[:, t : t + 8], np.clip(lens - t, 0, 8))
+    assert rec._encode_chunk._cache_size() == 1
+    assert rec._advance._cache_size() == 1
