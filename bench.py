@@ -12,7 +12,7 @@ Transferable evidence fields (VERDICT r1 #3): per-benchmark
 from the optimized HLO) and ``*_us_per_kernel`` (measured step time over
 kernel count) transfer to other chips better than wall-clock on a noisy dev
 tunnel; ``specaugment_bytes_per_utt`` is the XLA cost-analysis bytes moved
-per utterance (the op is bandwidth-floor-bound).
+per utterance (the op's floor on real bandwidth-bound chips).
 
 Measurement notes: host->device dispatch over remote-device tunnels costs
 ~0.5 ms/call and ``block_until_ready`` can be a no-op, so each measured
@@ -160,39 +160,51 @@ def calibrate_pallas_gates():
     )
 
 
-def bench_spec_augment(inner=16):
+def bench_spec_augment(inner=1024):
+    # inner=1024: the op's true device cost is ~0.15 ms/batch — at
+    # inner=16 the reported number was ~90% per-call sync residue
+    # (measured 6.2k/27k/52k utt/s at inner 16/64/256 in ONE slow-phase
+    # process, canary_sync_ms 40). 1024 in-scan applications leave <3%
+    # residue; each step feeds the previous output forward so none can be
+    # elided.
     B, T, F = 16, 1000, 80
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(B, T, F), jnp.float32)
     lengths = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.float32))
 
+    def apply_once(key, feats, lengths):
+        return spec_augment(
+            key,
+            feats,
+            max_time_warp=80.0,
+            max_freq_warp=0.0,
+            max_time_mask=100,
+            max_freq_mask=27,
+            max_time_mask_proportion=1.0,
+            num_time_mask=20,
+            num_time_mask_proportion=0.04,
+            num_freq_mask=2,
+            lengths=lengths,
+        )
+
     def run(key, feats, lengths):
         def step(carry, k):
-            out = spec_augment(
-                k,
-                carry,
-                max_time_warp=80.0,
-                max_freq_warp=0.0,
-                max_time_mask=100,
-                max_freq_mask=27,
-                max_time_mask_proportion=1.0,
-                num_time_mask=20,
-                num_time_mask_proportion=0.04,
-                num_freq_mask=2,
-                lengths=lengths,
-            )
-            return out, None
+            return apply_once(k, carry, lengths), None
         out, _ = jax.lax.scan(step, feats, jax.random.split(key, inner))
         return out
 
     key = jax.random.PRNGKey(0)
-    compiled, stats = _compile(run, key, feats, lengths)
+    # bytes from a SINGLE application's cost analysis: the looped program
+    # counts its while body once regardless of trip count
+    _, stats1 = _compile(apply_once, key, feats, lengths)
+    compiled, _ = _compile(run, key, feats, lengths)
     dt = _time(compiled, key, feats, lengths) / inner
-    # bf16 feature I/O: half the bytes through the bandwidth-floor-bound op
+    # bf16 feature I/O: half the bytes through the op (the floor on real
+    # bandwidth-bound chips; dispatch-floor-equal on the dev tunnel)
     feats16 = feats.astype(jnp.bfloat16)
     compiled16, _ = _compile(run, key, feats16, lengths)
     dt16 = _time(compiled16, key, feats16, lengths) / inner
-    return B / dt, stats["bytes"] / (inner * B), B / dt16
+    return B / dt, stats1["bytes"] / B, B / dt16
 
 
 def _decode_inputs(B, T, V, seed):
@@ -221,13 +233,13 @@ def _bench_search(search, B, T, V, seed, reps=3, inner=1):
 
 
 def bench_ctc_beam16():
-    # inner=16: the tunnel charges ~25 ms of per-call dispatch+sync
-    # overhead (canary_sync_ms) vs ~11 ms of real decode; iterating 16
-    # decodes inside one jitted scan leaves ~10% overhead residue in the
+    # inner=32: the tunnel charges ~25-40 ms of per-call dispatch+sync
+    # overhead (canary_sync_ms) vs ~14 ms of real decode; iterating 32
+    # decodes inside one jitted scan leaves <10% overhead residue in the
     # headline number (measured: inner=1 840, inner=8 2035 utt/s, same
-    # phase, true device rate ~2.6k)
+    # phase)
     return _bench_search(
-        CTCPrefixSearch(16), 32, 500, 1024, seed=1, inner=16
+        CTCPrefixSearch(16), 32, 500, 1024, seed=1, inner=32
     )
 
 
@@ -235,7 +247,7 @@ def bench_ctc_beam16_bs256():
     """Throughput at serving batch size: the decode scan's per-step op count
     is batch-size-independent, so larger batches amortize it."""
     return _bench_search(CTCPrefixSearch(16), 256, 500, 1024, seed=3,
-                         inner=4)[0]
+                         inner=8)[0]
 
 
 def bench_ctc_beam16_bf16_bs256():
@@ -246,7 +258,7 @@ def bench_ctc_beam16_bf16_bs256():
     logits, lens = _decode_inputs(256, 500, 1024, seed=3)
     lg16 = logits.astype(jnp.bfloat16)
     search = CTCPrefixSearch(16)
-    inner = 4
+    inner = 8
 
     def run(lg, lens):
         def step(carry, _):
@@ -280,7 +292,7 @@ def bench_ctc_blankskip(B=256, T=500, V=1024, max_frames=128):
     lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))
     search = CTCPrefixSearch(16)
 
-    inner = 4
+    inner = 16
 
     def run(lg, lens):
         def step(carry, _):
@@ -306,7 +318,7 @@ def bench_ctc_greedy_wer(B=32, T=500, V=1024):
     rng = np.random.RandomState(6)
     refs = jnp.asarray(rng.randint(0, V, (40, B)), jnp.int32)
 
-    inner = 8
+    inner = 64
 
     def run(logits, lens, refs):
         def step(carry, _):
@@ -348,7 +360,7 @@ def bench_ctc_beam16_fused():
     lm = _bench_lm()
     search = CTCPrefixSearch(16, beta=0.5, lm=lm)
     thr, _, kernels, upk = _bench_search(search, 32, 500, 1024, seed=2,
-                                         inner=8)
+                                         inner=16)
     return thr, kernels, upk
 
 
@@ -383,7 +395,7 @@ def bench_ngram_beam_search():
         return lp.sum(), lens
 
     _sync(run())  # compile + warm
-    calls = 8
+    calls = 32
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -488,8 +500,12 @@ def bench_train_mfu(inner=4):
     from pydrobert_tpu.models import ConformerConfig, ConformerCTC, make_train_step
     from pydrobert_tpu.ops.img import spec_augment
 
+    # flagship shape d512/L8: measured MFU 0.057 vs 0.031 at d256/L4 on
+    # the same chip/phase — the larger matmuls utilize the MXU better and
+    # the number transfers; d512/L12 at B=16 measured 0.053 (no further
+    # gain). steps/s is not comparable to the pre-r3 d256/L4 rows.
     cfg = ConformerConfig(
-        vocab_size=1024, num_filts=80, d_model=256, num_layers=4, num_heads=4
+        vocab_size=1024, num_filts=80, d_model=512, num_layers=8, num_heads=8
     )
     model = ConformerCTC(cfg)
     B, T, U = 32, 1000, 100
@@ -561,7 +577,7 @@ def bench_transducer_greedy(B=32, T=500, F=80):
     variables = model.init(jax.random.PRNGKey(0), feats[:2], lens[:2],
                            refs[:2], ref_lens[:2])
 
-    inner = 4
+    inner = 16
 
     @jax.jit
     def run(params, feats, lens):
@@ -642,7 +658,7 @@ def bench_seq2seq_mer_step(B=16, T=200, F=40):
     step = make_mer_train_step(model, optimizer, num_samples=4, max_iters=16,
                                eos=63)
     key = jax.random.PRNGKey(2)
-    inner = 4
+    inner = 8
 
     @jax.jit
     def run(params, opt_state, key):

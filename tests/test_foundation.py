@@ -177,3 +177,29 @@ def test_host_keyed_compile_cache(tmp_path):
     assert fp and fp == host_fingerprint()  # stable
     d = compilation_cache_dir(str(tmp_path / "jax"))
     assert d.endswith(fp) and str(tmp_path) in d
+
+
+def test_profile_program_reports_loop_and_timing():
+    """utils.profiling.profile_program: the bench methodology as a library
+    API — amortized per-call seconds, sync overhead, XLA cost analysis,
+    and hottest-loop kernel counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from pydrobert_tpu.utils.profiling import (
+        measure_sync_overhead, profile_program,
+    )
+
+    def f(x):
+        def step(c, _):
+            return c * 1.0001 + 1.0, None
+        out, _ = jax.lax.scan(step, x, None, length=23)
+        return out
+
+    stats = profile_program(f, jnp.ones((16,)), calls=2, reps=2)
+    assert stats["seconds_per_call"] > 0
+    assert stats["loop_trip_count"] == 23
+    assert stats["loop_kernels"] >= 1
+    assert stats["flops"] >= 0
+    assert "us_per_kernel" in stats
+    assert measure_sync_overhead(reps=3) > 0

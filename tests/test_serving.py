@@ -207,9 +207,27 @@ def test_streaming_session_compiles_one_encode_program(key):
     )
     # R = num_layers * (left + conv_kernel - 1) = 2 * (4 + 4) = 16 post-
     # subsample frames; with chunk=2 the growing-window formulation would
-    # compile ~8 distinct encode shapes over these pushes
+    # compile ~8 distinct encode shapes over these pushes. Count TRACES
+    # via a trace-time side effect (the wrapper body runs once per
+    # distinct input signature) — `_cache_size()` proved flaky under the
+    # full suite, where unrelated global cache churn empties it.
+    import jax
+
+    enc_traces, adv_traces = [], []
+    enc_fn, adv_fn = rec._encode_chunk.__wrapped__, rec._advance.__wrapped__
+
+    def enc_counting(*args):
+        enc_traces.append(1)
+        return enc_fn(*args)
+
+    def adv_counting(*args):
+        adv_traces.append(1)
+        return adv_fn(*args)
+
+    rec._encode_chunk = jax.jit(enc_counting)
+    rec._advance = jax.jit(adv_counting)
     sess = rec.start(feats.shape[0])
     for t in range(0, 56, 8):
         rec.push(sess, feats[:, t : t + 8], np.clip(lens - t, 0, 8))
-    assert rec._encode_chunk._cache_size() == 1
-    assert rec._advance._cache_size() == 1
+    assert len(enc_traces) == 1, len(enc_traces)
+    assert len(adv_traces) == 1, len(adv_traces)
