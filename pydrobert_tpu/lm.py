@@ -836,20 +836,37 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             child_all = jnp.asarray(child_all)
             base_ix = self._ctx_tables[0].base
             # order-n row index = sum_i ctx[i] * base^i over the n-1 most
-            # recent context tokens — a CUMSUM over the order axis (and
-            # in-range validity a cumulative AND), so all orders' indices
-            # come from one fused pass instead of a per-order Python loop
-            # (the unrolled Horner form cost ~6 dispatched kernels per
-            # decode step). base^(N-2) * base fits int32 whenever the
-            # direct-indexed dense table itself fits memory.
+            # recent context tokens — a prefix sum over the tiny order
+            # axis. Computed as ONE exact f32 dot against a static
+            # lower-triangular ones matrix (values < 2**24 whenever the
+            # direct-indexed dense table itself fits memory): jnp.cumsum
+            # lowers to reduce-window (+ relayout copies, ~10 dispatched
+            # kernels per decode step measured on TPU) and the unrolled
+            # Horner loop cost ~6; the dot fuses to ~3.
             q = ctx.astype(jnp.int32)  # (N - 1, B) most recent first
             ok = (q >= 0) & (q < base_ix)
             pw = jnp.asarray(
-                [base_ix**i for i in range(N - 1)], jnp.int32
+                [float(base_ix**i) for i in range(N - 1)], jnp.float32
             )[:, None]
-            flats_all = jnp.cumsum(jnp.clip(q, 0, base_ix - 1) * pw, 0)
-            in_range_col = jnp.cumprod(ok.astype(jnp.int32), 0) != 0
-            idx = flats_all.T + jnp.asarray(
+            terms_t = (
+                jnp.clip(q, 0, base_ix - 1).astype(jnp.float32) * pw
+            ).T  # (B, N-1)
+            tril = jnp.asarray(
+                np.tril(np.ones((N - 1, N - 1), np.float32)).T
+            )  # [i, n] = 1 for i <= n
+            packed_pair = jnp.stack(
+                [terms_t, ok.astype(jnp.float32).T], 1
+            )  # (B, 2, N-1)
+            pair = jnp.einsum(
+                "bcn,nm->bcm",
+                packed_pair,
+                tril,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [:, 0] prefix sums, [:, 1] prefix ok-counts
+            in_range_col = (
+                pair[:, 1] >= jnp.arange(1, N, dtype=jnp.float32)[None]
+            ).T  # (N-1, B)
+            idx = pair[:, 0].astype(jnp.int32) + jnp.asarray(
                 np.asarray(row_offs, np.int32)
             )[None]  # (B, N-1)
             rows = dense_all[idx]  # (B, N-1, 4): ONE gather
