@@ -90,4 +90,14 @@ def enable_cache(base: str) -> str:
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    try:
+        # keep JAX's own executable cache but disable XLA-internal
+        # sub-caches: XLA:CPU's AOT entries embed model-derived tuning
+        # features (+prefer-no-gather/-scatter) its loader then rejects as
+        # "unsupported on the host machine" EVEN ON THE HOST THAT WROTE
+        # THEM — every reload logs a wall of cpu_aot_loader errors and
+        # recompiles anyway
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:  # pragma: no cover - older jax without the knob
+        pass
     return d
