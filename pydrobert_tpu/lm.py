@@ -769,21 +769,35 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             return None
         cached = getattr(self, "_combined_cache", None)
         if cached is None:
-            row_offs, parts, child_offs, cparts = [], [], [], []
+            row_offs, parts, child_offs, ctoks, clps = [], [], [], [], []
             off = coff = 0
             for t in self._ctx_tables:
                 row_offs.append(off)
                 parts.append(t.dense_packed)
                 off += t.dense_packed.shape[0]
                 child_offs.append(coff)
-                # only (token, logp bits): the stored-logZ path never needs
-                # the baked unigram column, and narrower rows are fewer
-                # gathered bytes per decode step
-                cparts.append(np.ascontiguousarray(t.child_packed[:, :2]))
-                coff += t.child_packed.shape[0]
+                # children kept as SEPARATE flat (token int32, logp f32)
+                # arrays: two clean single-axis gathers whose outputs land
+                # directly in the consumers' (B, Ctot) layout — the packed
+                # (rows, 2) form cost a slice + bitcast + relayout-copy
+                # chain per column every decode step
+                ct = (
+                    t.child_tok
+                    if len(t.child_tok)
+                    else np.zeros(1, np.int32)
+                )
+                cl = (
+                    t.child_logp
+                    if len(t.child_logp)
+                    else np.zeros(1, np.float32)
+                )
+                ctoks.append(np.ascontiguousarray(ct, np.int32))
+                clps.append(np.ascontiguousarray(cl, np.float32))
+                coff += len(ct)
             cached = self._combined_cache = (
                 np.concatenate(parts, 0),
-                np.concatenate(cparts, 0),
+                np.concatenate(ctoks, 0),
+                np.concatenate(clps, 0),
                 row_offs,
                 child_offs,
                 [t.max_children for t in self._ctx_tables],
@@ -828,151 +842,124 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         uni = jnp.asarray(self._uni_logp)
         combined = self._combined_tables()
         if combined is not None:
-            # all orders answered with TWO gathers total: one row per
-            # (context, order) from the stacked dense tables, one padded
-            # children read from the stacked child rows
-            dense_all, child_all, row_offs, child_offs, s_list = combined
-            dense_all = jnp.asarray(dense_all)
-            child_all = jnp.asarray(child_all)
-            base_ix = self._ctx_tables[0].base
-            # order-n row index = sum_i ctx[i] * base^i over the n-1 most
-            # recent context tokens — a prefix sum over the tiny order
-            # axis. Computed as ONE exact f32 dot against a static
-            # lower-triangular ones matrix (values < 2**24 whenever the
-            # direct-indexed dense table itself fits memory): jnp.cumsum
-            # lowers to reduce-window (+ relayout copies, ~10 dispatched
-            # kernels per decode step measured on TPU) and the unrolled
-            # Horner loop cost ~6; the dot fuses to ~3.
-            q = ctx.astype(jnp.int32)  # (N - 1, B) most recent first
-            ok = (q >= 0) & (q < base_ix)
-            pw = jnp.asarray(
-                [float(base_ix**i) for i in range(N - 1)], jnp.float32
-            )[:, None]
-            terms_t = (
-                jnp.clip(q, 0, base_ix - 1).astype(jnp.float32) * pw
-            ).T  # (B, N-1)
-            tril = jnp.asarray(
-                np.tril(np.ones((N - 1, N - 1), np.float32)).T
-            )  # [i, n] = 1 for i <= n
-            packed_pair = jnp.stack(
-                [terms_t, ok.astype(jnp.float32).T], 1
-            )  # (B, 2, N-1)
-            pair = jnp.einsum(
-                "bcn,nm->bcm",
-                packed_pair,
-                tril,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [:, 0] prefix sums, [:, 1] prefix ok-counts
-            in_range_col = (
-                pair[:, 1] >= jnp.arange(1, N, dtype=jnp.float32)[None]
-            ).T  # (N-1, B)
-            idx = pair[:, 0].astype(jnp.int32) + jnp.asarray(
-                np.asarray(row_offs, np.int32)
-            )[None]  # (B, N-1)
-            rows = dense_all[idx]  # (B, N-1, 4): ONE gather
-            # out-of-range context tokens must read as not-found (the
-            # probing fallback reports a key mismatch); the all-zeros
-            # default row already encodes "absent", so masking length and
-            # backoff suffices — no separate found flag is needed here
-            in_range = in_range_col.T  # (B, N-1)
-            lengths = jnp.where(in_range, rows[..., 2], 0)
-            logb_all = jnp.where(
-                in_range,
-                jax.lax.bitcast_convert_type(rows[..., 0], jnp.float32),
-                0.0,
+            # one (B, 4) dense-row gather PER ORDER plus two flat child
+            # gathers; everything between them is (B,)-elementwise over the
+            # tiny unrolled order axis, so it fuses into the gathers'
+            # operands/consumers. The earlier single (B, N-1, 4) row gather
+            # + triangular-dot index prologue + one-hot spread epilogue
+            # measured ~17 dispatched kernels per decode step, most of them
+            # relayout copies around the (B, N-1, ...) intermediates; this
+            # form measures fewer with identical results.
+            dense_all, ctok_all, clp_all, row_offs, child_offs, s_list = (
+                combined
             )
+            dense_all = jnp.asarray(dense_all)
+            import os as _os
+            if _os.environ.get("PYDROBERT_TPU_CHILD_FLAT", "0") == "1":
+                child_pack = None
+                ctok_all = jnp.asarray(ctok_all)
+                clp_all = jnp.asarray(clp_all)
+            else:
+                child_pack = jnp.asarray(
+                    np.stack([ctok_all, clp_all.view(np.int32)], 1)
+                )
+            E = clp_all.shape[0]
+            base_ix = self._ctx_tables[0].base
+            q = ctx.astype(jnp.int32)  # (N - 1, B) most recent first
+            # order-n row index = sum_i ctx[i] * base^i over the n-1 most
+            # recent context tokens: accumulate the prefix sum across the
+            # unrolled loop in exact f32 (values < 2**24 whenever the
+            # direct-indexed dense table itself fits memory)
+            idxf = okc = None
+            logb_l, start_l, len_l, logz_l, present_l = [], [], [], [], []
+            for i in range(N - 1):
+                qi = q[i]  # (B,)
+                oki = (qi >= 0) & (qi < base_ix)
+                okc = oki if okc is None else (okc & oki)
+                t = jnp.clip(qi, 0, base_ix - 1).astype(jnp.float32) * float(
+                    base_ix**i
+                )
+                idxf = t if idxf is None else (idxf + t)
+                rows_i = dense_all[
+                    idxf.astype(jnp.int32) + int(row_offs[i])
+                ]  # (B, 4): one gather per order
+                # out-of-range context tokens must read as not-found (the
+                # probing fallback reports a key mismatch); the all-zeros
+                # default row already encodes "absent", so masking length
+                # and backoff suffices — no separate found flag is needed
+                len_i = jnp.where(okc, rows_i[:, 2], 0)
+                logb_i = jnp.where(
+                    okc,
+                    jax.lax.bitcast_convert_type(rows_i[:, 0], jnp.float32),
+                    0.0,
+                )
+                logb_l.append(logb_i)
+                start_l.append(rows_i[:, 1])
+                len_l.append(len_i)
+                logz_l.append(
+                    jax.lax.bitcast_convert_type(rows_i[:, 3], jnp.float32)
+                )
+                present_l.append(okc & ((len_i > 0) | (logb_i != 0.0)))
             # stored-exact normalizer: highest present order wins; an
             # absent context's distribution equals its suffix's, so falling
             # through is exact (see _store_logzs). Replaces per-step
             # exp-reductions over the correction lists.
-            present = in_range & ((lengths > 0) | (logb_all != 0.0))
-            logz_all = jax.lax.bitcast_convert_type(rows[..., 3], jnp.float32)
             logZ = jnp.full(
                 (B,), float(np.log(max(self._sum_u, 1e-300))), jnp.float32
             )
             for i in range(N - 1):
-                logZ = jnp.where(present[:, i], logz_all[:, i], logZ)
-            # stay CONCATENATED across orders: per-order list splits cost
-            # ~2-3 dispatched kernels each inside decode loops; static
-            # slot->order maps turn the whole epilogue into a handful of
-            # fused ops over (B, Ctot)
+                logZ = jnp.where(present_l[i], logz_l[i], logZ)
+            base = logb_l[0]
+            for i in range(1, N - 1):
+                base = base + logb_l[i]
             slot_order = np.concatenate(
                 [np.full((s,), i, np.int32) for i, s in enumerate(s_list)]
             )  # (Ctot,) which order each child slot belongs to
-            slot_off = np.concatenate(
-                [
-                    np.arange(s, dtype=np.int32) + child_offs[i]
-                    for i, s in enumerate(s_list)
-                ]
-            )
+            local_off = np.concatenate(
+                [np.arange(s, dtype=np.int32) for s in s_list]
+            )  # (Ctot,) slot index within its order's span
+
+            slot_order_c = jnp.asarray(slot_order)[None]  # (1, Ctot)
+
             def spread(per_order):
-                # (B, N-1) -> (B, Ctot): repeat each order's column over its
-                # static slot span. A constant-index jnp.take here measured
-                # ~4 dispatched kernels per call inside decode loops (index
-                # materialization + relayouts around the gather); the static
-                # slice+broadcast+concat form fuses with its consumers.
-                return jnp.concatenate(
-                    [
-                        jnp.broadcast_to(per_order[:, i : i + 1], (B, s))
-                        for i, s in enumerate(s_list)
-                    ],
-                    1,
-                )
+                # (B,) per order -> (B, Ctot): select each order's scalar
+                # over its static slot span via a broadcast-where chain —
+                # pure elementwise, so it fuses into the consumers (the
+                # concat-of-broadcasts form cost one standalone broadcast
+                # kernel per order per spread every decode step)
+                out = per_order[0][:, None]
+                for i in range(1, N - 1):
+                    out = jnp.where(
+                        slot_order_c >= i, per_order[i][:, None], out
+                    )
+                return out
 
             # value of an order-n match = stored logp + backoffs of all
-            # HIGHER orders escaped through: a suffix sum over orders,
-            # spread to slots by the static map
-            # sum of logb over orders > i; the reverse-cumsum form measured
-            # ~7 dispatched kernels per decode step (reversal relayouts),
-            # the explicit slice-sums fuse (N - 1 is tiny)
-            sfx_excl = jnp.concatenate(
-                [
-                    logb_all[:, i + 1 :].sum(1, keepdims=True)
-                    if i + 1 < N - 1
-                    else jnp.zeros((B, 1), logb_all.dtype)
-                    for i in range(N - 1)
-                ],
-                1,
-            )  # (B, N-1)
-            if child_all.shape[0] < (1 << 24):
-                # all three spreads ride ONE exact one-hot dot (each output
-                # element copies exactly one input: 1 * x + 0s == x; child
-                # row offsets < 2**24 are exact in f32) instead of 3 x
-                # (broadcast+concat) chains (~8 dispatched kernels per
-                # decode step measured on TPU)
-                sel = np.zeros((N - 1, len(slot_order)), np.float32)
-                sel[slot_order, np.arange(len(slot_order))] = 1.0
-                spread3 = jnp.einsum(
-                    "bcn,nt->bct",
-                    jnp.stack(
-                        [
-                            rows[..., 1].astype(jnp.float32),
-                            lengths.astype(jnp.float32),
-                            sfx_excl,
-                        ],
-                        1,
-                    ),
-                    jnp.asarray(sel),
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (B, 3, Ctot)
-                starts = spread3[:, 0].astype(jnp.int32)
-                len_spread = spread3[:, 1].astype(jnp.int32)
-                sfx_spread = spread3[:, 2]
-            else:  # pragma: no cover - LMs beyond f32-exact row offsets
-                starts = spread(rows[..., 1])
-                len_spread = spread(lengths)
-                sfx_spread = spread(sfx_excl)
+            # HIGHER orders escaped through: a suffix sum over the unrolled
+            # order axis
+            sfx_l = []
+            for i in range(N - 1):
+                s = None
+                for j in range(i + 1, N - 1):
+                    s = logb_l[j] if s is None else (s + logb_l[j])
+                sfx_l.append(jnp.zeros((B,), jnp.float32) if s is None else s)
             pos = jnp.clip(
-                starts + slot_off[None], 0, child_all.shape[0] - 1
-            )
-            got = child_all[pos]  # (B, Ctot, 2): ONE gather
-            valid = jnp.asarray(slot_off - np.take(child_offs, slot_order))[
-                None
-            ] < len_spread
-            toks = got[..., 0]
-            lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
-            base = logb_all.sum(1)
-            val = lps + sfx_spread
+                spread(
+                    [start_l[i] + int(child_offs[i]) for i in range(N - 1)]
+                )
+                + local_off[None],
+                0,
+                E - 1,
+            )  # (B, Ctot)
+            if child_pack is not None:
+                got = child_pack[pos]  # (B, Ctot, 2): ONE row gather
+                toks = got[..., 0]
+                lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
+            else:
+                toks = ctok_all[pos]  # ONE flat gather
+                lps = clp_all[pos]  # ONE flat gather
+            valid = local_off[None] < spread(len_l)
+            val = lps + spread(sfx_l)
             # higher-order matches override lower ones; only the static
             # lower-order x strictly-higher-order blocks can collide, so
             # compare those instead of the full (B, Ctot, Ctot) all-pairs
@@ -994,6 +981,9 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     dup_parts.append(jnp.zeros((B, s), bool))
             valid = valid & ~jnp.concatenate(dup_parts, 1)
             bounds = np.concatenate([[0], np.cumsum(s_list)])
+            # only the membership-gather decode path consumes logb: the
+            # stack is dead code (free) everywhere else
+            logb_all = jnp.stack(logb_l, 1)  # (B, N-1)
             return (
                 base, toks, val, valid,
                 logZ if want_logz else None,

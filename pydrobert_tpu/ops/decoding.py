@@ -1029,13 +1029,29 @@ def _ctc_prefix_search_advance_sparse(
             )
             found_tm = found_tm | any3
     else:
-        tm_corr = (
-            ctoks[:, :, None, :] == y_prev_last[:, None, :, None]
-        ) & cvalid[:, :, None, :]  # (N, Kp, j, C)
-        found_tm = tm_corr.any(3)
-        lm_tm = jnp.where(tm_corr, cvals[:, :, None, :], 0.0).sum(
-            3
-        ) + jnp.where(found_tm, 0.0, base[:, :, None] + uni_last[:, None, :])
+        # corrected value AND match flag for every (beam k, other-beam last
+        # token j) pair ride ONE HIGHEST-precision contraction over the
+        # correction axis: the compare+any+masked-sum chain materialized the
+        # (N, Kp, j, C) predicate in three different layouts (one relayout
+        # copy per consumer per decode step). Exact: dup-masked corrections
+        # are unique per context, so at most one nonzero term per dot row.
+        eqf = (
+            (ctoks[:, :, None, :] == y_prev_last[:, None, :, None])
+            & cvalid[:, :, None, :]
+        ).astype(jnp.float32)  # (N, Kp, j, C)
+        packed_cv = jnp.stack(
+            [cvals, jnp.ones_like(cvals)], 2
+        )  # (N, Kp, 2, C)
+        got2 = jnp.einsum(
+            "nkjc,nksc->nksj",
+            eqf,
+            packed_cv,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, Kp, 2, j): [corrected-value sum, match count]
+        found_tm = got2[:, :, 1] > 0
+        lm_tm = got2[:, :, 0] + jnp.where(
+            found_tm, 0.0, base[:, :, None] + uni_last[:, None, :]
+        )
     p_tm = am_last[:, None, :] * jnp.exp(beta * (lm_tm - logZ[:, :, None]))
     eye = jnp.asarray(np.eye(Kp, dtype=bool))
     last_in_corr_any = (found_tm & eye).any(2)  # diag: own-last stored
