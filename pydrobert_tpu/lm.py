@@ -834,11 +834,17 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         loops exploit: returns ``(base, toks, vals, valid, logZ,
         logb (B, N-1), bounds)`` where ``logb`` holds each found context
         order's backoff weight and ``bounds`` are the static slot ranges of
-        each order inside the concatenated correction axis."""
+        each order inside the concatenated correction axis.
+
+        ``ctx`` may carry ANY leading batch shape — ``(N - 1, *batch)`` —
+        and every returned array keeps those batch dims. Decode loops pass
+        their native ``(N, beam)`` batch directly: flattening to one axis
+        and reshaping the outputs back cost a retile (reshape/copy) kernel
+        per tensor per decode step on TPU."""
         N = self.max_ngram
         if N == 1:
             raise RuntimeError("sparse_corrections requires max_ngram > 1")
-        B = ctx.shape[1]
+        bshape = ctx.shape[1:]
         uni = jnp.asarray(self._uni_logp)
         combined = self._combined_tables()
         if combined is not None:
@@ -887,17 +893,17 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 # probing fallback reports a key mismatch); the all-zeros
                 # default row already encodes "absent", so masking length
                 # and backoff suffices — no separate found flag is needed
-                len_i = jnp.where(okc, rows_i[:, 2], 0)
+                len_i = jnp.where(okc, rows_i[..., 2], 0)
                 logb_i = jnp.where(
                     okc,
-                    jax.lax.bitcast_convert_type(rows_i[:, 0], jnp.float32),
+                    jax.lax.bitcast_convert_type(rows_i[..., 0], jnp.float32),
                     0.0,
                 )
                 logb_l.append(logb_i)
-                start_l.append(rows_i[:, 1])
+                start_l.append(rows_i[..., 1])
                 len_l.append(len_i)
                 logz_l.append(
-                    jax.lax.bitcast_convert_type(rows_i[:, 3], jnp.float32)
+                    jax.lax.bitcast_convert_type(rows_i[..., 3], jnp.float32)
                 )
                 present_l.append(okc & ((len_i > 0) | (logb_i != 0.0)))
             # stored-exact normalizer: highest present order wins; an
@@ -905,7 +911,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             # through is exact (see _store_logzs). Replaces per-step
             # exp-reductions over the correction lists.
             logZ = jnp.full(
-                (B,), float(np.log(max(self._sum_u, 1e-300))), jnp.float32
+                bshape, float(np.log(max(self._sum_u, 1e-300))), jnp.float32
             )
             for i in range(N - 1):
                 logZ = jnp.where(present_l[i], logz_l[i], logZ)
@@ -919,18 +925,18 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 [np.arange(s, dtype=np.int32) for s in s_list]
             )  # (Ctot,) slot index within its order's span
 
-            slot_order_c = jnp.asarray(slot_order)[None]  # (1, Ctot)
+            slot_order_c = jnp.asarray(slot_order)  # (Ctot,)
 
             def spread(per_order):
-                # (B,) per order -> (B, Ctot): select each order's scalar
+                # (*b,) per order -> (*b, Ctot): select each order's scalar
                 # over its static slot span via a broadcast-where chain —
                 # pure elementwise, so it fuses into the consumers (the
                 # concat-of-broadcasts form cost one standalone broadcast
                 # kernel per order per spread every decode step)
-                out = per_order[0][:, None]
+                out = per_order[0][..., None]
                 for i in range(1, N - 1):
                     out = jnp.where(
-                        slot_order_c >= i, per_order[i][:, None], out
+                        slot_order_c >= i, per_order[i][..., None], out
                     )
                 return out
 
@@ -942,23 +948,25 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 s = None
                 for j in range(i + 1, N - 1):
                     s = logb_l[j] if s is None else (s + logb_l[j])
-                sfx_l.append(jnp.zeros((B,), jnp.float32) if s is None else s)
+                sfx_l.append(
+                    jnp.zeros(bshape, jnp.float32) if s is None else s
+                )
             pos = jnp.clip(
                 spread(
                     [start_l[i] + int(child_offs[i]) for i in range(N - 1)]
                 )
-                + local_off[None],
+                + local_off,
                 0,
                 E - 1,
-            )  # (B, Ctot)
+            )  # (*b, Ctot)
             if child_pack is not None:
-                got = child_pack[pos]  # (B, Ctot, 2): ONE row gather
+                got = child_pack[pos]  # (*b, Ctot, 2): ONE row gather
                 toks = got[..., 0]
                 lps = jax.lax.bitcast_convert_type(got[..., 1], jnp.float32)
             else:
                 toks = ctok_all[pos]  # ONE flat gather
                 lps = clp_all[pos]  # ONE flat gather
-            valid = local_off[None] < spread(len_l)
+            valid = local_off < spread(len_l)
             val = lps + spread(sfx_l)
             # higher-order matches override lower ones; only the static
             # lower-order x strictly-higher-order blocks can collide, so
@@ -971,25 +979,41 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     dup_parts.append(
                         (
                             (
-                                toks[:, offs[i] : offs[i + 1], None]
-                                == toks[:, None, hi]
+                                toks[..., offs[i] : offs[i + 1], None]
+                                == toks[..., None, hi]
                             )
-                            & valid[:, None, hi]
-                        ).any(2)
+                            & valid[..., None, hi]
+                        ).any(-1)
                     )
                 else:
-                    dup_parts.append(jnp.zeros((B, s), bool))
-            valid = valid & ~jnp.concatenate(dup_parts, 1)
+                    dup_parts.append(jnp.zeros(bshape + (s,), bool))
+            valid = valid & ~jnp.concatenate(dup_parts, -1)
             bounds = np.concatenate([[0], np.cumsum(s_list)])
             # only the membership-gather decode path consumes logb: the
             # stack is dead code (free) everywhere else
-            logb_all = jnp.stack(logb_l, 1)  # (B, N-1)
+            logb_all = jnp.stack(logb_l, -1)  # (*b, N-1)
             return (
                 base, toks, val, valid,
                 logZ if want_logz else None,
                 logb_all, bounds,
             )
         else:
+            if ctx.ndim > 2:
+                # hash-probing fallback stays single-batch-axis; recurse on
+                # the flattened batch and restore the dims (this path has no
+                # dense tables, so the extra reshapes are the cheap part)
+                flat = self.sparse_corrections_ext(
+                    ctx.reshape(ctx.shape[0], -1), want_logz
+                )
+
+                def _rs(a):
+                    return (
+                        None
+                        if a is None
+                        else a.reshape(bshape + a.shape[1:])
+                    )
+
+                return tuple(_rs(a) for a in flat[:6]) + (flat[6],)
             logbs, tokss, lpss, valids, uniss = [], [], [], [], []
             for n in range(2, N + 1):
                 ctx_n = ctx[: n - 1][::-1].T  # (B, n-1), earliest-first

@@ -68,23 +68,12 @@ MASS_PAD = -1.0e30
 
 def _sparse_at(lm, ctx, N, Kp):
     """LM sparse structure for contexts (Ng-1, N, Kp) (most recent first),
-    reshaped to (N, Kp, ...) leading dims (shared by BeamSearch and
-    CTCPrefixSearch). Contexts ride the decode loops order-major so this
-    reshape is layout-free (the (N, Kp, Ng-1) form cost a transpose kernel
-    per step)."""
-    Ng = lm.max_ngram
-    ctx_in = ctx.reshape(Ng - 1, N * Kp)
-    base, tk, vl, vd, lz, lb, bounds = lm.sparse_corrections_ext(ctx_in)
-    Cc = tk.shape[1]
-    return (
-        base.reshape(N, Kp),
-        tk.reshape(N, Kp, Cc),
-        vl.reshape(N, Kp, Cc),
-        vd.reshape(N, Kp, Cc),
-        lz.reshape(N, Kp),
-        lb.reshape(N, Kp, Ng - 1),
-        bounds,
-    )
+    with (N, Kp, ...) leading dims (shared by BeamSearch and
+    CTCPrefixSearch). Contexts ride the decode loops order-major and the
+    probe is batch-polymorphic: passing (N, Kp) natively instead of
+    flattening to (N * Kp,) and reshaping the outputs back saves a retile
+    (reshape/copy) kernel per tensor per decode step on TPU."""
+    return lm.sparse_corrections_ext(ctx)
 
 
 def _decode_prologue(logits, M, g_bias=None):
