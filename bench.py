@@ -115,6 +115,36 @@ def bench_canary():
     cm, _ = _compile(mm, a)
     mm_ms = _time(cm, a) * 1e3
 
+    # achievable-ceiling probe (VERDICT r3 #3): a pinned bf16 matmul loop
+    # big enough to keep the MXU busy, reported as TFLOP/s from XLA's own
+    # cost analysis over measured time. This is the chip's SAME-RUN
+    # achievable matmul rate — the denominator that makes train_mfu
+    # interpretable (is the model wasting the chip, or is the tunnel
+    # throttling it?).
+    b16 = jnp.asarray(rng.randn(1024, 1024).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def mm16(b):
+        def step(c, _):
+            return (c @ b) * jnp.bfloat16(1.0 / 32.0), None
+
+        out, _ = jax.lax.scan(step, b, None, length=64)
+        return out
+
+    cm16, _ = _compile(mm16, b16)
+    flops16 = 64 * 2 * 1024**3  # 64 iterations of (1024,1024)@(1024,1024)
+    try:
+        ca = cm16.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        if f > 0:
+            flops16 = f
+    except Exception:
+        pass
+    mm16_tflops = flops16 / _time(cm16, b16) / 1e12
+
     tbl = jnp.asarray(rng.randn(2048, 128).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, 2048, (256,)).astype(np.int32))
 
@@ -138,7 +168,12 @@ def bench_canary():
     tiny = jnp.zeros((8,), jnp.float32)
     csync, _ = _compile(lambda x: x + 1.0, tiny)
     sync_ms = _time(csync, tiny, reps=5) * 1e3
-    return round(mm_ms, 3), round(dispatch_us, 2), round(sync_ms, 3)
+    return (
+        round(mm_ms, 3),
+        round(dispatch_us, 2),
+        round(sync_ms, 3),
+        round(mm16_tflops, 3),
+    )
 
 
 def calibrate_pallas_gates():
@@ -146,17 +181,19 @@ def calibrate_pallas_gates():
     BEFORE any decode benchmark traces (VERDICT r2 #1: every earlier driver
     bench measured pure-XLA paths because gates consulted under tracing
     defer). The beam gate is calibrated AT THE HEADLINE SHAPE (plus the
-    small representative); at the headline shape the whole-loop kernel's
-    Mosaic compile is intractable (>28 min, killed), so the compile
-    envelope records the XLA scan as that bucket's winner without
-    attempting it. Cached decisions (user cache or the repo-committed seed
-    in pydrobert_tpu/ops/calibration/gates.json) return instantly; a
-    changed kernel rev re-times both paths here, so the headline fields
-    below are always measured with the calibrated winner engaged."""
+    small representative); since round 4 the whole-loop kernel batch-tiles
+    its grid, putting the headline body inside the Mosaic compile envelope,
+    so the A/B is actually run there. By default the bench FORCES fresh
+    measurement (VERDICT r3 #6: a driver artifact echoing the committed
+    seed is not evidence) — set BENCH_FORCE_GATES=0 to reuse cached
+    decisions; the persistent XLA compile cache keeps a forced re-run
+    cheap after the first. The decisions (medians + spread of 5 reps per
+    path) ship in the JSON line."""
     from pydrobert_tpu.ops.pallas import calibrate_gates
 
+    force = os.environ.get("BENCH_FORCE_GATES", "1") not in ("0", "false")
     return calibrate_gates(
-        beam_shapes=[(64, 8, 128, 8), (500, 32, 1024, 16)]
+        force=force, beam_shapes=[(64, 8, 128, 8), (500, 32, 1024, 16)]
     )
 
 
@@ -731,14 +768,28 @@ def _watchdog(deadline_s: float):
     return t
 
 
+def _last_recorded_at():
+    """Per-field timestamps from the last_good snapshot (empty if none)."""
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            snap = json.load(f)
+        if "fields" in snap:
+            return dict(snap.get("recorded_at", {}))
+    except Exception:
+        pass
+    return {}
+
+
 def main():
     # gate EVERY benchmark on a wall-clock budget: remote-tunnel XLA compile
     # walls swing ~80-400s by phase (compilation runs server-side, so the
     # local persistent cache can't always absorb it), and a JSON line with a
     # missing field beats being killed by the driver's timeout before the
-    # line prints. Ordered headline-first so the cut always lands on the
-    # least important remaining field. A watchdog guarantees the line even
-    # if the device tunnel wedges mid-compile.
+    # line prints. The headline decode always runs; the remaining fields run
+    # LEAST-RECENTLY-CAPTURED first (VERDICT r3 #2: a fixed order starved
+    # the last two fields forever), so budget cuts rotate across rounds and
+    # every field lands as a this-run measurement eventually. A watchdog
+    # guarantees the line even if the device tunnel wedges mid-compile.
     t0 = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
     _watchdog(budget * 1.35)
@@ -754,12 +805,14 @@ def main():
 
     # phase canary first (cheap compiles): every throughput field below can
     # be phase-normalized against these pinned numbers
-    canary_ms, canary_gather, canary_sync = _guard(
-        bench_canary, (0.0, 0.0, 0.0)
+    canary_ms, canary_gather, canary_sync, canary_tflops = _guard(
+        bench_canary, (0.0, 0.0, 0.0, 0.0)
     )
     _RESULTS["canary_ms"] = canary_ms
     _RESULTS["canary_gather_us"] = canary_gather
     _RESULTS["canary_sync_ms"] = canary_sync
+    # same-run achievable bf16 matmul ceiling: train_mfu's denominator
+    _RESULTS["canary_matmul_tflops"] = canary_tflops
 
     # calibrate the Pallas kernel gates EAGERLY, under the organic keys,
     # before anything traces a decode: the decode/SpecAugment numbers below
@@ -777,7 +830,8 @@ def main():
         decode_kernels_per_step=dec_kernels,
         decode_us_per_kernel=dec_upk,
     )
-    if within():
+
+    def run_spec_augment():
         sa, sa_bytes, sa16 = _guard(bench_spec_augment, (0.0, 0.0, 0.0))
         _RESULTS.update(
             specaugment_utt_per_sec=round(sa, 1),
@@ -785,7 +839,8 @@ def main():
             specaugment_bytes_per_utt=round(sa_bytes, 1),
             specaugment_bf16_utt_per_sec=round(sa16, 1),
         )
-    if within():
+
+    def run_fused():
         fused, fused_kernels, fused_upk = _guard(
             bench_ctc_beam16_fused, (0.0, 0, 0.0)
         )
@@ -794,32 +849,8 @@ def main():
             fused_kernels_per_step=fused_kernels,
             fused_us_per_kernel=fused_upk,
         )
-    # cheap-compile bench first; the expensive-compile ones take the cut
-    if within():
-        _RESULTS["greedy_wer_utt_per_sec"] = round(
-            _guard(bench_ctc_greedy_wer, 0.0), 1
-        )
-    if within():
-        _RESULTS["ngram_beam_search_seq_per_sec"] = round(
-            _guard(bench_ngram_beam_search, 0.0), 1
-        )
-    if within():
-        _RESULTS["decode_bs256_utt_per_sec"] = round(
-            _guard(bench_ctc_beam16_bs256, 0.0), 1
-        )
-    if within():
-        _RESULTS["fused_bs256_utt_per_sec"] = round(
-            _guard(bench_ctc_beam16_fused_bs256, 0.0), 1
-        )
-    if within():
-        _RESULTS["decode_bf16_bs256_utt_per_sec"] = round(
-            _guard(bench_ctc_beam16_bf16_bs256, 0.0), 1
-        )
-    if within():
-        _RESULTS["decode_blankskip_spiky_utt_per_sec"] = round(
-            _guard(bench_ctc_blankskip, 0.0), 1
-        )
-    if within():
+
+    def run_train():
         train_steps, train_tflops, train_mfu = _guard(
             bench_train_mfu, (0.0, 0.0, 0.0)
         )
@@ -828,18 +859,56 @@ def main():
             train_model_tflops_per_sec=train_tflops,
             train_mfu=train_mfu,
         )
-    if within():
-        _RESULTS["transducer_greedy_utt_per_sec"] = round(
-            _guard(bench_transducer_greedy, 0.0), 1
-        )
-    if within():
-        _RESULTS["seq2seq_mer_step_per_sec"] = round(
-            _guard(bench_seq2seq_mer_step, 0.0), 2
-        )
-    if within():
-        _RESULTS["streaming_rnnt_chunk_ms"] = round(
-            _guard(bench_streaming_rnnt_chunk, 0.0), 2
-        )
+        ceiling = _RESULTS.get("canary_matmul_tflops", 0.0)
+        if ceiling and train_tflops:
+            # model TFLOP/s over the chip's SAME-RUN achievable matmul rate:
+            # distinguishes "model code wastes the chip" (low ratio) from
+            # "the tunnel throttles the chip" (low canary, high ratio)
+            _RESULTS["train_mfu_vs_achievable"] = round(
+                train_tflops / ceiling, 3
+            )
+
+    def scalar(field, fn, digits=1):
+        def run():
+            _RESULTS[field] = round(_guard(fn, 0.0), digits)
+        return run
+
+    # (marker field, runner): ordered least-recently-captured first so the
+    # budget cut rotates instead of permanently starving the tail
+    rotation = [
+        ("specaugment_utt_per_sec", run_spec_augment),
+        ("fused_ngram_decode_utt_per_sec", run_fused),
+        ("greedy_wer_utt_per_sec",
+         scalar("greedy_wer_utt_per_sec", bench_ctc_greedy_wer)),
+        ("ngram_beam_search_seq_per_sec",
+         scalar("ngram_beam_search_seq_per_sec", bench_ngram_beam_search)),
+        ("decode_bs256_utt_per_sec",
+         scalar("decode_bs256_utt_per_sec", bench_ctc_beam16_bs256)),
+        ("fused_bs256_utt_per_sec",
+         scalar("fused_bs256_utt_per_sec", bench_ctc_beam16_fused_bs256)),
+        ("decode_bf16_bs256_utt_per_sec",
+         scalar("decode_bf16_bs256_utt_per_sec", bench_ctc_beam16_bf16_bs256)),
+        ("decode_blankskip_spiky_utt_per_sec",
+         scalar("decode_blankskip_spiky_utt_per_sec", bench_ctc_blankskip)),
+        ("train_mfu", run_train),
+        ("transducer_greedy_utt_per_sec",
+         scalar("transducer_greedy_utt_per_sec", bench_transducer_greedy)),
+        ("seq2seq_mer_step_per_sec",
+         scalar("seq2seq_mer_step_per_sec", bench_seq2seq_mer_step, 2)),
+        ("streaming_rnnt_chunk_ms",
+         scalar("streaming_rnnt_chunk_ms", bench_streaming_rnnt_chunk, 2)),
+    ]
+    recorded = _last_recorded_at()
+    rotation.sort(key=lambda kv: recorded.get(kv[0], ""))
+    cut = []
+    for field, runner in rotation:
+        if within():
+            runner()
+        else:
+            cut.append(field)
+    if cut:
+        # no silent caps: name what the budget dropped this run
+        _RESULTS["cut_fields"] = cut
     _RESULTS["timing"] = "median of >=3 reps, device-synced"
     try:
         _RESULTS["device"] = jax.devices()[0].platform

@@ -807,9 +807,10 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
     def sparse_corrections(self, ctx: jax.Array, want_logz: bool = True):
         """Backoff-LM log-probs as ``uni[v] + base`` plus sparse overrides.
 
-        For query contexts ``ctx`` (``(N - 1, B)`` token ids, most recent
-        first, as produced by the history gather), the conditional log-prob
-        of every token ``v`` decomposes as::
+        For query contexts ``ctx`` (``(Ng - 1, *B)`` token ids, most recent
+        first, as produced by the history gather; ``*B`` is any leading
+        batch shape — see :meth:`sparse_corrections_ext`'s shape note), the
+        conditional log-prob of every token ``v`` decomposes as::
 
             lm(v | ctx) = uni[v] + base          if v matches no stored
                                                   higher-order n-gram
@@ -817,8 +818,8 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                                                   matching order wins)
 
         where ``base`` is the summed backoff of all found context orders.
-        Returns ``(base (B,), toks (B, C), vals (B, C), valid (B, C),
-        logZ (B,))`` with static ``C = max_corrections``; ``logZ`` is the
+        Returns ``(base (*B,), toks (*B, C), vals (*B, C), valid (*B, C),
+        logZ (*B,))`` with static ``C = max_corrections``; ``logZ`` is the
         exact log-normalizer of this context's full distribution (what
         ``log_softmax`` over :func:`calc_idx_log_probs` would subtract).
 

@@ -66,7 +66,7 @@ NEG_INF = -float("inf")
 MASS_PAD = -1.0e30
 
 
-def _sparse_at(lm, ctx, N, Kp):
+def _sparse_at(lm, ctx):
     """LM sparse structure for contexts (Ng-1, N, Kp) (most recent first),
     with (N, Kp, ...) leading dims (shared by BeamSearch and
     CTCPrefixSearch). Contexts ride the decode loops order-major and the
@@ -318,7 +318,7 @@ class BeamSearch:
             uni_eos = float(uni_np[eos]) if eos is not None else 0.0
 
             def sparse_at(ctx, Kp):
-                return _sparse_at(lm, ctx, N, Kp)
+                return _sparse_at(lm, ctx)
 
             def select_sparse(lp_prev, ctx, eos_mask, Kp, K):
                 """(lp_next, next_src, y_tok): top-K over per-beam slots."""
@@ -1770,7 +1770,7 @@ class CTCPrefixSearch:
             )  # (T, N, M)
 
             def sparse_at(ctx, Kp):
-                return _sparse_at(lm, ctx, N, Kp)
+                return _sparse_at(lm, ctx)
 
         elif use_uni:
             M = min(V, 2 * W)

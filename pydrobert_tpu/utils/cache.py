@@ -85,7 +85,13 @@ def enable_cache(base: str) -> str:
     """
     import jax
 
-    d = compilation_cache_dir(base)
+    # explicit override: processes whose OUTPUT is a driver-facing artifact
+    # (the multichip dryrun) point here at a fresh temp dir — XLA:CPU AOT
+    # entries log a wall of machine-feature-mismatch errors on every LOAD
+    # (even same-host ones; the compile embeds LLVM tuning flags like
+    # +prefer-no-gather that the loader then compares against raw cpuinfo),
+    # and a fresh dir has nothing to load
+    d = os.environ.get("PDT_CACHE_DIR") or compilation_cache_dir(base)
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
