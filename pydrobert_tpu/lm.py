@@ -794,13 +794,72 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 ctoks.append(np.ascontiguousarray(ct, np.int32))
                 clps.append(np.ascontiguousarray(cl, np.float32))
                 coff += len(ct)
+            # Build-time shadow bitmasks (decode-loop dedup for free): a
+            # lower-order child slot is invalid when its token also appears
+            # among a FOUND higher-order context's children (highest stored
+            # order wins — reference `_lm.py` backoff semantics). That
+            # membership depends only on the two stored contexts, one a
+            # suffix of the other, so it is precomputable: order-j rows
+            # grow `ceil(s_i / 32)` int32 words per lower order i, bit c of
+            # pair (i, j) set iff slot c of the lower context's child list
+            # is shadowed. The decode-step probe then replaces its
+            # (B, s_i, s_j) compare/any/relayout chain (measured ~6
+            # dispatched kernels per decode step) with fused bit tests on
+            # the rows it already gathers.
+            s_list = [t.max_children for t in self._ctx_tables]
+            nt = len(self._ctx_tables)
+            words = [max(1, -(-s // 32)) for s in s_list]
+            dup_cols = [dict() for _ in range(nt)]
+            col = 4
+            for j in range(1, nt):
+                for i in range(j):
+                    dup_cols[j][i] = (col, words[i])
+                    col += words[i]
+            R = col
+            base = self._ctx_tables[0].base
+            for j in range(1, nt):
+                tj = self._ctx_tables[j]
+                dj = parts[j]
+                wide = np.zeros((dj.shape[0], R), np.int32)
+                wide[:, : dj.shape[1]] = dj
+                occ = np.nonzero(dj[:, 2] > 0)[0]
+                for i in range(j):
+                    di = parts[i]
+                    # lower context flat id = suffix of the higher one in
+                    # most-recent-first coordinates
+                    lo = occ % (base ** (i + 1))
+                    c0, nw = dup_cols[j][i]
+                    for r, lor in zip(occ, lo):
+                        sj, lj = int(dj[r, 1]), int(dj[r, 2])
+                        si, li = (
+                            int(di[lor, 1]),
+                            int(di[lor, 2]),
+                        )
+                        if li <= 0 or lj <= 0:
+                            continue
+                        hit = np.isin(
+                            ctoks[i][si : si + li],
+                            ctoks[j][sj : sj + lj],
+                        )
+                        for c in np.nonzero(hit)[0]:
+                            wide[r, c0 + (c >> 5)] |= 1 << (int(c) & 31)
+                parts[j] = wide
+            if R > 4:
+                for j in range(nt):
+                    if parts[j].shape[1] < R:
+                        pad = np.zeros(
+                            (parts[j].shape[0], R), np.int32
+                        )
+                        pad[:, : parts[j].shape[1]] = parts[j]
+                        parts[j] = pad
             cached = self._combined_cache = (
                 np.concatenate(parts, 0),
                 np.concatenate(ctoks, 0),
                 np.concatenate(clps, 0),
                 row_offs,
                 child_offs,
-                [t.max_children for t in self._ctx_tables],
+                s_list,
+                dup_cols,
             )
         return cached
 
@@ -857,9 +916,10 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             # measured ~17 dispatched kernels per decode step, most of them
             # relayout copies around the (B, N-1, ...) intermediates; this
             # form measures fewer with identical results.
-            dense_all, ctok_all, clp_all, row_offs, child_offs, s_list = (
-                combined
-            )
+            (
+                dense_all, ctok_all, clp_all, row_offs, child_offs, s_list,
+                dup_cols,
+            ) = combined
             dense_all = jnp.asarray(dense_all)
             import os as _os
             if _os.environ.get("PYDROBERT_TPU_CHILD_FLAT", "0") == "1":
@@ -879,6 +939,7 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             # direct-indexed dense table itself fits memory)
             idxf = okc = None
             logb_l, start_l, len_l, logz_l, present_l = [], [], [], [], []
+            rows_l, okc_l, idx_l = [], [], []
             for i in range(N - 1):
                 qi = q[i]  # (B,)
                 oki = (qi >= 0) & (qi < base_ix)
@@ -887,9 +948,21 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                     base_ix**i
                 )
                 idxf = t if idxf is None else (idxf + t)
-                rows_i = dense_all[
-                    idxf.astype(jnp.int32) + int(row_offs[i])
-                ]  # (B, 4): one gather per order
+                idx_l.append(idxf.astype(jnp.int32) + int(row_offs[i]))
+                okc_l.append(okc)
+            if _os.environ.get("PYDROBERT_TPU_ROWS_MERGED", "1") == "1":
+                # ONE (N-1, *b, R) gather answers every order: the index
+                # stack rides the ctx input's own (N-1, *b) leading axis,
+                # and the per-order reads below are static major-axis
+                # slices that fuse into their elementwise consumers (the
+                # per-order gathers cost an index-flatten reshape + gather
+                # + output reshape EACH per decode step)
+                rows_all = dense_all[jnp.stack(idx_l, 0)]
+                rows_l = [rows_all[i] for i in range(N - 1)]
+            else:
+                rows_l = [dense_all[ix] for ix in idx_l]
+            for i in range(N - 1):
+                rows_i, okc = rows_l[i], okc_l[i]
                 # out-of-range context tokens must read as not-found (the
                 # probing fallback reports a key mismatch); the all-zeros
                 # default row already encodes "absent", so masking length
@@ -969,26 +1042,38 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 lps = clp_all[pos]  # ONE flat gather
             valid = local_off < spread(len_l)
             val = lps + spread(sfx_l)
-            # higher-order matches override lower ones; only the static
-            # lower-order x strictly-higher-order blocks can collide, so
-            # compare those instead of the full (B, Ctot, Ctot) all-pairs
-            offs = np.concatenate([[0], np.cumsum(s_list)]).astype(int)
-            dup_parts = []
-            for i, s in enumerate(s_list):
-                hi = slice(offs[i + 1], offs[-1])
-                if offs[-1] - offs[i + 1]:
-                    dup_parts.append(
-                        (
-                            (
-                                toks[..., offs[i] : offs[i + 1], None]
-                                == toks[..., None, hi]
-                            )
-                            & valid[..., None, hi]
-                        ).any(-1)
+            # higher-order matches override lower ones: read the shadow
+            # bitmasks baked into the higher orders' (already gathered)
+            # rows at build time — pure fused bit tests, replacing the
+            # (B, s_i, s_j) compare/any chain that cost ~6 relayout/reduce
+            # kernels per decode step
+            shift_c = jnp.asarray((local_off & 31).astype(np.int32))
+            dup = None
+            for j in range(1, N - 1):
+                wsel = np.full((local_off.shape[0],), -1, np.int32)
+                for i in range(j):
+                    blk = slot_order == i
+                    c0 = dup_cols[j][i][0]
+                    wsel[blk] = c0 + (local_off[blk] >> 5)
+                used = sorted(set(int(w) for w in wsel if w >= 0))
+                if not used:
+                    continue
+                wsel_c = jnp.asarray(wsel)
+                acc = jnp.zeros(bshape + (1,), jnp.int32)
+                for colidx in used:
+                    acc = jnp.where(
+                        wsel_c == colidx,
+                        rows_l[j][..., colidx, None],
+                        acc,
                     )
-                else:
-                    dup_parts.append(jnp.zeros(bshape + (s,), bool))
-            valid = valid & ~jnp.concatenate(dup_parts, -1)
+                d = (
+                    (((acc >> shift_c) & 1) != 0)
+                    & (wsel_c >= 0)
+                    & okc_l[j][..., None]
+                )
+                dup = d if dup is None else (dup | d)
+            if dup is not None:
+                valid = valid & ~dup
             bounds = np.concatenate([[0], np.cumsum(s_list)])
             # only the membership-gather decode path consumes logb: the
             # stack is dead code (free) everywhere else

@@ -951,10 +951,11 @@ def _ctc_prefix_search_advance_sparse(
     (reference semantics: ``_decoding.py:636-934`` with fusion
     ``_decoding.py:1113-1135``). Exact up to ties.
 
-    `top_g` is ``(values, indices)`` of top-M ``g``; `am_at` maps token ids
-    ``(N, Q)`` to ``(acoustic probabilities, unigram log-probs clamped at
-    -1e30)`` — both fetched through one shared one-hot; `sparse` is
-    ``sparse_corrections`` output reshaped to ``(N, Kp, ...)`` leading dims.
+    `top_g` is ``(values, indices)`` of top-M ``g``; `am_at` maps
+    ``(ctoks (N, Kp, C), y_last (N, Kp))`` to ``(am_corr, am_last,
+    uni_last)`` via native-shape one-hot contractions (see ``am_sparse``
+    in :class:`CTCPrefixSearch`); `sparse` is ``sparse_corrections``
+    output reshaped to ``(N, Kp, ...)`` leading dims.
     """
     top_vals, top_inds = top_g
     nb_probs_prev, b_probs_prev = (jnp.asarray(p) for p in probs_prev)
@@ -975,30 +976,33 @@ def _ctc_prefix_search_advance_sparse(
     y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
     scal = jnp.exp(beta * (base - logZ))  # (N, Kp)
 
-    # one acoustic+unigram fetch for correction tokens AND last tokens
-    # (both ride one shared one-hot; gathers carry fixed per-op cost)
-    am_all, uni_all = am_at(
-        jnp.concatenate([ctoks.reshape(N, Kp * C), y_prev_last], 1)
-    )
-    am_corr = am_all[:, : Kp * C].reshape(N, Kp, C)
-    am_last = am_all[:, Kp * C:]  # (N, Kp) plain acoustic prob
+    # acoustic probabilities of correction and last tokens on their native
+    # shapes, one one-hot contraction each (the last-token dot also reads
+    # the unigrams via a stacked rhs); `am_at` is `am_sparse` from
+    # :class:`CTCPrefixSearch`
+    am_corr, am_last, uni_last = am_at(ctoks, y_prev_last)
 
     # fused ext prob of beam j's last token under beam k's LM context,
     # p_tm[n, k, j] — needed for absorption; every per-beam "own last
     # token" quantity is its k == j diagonal, so compute it ONCE and read
     # diagonals instead of running a separate (N, Kp, C) block per step
-    uni_last = uni_all[:, Kp * C:]  # (N, Kp)
     if bi is not None:
         # lm(last_j | ctx_k), highest stored order winning: start from the
         # unigram backoff, override with the ONE-GATHER bigram value, then
         # with matches among the short order->=3 correction tail — instead
         # of comparing last_j against all C correction slots (the
         # max_children-wide order-2 lists dominated that block)
-        biq = jnp.take(
+        # ONE bigram-table gather answers BOTH membership queries — the
+        # last-token block (j axis, Kp) and the shared top-M block — the
+        # two separate gathers cost a gather fusion + reshape pair each per
+        # decode step; candidates ride one concatenated axis
+        cand2 = jnp.concatenate([y_prev_last, top_inds], 1)  # (N, Kp + M)
+        big = jnp.take(
             bi,
-            (c1[:, :, None] * V + y_prev_last[:, None, :]).reshape(-1),
+            (c1[:, :, None] * V + cand2[:, None, :]).reshape(-1),
             axis=0,
-        ).reshape(N, Kp, Kp)
+        ).reshape(N, Kp, Kp + M)
+        biq = big[..., :Kp]
         found2 = jnp.isfinite(biq)
         pen2 = logb[..., 1:].sum(-1)  # (N, Kp): backoffs of orders > 2
         lm_tm = jnp.where(
@@ -1007,27 +1011,40 @@ def _ctc_prefix_search_advance_sparse(
             base[:, :, None] + uni_last[:, None, :],
         )
         found_tm = found2
+        shared_in_corr_bi = jnp.isfinite(big[..., Kp:])  # (N, Kp, M)
         if C_hi:
-            m3 = (
-                ctoks[:, :, None, hi0:] == y_prev_last[:, None, :, None]
-            ) & cvalid[:, :, None, hi0:]  # (N, Kp, j, C_hi)
-            any3 = m3.any(3)
+            # the order>=3 correction tails for both blocks ride ONE
+            # compare against the (short) high-order candidate lists too
+            mhi = (
+                ctoks[:, :, None, hi0:] == cand2[:, None, :, None]
+            ) & cvalid[:, :, None, hi0:]  # (N, Kp, Kp + M, C_hi)
+            anyhi = mhi.any(3)
+            any3 = anyhi[..., :Kp]
             lm_tm = jnp.where(
-                any3, jnp.where(m3, cvals[:, :, None, hi0:], 0.0).sum(3),
+                any3,
+                jnp.where(
+                    mhi[..., :Kp, :], cvals[:, :, None, hi0:], 0.0
+                ).sum(3),
                 lm_tm,
             )
             found_tm = found_tm | any3
+            shared_in_corr_bi = shared_in_corr_bi | anyhi[..., Kp:]
     else:
-        # corrected value AND match flag for every (beam k, other-beam last
-        # token j) pair ride ONE HIGHEST-precision contraction over the
+        # corrected value AND match flag for every (beam k, candidate
+        # token) pair ride ONE HIGHEST-precision contraction over the
         # correction axis: the compare+any+masked-sum chain materialized the
         # (N, Kp, j, C) predicate in three different layouts (one relayout
         # copy per consumer per decode step). Exact: dup-masked corrections
         # are unique per context, so at most one nonzero term per dot row.
+        # The candidate axis carries the OTHER-beam last tokens AND the
+        # shared top-M tokens, so the same dot also answers the shared-slot
+        # membership mask (its separate (N, Kp, M, C) compare+any cost a
+        # compare fusion + reduce per decode step).
+        cand2 = jnp.concatenate([y_prev_last, top_inds], 1)  # (N, Kp + M)
         eqf = (
-            (ctoks[:, :, None, :] == y_prev_last[:, None, :, None])
+            (ctoks[:, :, None, :] == cand2[:, None, :, None])
             & cvalid[:, :, None, :]
-        ).astype(jnp.float32)  # (N, Kp, j, C)
+        ).astype(jnp.float32)  # (N, Kp, Kp + M, C)
         packed_cv = jnp.stack(
             [cvals, jnp.ones_like(cvals)], 2
         )  # (N, Kp, 2, C)
@@ -1036,9 +1053,11 @@ def _ctc_prefix_search_advance_sparse(
             eqf,
             packed_cv,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (N, Kp, 2, j): [corrected-value sum, match count]
-        found_tm = got2[:, :, 1] > 0
-        lm_tm = got2[:, :, 0] + jnp.where(
+        )  # (N, Kp, 2, Kp + M): [corrected-value sum, match count]
+        found_all = got2[:, :, 1] > 0
+        found_tm = found_all[..., :Kp]
+        shared_in_corr_bi = found_all[..., Kp:]  # (N, Kp, M)
+        lm_tm = got2[:, :, 0, :Kp] + jnp.where(
             found_tm, 0.0, base[:, :, None] + uni_last[:, None, :]
         )
     p_tm = am_last[:, None, :] * jnp.exp(beta * (lm_tm - logZ[:, :, None]))
@@ -1052,28 +1071,10 @@ def _ctc_prefix_search_advance_sparse(
         shared_is_last, b_probs_prev[:, :, None], tot_probs_prev[:, :, None]
     )
     shared_scores = coeff_sh * scal[:, :, None] * top_vals[:, None, :]
-    if bi is not None:
-        # membership via the bigram table gather + the short high-order
-        # tail, instead of an (N, Kp, M, C) compare against the full
-        # correction lists
-        shared_in_corr = jnp.isfinite(
-            jnp.take(
-                bi,
-                (c1[:, :, None] * V + top_inds[:, None, :]).reshape(-1),
-                axis=0,
-            ).reshape(N, Kp, M)
-        )
-        if C_hi:
-            shared_in_corr = shared_in_corr | (
-                (top_inds[:, None, :, None] == ctoks[:, :, None, hi0:])
-                & cvalid[:, :, None, hi0:]
-            ).any(3)
-    else:
-        shared_in_corr = (
-            (top_inds[:, None, :, None] == ctoks[:, :, None, :])
-            & cvalid[:, :, None, :]
-        ).any(3)  # (N, Kp, M)
-    shared_scores = jnp.where(shared_in_corr, NEG_INF, shared_scores)
+    # membership came from the merged bigram gather + high-order tail
+    # compare (bi path) or rode the candidate axis of the correction
+    # contraction (einsum path) — one op for both blocks either way
+    shared_scores = jnp.where(shared_in_corr_bi, NEG_INF, shared_scores)
 
     # correction slots
     corr_is_last = ctoks == y_prev_last[:, :, None]
@@ -1151,18 +1152,31 @@ def _ctc_prefix_search_advance_sparse(
     slot = next_ind % S
     next_src = next_ind // S
     next_is_nonext = slot == (S - 1)
-    ext_idx = next_src * L + jnp.minimum(slot, L - 1)
     if batch_major:
-        # in-loop form: mask-reduce instead of a gather (see tail docstring)
+        # in-loop form: mask-reduce instead of a gather (see tail
+        # docstring), decomposed over the (src beam, slot) axes so
+        # slot_toks needs no (N, Kp*L) flatten (that reshape retiles —
+        # one standalone copy kernel per decode step)
+        slot_l = jnp.minimum(slot, L - 1)
         next_ext = jnp.where(
-            ext_idx[:, :, None]
-            == jnp.arange(Kp * L, dtype=ext_idx.dtype)[None, None],
-            slot_toks.reshape(N, Kp * L)[:, None, :],
+            (
+                next_src[:, :, None, None]
+                == jnp.arange(Kp, dtype=next_src.dtype)[
+                    None, None, :, None
+                ]
+            )
+            & (
+                slot_l[:, :, None, None]
+                == jnp.arange(L, dtype=slot_l.dtype)[None, None, None]
+            ),
+            slot_toks[:, None],
             0,
-        ).sum(2)
+        ).sum((2, 3))
     else:
         next_ext = jnp.take_along_axis(
-            slot_toks.reshape(N, Kp * L), ext_idx, axis=1
+            slot_toks.reshape(N, Kp * L),
+            next_src * L + jnp.minimum(slot, L - 1),
+            axis=1,
         )
 
     return _ctc_advance_tail(
@@ -1772,6 +1786,47 @@ class CTCPrefixSearch:
             def sparse_at(ctx, Kp):
                 return _sparse_at(lm, ctx)
 
+            def am_sparse(lgts_row, st, ctoks, y_last):
+                """Sparse-path acoustic/unigram fetch on NATIVE shapes:
+                corrections ``(N, Kp, C)`` and last tokens ``(N, Kp)`` get
+                their own one-hot contraction (same HIGHEST-precision
+                bit-exactness argument as :func:`am_row`), and the
+                last-token dot computes acoustic AND unigram values in one
+                pass via a stacked rhs. The previous shared-one-hot form
+                flattened+concatenated the token arrays and sliced the
+                results apart — a reshape/concat/slice chain costing ~4
+                dispatched kernels per decode step on top of the dots.
+                Corrections need no unigram read (their LM values are the
+                stored ``cvals``)."""
+                lgts_row = lgts_row.astype(jnp.float32)
+                lg = jnp.maximum(lgts_row[:, :V], -1e30)
+                ohc = (
+                    jnp.clip(ctoks, 0, V - 1)[..., None]
+                    == iota_vrow[None, None, None]
+                ).astype(jnp.float32)  # (N, Kp, C, V)
+                raw_c = jnp.einsum(
+                    "nkcv,nv->nkc", ohc, lg,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                am_corr = (
+                    jnp.exp(raw_c - st[:, :1, None]) / st[:, 1:, None]
+                )
+                ohl = (
+                    jnp.clip(y_last, 0, V - 1)[..., None]
+                    == iota_vrow[None, None]
+                ).astype(jnp.float32)  # (N, Kp, V)
+                rhs = jnp.stack(
+                    [lg, jnp.broadcast_to(
+                        jnp.maximum(uni_dev, -1e30), lg.shape
+                    )], 1,
+                )  # (N, 2, V)
+                got = jnp.einsum(
+                    "nkv,nsv->nsk", ohl, rhs,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (N, 2, Kp)
+                am_last = jnp.exp(got[:, 0] - st[:, :1]) / st[:, 1:]
+                return am_corr, am_last, got[:, 1]
+
         elif use_uni:
             M = min(V, 2 * W)
             logZ1 = float(np.log(lm._sum_u)) if lm._sum_u > 0 else 0.0
@@ -1811,7 +1866,7 @@ class CTCPrefixSearch:
             in_next0 = prev
             advanced0 = _ctc_prefix_search_advance_sparse(
                 (top_vals[0], top_inds[0]),
-                partial(am_row, logits[0], sm_stats[0]),
+                partial(am_sparse, logits[0], sm_stats[0]),
                 uni_dev,
                 blank_probs[0],
                 beta,
@@ -1946,7 +2001,7 @@ class CTCPrefixSearch:
                     in_next = state
                     advanced = _ctc_prefix_search_advance_sparse(
                         (top_vals_t, top_inds_t),
-                        partial(am_row, lgts_t, st_t),
+                        partial(am_sparse, lgts_t, st_t),
                         uni_dev,
                         blank_t,
                         beta,
