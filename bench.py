@@ -115,35 +115,52 @@ def bench_canary():
     cm, _ = _compile(mm, a)
     mm_ms = _time(cm, a) * 1e3
 
-    # achievable-ceiling probe (VERDICT r3 #3): a pinned bf16 matmul loop
-    # big enough to keep the MXU busy, reported as TFLOP/s from XLA's own
-    # cost analysis over measured time. This is the chip's SAME-RUN
-    # achievable matmul rate — the denominator that makes train_mfu
+    # per-CALL overhead, measured FIRST so the matmul ceiling below can
+    # subtract it: one timed call of a trivial program isolates the
+    # host->device dispatch + device->host sync cost the tunnel charges
+    # every _time rep. Measured ~25 ms (vs ~11 ms of real device work in
+    # the headline decode): workload benches amortize it by iterating
+    # inside one jitted scan (`inner`), and cross-run throughput
+    # comparisons should subtract it (fields below report amortized
+    # values; sync_ms says how much residue remains: sync_ms / inner).
+    tiny = jnp.zeros((8,), jnp.float32)
+    csync, _ = _compile(lambda x: x + 1.0, tiny)
+    sync_ms = _time(csync, tiny, reps=5) * 1e3
+
+    # achievable-ceiling probe (VERDICT r3 #3): the chip's SAME-RUN
+    # achievable bf16 matmul rate — the denominator that makes train_mfu
     # interpretable (is the model wasting the chip, or is the tunnel
-    # throttling it?).
+    # throttling it?). Measured as a TWO-LENGTH DIFFERENCE: the same
+    # pinned 1024^3 matmul scan at 1024 and 3072 iterations, rate =
+    # (3072-1024) iterations' flops over the time DIFFERENCE — the ~25 ms
+    # per-call tunnel sync cancels exactly instead of being estimated and
+    # subtracted (a subtraction overshoot reported 210 TF/s, above the
+    # chip's 197 peak). FLOPs are the STATIC count: XLA's cost_analysis
+    # counts a while/scan body ONCE, not x trip count (verified on this
+    # stack — the r4 driver artifact's 0.083 "TF/s" was one loop
+    # iteration's flops over the whole loop's time), so it must not be
+    # used for loop totals. Measured here: ~175 TF/s of the chip's 197
+    # peak — r3's "tunnel throttles compute to 6-11 TF/s" theory was this
+    # same cost_analysis artifact.
     b16 = jnp.asarray(rng.randn(1024, 1024).astype(np.float32)).astype(
         jnp.bfloat16
     )
 
-    def mm16(b):
-        def step(c, _):
-            return (c @ b) * jnp.bfloat16(1.0 / 32.0), None
+    def mm16_at(iters):
+        def mm16(b):
+            def step(c, _):
+                return (c @ b) * jnp.bfloat16(1.0 / 32.0), None
 
-        out, _ = jax.lax.scan(step, b, None, length=64)
-        return out
+            out, _ = jax.lax.scan(step, b, None, length=iters)
+            return out
 
-    cm16, _ = _compile(mm16, b16)
-    flops16 = 64 * 2 * 1024**3  # 64 iterations of (1024,1024)@(1024,1024)
-    try:
-        ca = cm16.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        if f > 0:
-            flops16 = f
-    except Exception:
-        pass
-    mm16_tflops = flops16 / _time(cm16, b16) / 1e12
+        return _compile(mm16, b16)[0]
+
+    short_it, long_it = 1024, 3072
+    cm_short, cm_long = mm16_at(short_it), mm16_at(long_it)
+    t_short, t_long = _time(cm_short, b16), _time(cm_long, b16)
+    dt16 = max(t_long - t_short, 1e-6)
+    mm16_tflops = (long_it - short_it) * 2 * 1024**3 / dt16 / 1e12
 
     tbl = jnp.asarray(rng.randn(2048, 128).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, 2048, (256,)).astype(np.int32))
@@ -157,17 +174,6 @@ def bench_canary():
 
     cg, _ = _compile(gather_loop, tbl, idx)
     dispatch_us = _time(cg, tbl, idx) / 256 * 1e6
-
-    # per-CALL overhead: one timed call of a trivial program isolates the
-    # host->device dispatch + device->host sync cost the tunnel charges
-    # every _time rep. Measured ~27 ms in r3 (vs ~11 ms of real device
-    # work in the headline decode): workload benches amortize it by
-    # iterating inside one jitted scan (`inner`), and cross-run throughput
-    # comparisons should subtract it (fields below report amortized
-    # values; sync_ms says how much residue remains: sync_ms / inner).
-    tiny = jnp.zeros((8,), jnp.float32)
-    csync, _ = _compile(lambda x: x + 1.0, tiny)
-    sync_ms = _time(csync, tiny, reps=5) * 1e3
     return (
         round(mm_ms, 3),
         round(dispatch_us, 2),
@@ -583,7 +589,11 @@ def bench_train_mfu(inner=4):
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) / inner
+        # cost_analysis counts the iteration scan's body ONCE (verified:
+        # a 64-iter matmul scan reports one iteration's flops), i.e. it
+        # already IS the per-step count — the pre-r4 ``/ inner`` here
+        # understated model TFLOP/s and MFU by exactly ``inner`` (4x).
+        flops = float(ca.get("flops", 0.0))
     except Exception:
         pass
     dt = _time(compiled, *args) / inner
@@ -769,15 +779,39 @@ def _watchdog(deadline_s: float):
 
 
 def _last_recorded_at():
-    """Per-field timestamps from the last_good snapshot (empty if none)."""
+    """Per-field timestamps from the last_good snapshot, falling back to
+    the committed ``BENCH_r*.json`` driver artifacts when the snapshot is
+    absent (``.cache`` is not committed, so a fresh checkout starts every
+    round with no snapshot — without this fallback the rotation forgets
+    which fields the previous rounds' budgets cut and starves the same
+    tail fields forever, the exact failure VERDICT r3 #2 flagged)."""
     try:
         with open(_LAST_GOOD_PATH) as f:
             snap = json.load(f)
-        if "fields" in snap:
-            return dict(snap.get("recorded_at", {}))
+        if "fields" in snap and snap.get("recorded_at"):
+            return dict(snap["recorded_at"])
     except Exception:
         pass
-    return {}
+    rec = {}
+    try:
+        root = os.path.dirname(os.path.abspath(__file__))
+        arts = sorted(
+            f for f in os.listdir(root)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+        )
+        for i, name in enumerate(arts):  # oldest -> newest
+            try:
+                with open(os.path.join(root, name)) as f:
+                    art = json.load(f)
+            except Exception:
+                continue
+            stamp = "%04d-%s" % (i, name)
+            for k, v in art.items():
+                if _good_field(k, v):
+                    rec[k] = stamp
+    except Exception:
+        pass
+    return rec
 
 
 def main():
@@ -791,7 +825,7 @@ def main():
     # every field lands as a this-run measurement eventually. A watchdog
     # guarantees the line even if the device tunnel wedges mid-compile.
     t0 = time.monotonic()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     _watchdog(budget * 1.35)
 
     def within(frac=1.0):

@@ -10,6 +10,7 @@ import math
 import os
 
 __all__ = [
+    "AM_ONEHOT_MAX_ELEMS",
     "DECODE_SCAN_UNROLL",
     "DEFT_ALI_SUBDIR",
     "DEFT_CHUNK_SIZE",
@@ -111,6 +112,20 @@ for dispatch count. ``T - 1`` must not need padding: when ``(T - 1) %
 unroll != 0`` XLA adds a remainder epilogue, which is handled but compiles
 a second body.
 """
+
+AM_ONEHOT_MAX_ELEMS = int(
+    os.environ.get("PYDROBERT_TPU_AM_ONEHOT_MAX_ELEMS", str(1 << 22))
+)
+"""Largest ``N * Q * V`` one-hot the in-loop acoustic fetch materializes.
+
+Decode loops read the acoustic probabilities of ``Q`` candidate tokens per
+batch row each frame. For small ``Q`` a one-hot contraction beats a gather
+on dispatch count (and is bit-exact, one nonzero term per dot row); but
+the one-hot is a real ``(N, Q, V)`` f32 materialization — pure HBM
+traffic. At the fused-decode shape (N=32, Q=384, V=1024) that is ~50 MB
+written+read per frame ≈ ~120 us of a measured ~121 us step, so above
+this element count the fetch switches to gathers (identical values read
+from the same clamped operands — bit-identical results)."""
 
 SPARSE_MEMBERSHIP_GATHER = (
     os.environ.get("PYDROBERT_TPU_SPARSE_MEMBERSHIP_GATHER", "0") == "1"

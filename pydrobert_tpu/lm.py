@@ -842,7 +842,9 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                             ctoks[j][sj : sj + lj],
                         )
                         for c in np.nonzero(hit)[0]:
-                            wide[r, c0 + (c >> 5)] |= 1 << (int(c) & 31)
+                            wide[r, c0 + (c >> 5)] |= np.int32(
+                                np.uint32(1) << np.uint32(int(c) & 31)
+                            )
                 parts[j] = wide
             if R > 4:
                 for j in range(nt):
@@ -900,11 +902,19 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
         and every returned array keeps those batch dims. Decode loops pass
         their native ``(N, beam)`` batch directly: flattening to one axis
         and reshaping the outputs back cost a retile (reshape/copy) kernel
-        per tensor per decode step on TPU."""
+        per tensor per decode step on TPU. ``ctx`` may also be a
+        list/tuple of ``N - 1`` per-order ``(*batch,)`` arrays (most
+        recent first): decode loops that carry contexts as separate
+        arrays then pay no per-step stack/slice on the order axis."""
         N = self.max_ngram
         if N == 1:
             raise RuntimeError("sparse_corrections requires max_ngram > 1")
-        bshape = ctx.shape[1:]
+        ctx_list = isinstance(ctx, (list, tuple))
+        if ctx_list and len(ctx) != N - 1:
+            raise RuntimeError(
+                f"expected {N - 1} per-order context arrays, got {len(ctx)}"
+            )
+        bshape = ctx[0].shape if ctx_list else ctx.shape[1:]
         uni = jnp.asarray(self._uni_logp)
         combined = self._combined_tables()
         if combined is not None:
@@ -932,7 +942,12 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 )
             E = clp_all.shape[0]
             base_ix = self._ctx_tables[0].base
-            q = ctx.astype(jnp.int32)  # (N - 1, B) most recent first
+            # (N - 1, B) most recent first, or per-order list thereof
+            q = (
+                [c.astype(jnp.int32) for c in ctx]
+                if ctx_list
+                else ctx.astype(jnp.int32)
+            )
             # order-n row index = sum_i ctx[i] * base^i over the n-1 most
             # recent context tokens: accumulate the prefix sum across the
             # unrolled loop in exact f32 (values < 2**24 whenever the
@@ -1084,6 +1099,10 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
                 logb_all, bounds,
             )
         else:
+            if ctx_list:
+                # the hash-probing fallback works on the stacked (N-1, *b)
+                # form; per-order lists are a hot-loop-only optimization
+                ctx = jnp.stack(list(ctx), 0)
             if ctx.ndim > 2:
                 # hash-probing fallback stays single-batch-axis; recurse on
                 # the flattened batch and restore the dims (this path has no

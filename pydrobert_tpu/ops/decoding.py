@@ -951,11 +951,10 @@ def _ctc_prefix_search_advance_sparse(
     (reference semantics: ``_decoding.py:636-934`` with fusion
     ``_decoding.py:1113-1135``). Exact up to ties.
 
-    `top_g` is ``(values, indices)`` of top-M ``g``; `am_at` maps
-    ``(ctoks (N, Kp, C), y_last (N, Kp))`` to ``(am_corr, am_last,
-    uni_last)`` via native-shape one-hot contractions (see ``am_sparse``
-    in :class:`CTCPrefixSearch`); `sparse` is ``sparse_corrections``
-    output reshaped to ``(N, Kp, ...)`` leading dims.
+    `top_g` is ``(values, indices)`` of top-M ``g``; `am_at` maps token ids
+    ``(N, Q)`` to ``(acoustic probabilities, unigram log-probs clamped at
+    -1e30)`` — both fetched through one shared one-hot; `sparse` is
+    ``sparse_corrections`` output reshaped to ``(N, Kp, ...)`` leading dims.
     """
     top_vals, top_inds = top_g
     nb_probs_prev, b_probs_prev = (jnp.asarray(p) for p in probs_prev)
@@ -976,16 +975,22 @@ def _ctc_prefix_search_advance_sparse(
     y_prev_last = jnp.clip(jnp.asarray(y_prev_last), 0, V - 1)
     scal = jnp.exp(beta * (base - logZ))  # (N, Kp)
 
-    # acoustic probabilities of correction and last tokens on their native
-    # shapes, one one-hot contraction each (the last-token dot also reads
-    # the unigrams via a stacked rhs); `am_at` is `am_sparse` from
-    # :class:`CTCPrefixSearch`
-    am_corr, am_last, uni_last = am_at(ctoks, y_prev_last)
+    # one acoustic+unigram fetch for correction tokens AND last tokens
+    # (both ride one shared one-hot; a native-shapes split — one dot for
+    # (N, Kp, C) corrections, a stacked-rhs dot for last tokens — was
+    # A/B'd in r4 and measured +2 kernels/step over this packed form)
+    am_all, uni_last = am_at(
+        jnp.concatenate([ctoks.reshape(N, Kp * C), y_prev_last], 1),
+        uni_tail=Kp,
+    )
+    am_corr = am_all[:, : Kp * C].reshape(N, Kp, C)
+    am_last = am_all[:, Kp * C:]  # (N, Kp) plain acoustic prob
 
     # fused ext prob of beam j's last token under beam k's LM context,
     # p_tm[n, k, j] — needed for absorption; every per-beam "own last
     # token" quantity is its k == j diagonal, so compute it ONCE and read
     # diagonals instead of running a separate (N, Kp, C) block per step
+    # (uni_last (N, Kp) came from am_at's uni_tail fast path)
     if bi is not None:
         # lm(last_j | ctx_k), highest stored order winning: start from the
         # unigram backoff, override with the ONE-GATHER bigram value, then
@@ -1031,33 +1036,26 @@ def _ctc_prefix_search_advance_sparse(
             shared_in_corr_bi = shared_in_corr_bi | anyhi[..., Kp:]
     else:
         # corrected value AND match flag for every (beam k, candidate
-        # token) pair ride ONE HIGHEST-precision contraction over the
-        # correction axis: the compare+any+masked-sum chain materialized the
-        # (N, Kp, j, C) predicate in three different layouts (one relayout
-        # copy per consumer per decode step). Exact: dup-masked corrections
-        # are unique per context, so at most one nonzero term per dot row.
-        # The candidate axis carries the OTHER-beam last tokens AND the
-        # shared top-M tokens, so the same dot also answers the shared-slot
-        # membership mask (its separate (N, Kp, M, C) compare+any cost a
-        # compare fusion + reduce per decode step).
+        # token) pair via WHERE-REDUCES over the correction axis: the
+        # (N, Kp, Kp+M, C) predicate is generated inside each reduce's
+        # input fusion and never materialized (the r3 HIGHEST-precision
+        # dot form materialized it as the dot's f32 operand — ~3.3 MB of
+        # HBM write+read per decode step; the pre-r3 compare chain
+        # materialized it in three layouts with relayout copies — the
+        # reduce-input-fusion form does neither). Exact: dup-masked
+        # corrections are unique per context, so at most one nonzero term
+        # per reduction row (x + 0s == x). The candidate axis carries the
+        # OTHER-beam last tokens AND the shared top-M tokens, so the same
+        # predicate also answers the shared-slot membership mask.
         cand2 = jnp.concatenate([y_prev_last, top_inds], 1)  # (N, Kp + M)
-        eqf = (
-            (ctoks[:, :, None, :] == cand2[:, None, :, None])
-            & cvalid[:, :, None, :]
-        ).astype(jnp.float32)  # (N, Kp, Kp + M, C)
-        packed_cv = jnp.stack(
-            [cvals, jnp.ones_like(cvals)], 2
-        )  # (N, Kp, 2, C)
-        got2 = jnp.einsum(
-            "nkjc,nksc->nksj",
-            eqf,
-            packed_cv,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (N, Kp, 2, Kp + M): [corrected-value sum, match count]
-        found_all = got2[:, :, 1] > 0
+        eqm = (
+            ctoks[:, :, None, :] == cand2[:, None, :, None]
+        ) & cvalid[:, :, None, :]  # fuses into both reduces below
+        val_sum = jnp.where(eqm, cvals[:, :, None, :], 0.0).sum(3)
+        found_all = eqm.any(3)  # (N, Kp, Kp + M)
         found_tm = found_all[..., :Kp]
         shared_in_corr_bi = found_all[..., Kp:]  # (N, Kp, M)
-        lm_tm = got2[:, :, 0, :Kp] + jnp.where(
+        lm_tm = val_sum[..., :Kp] + jnp.where(
             found_tm, 0.0, base[:, :, None] + uni_last[:, None, :]
         )
     p_tm = am_last[:, None, :] * jnp.exp(beta * (lm_tm - logZ[:, :, None]))
@@ -1152,31 +1150,21 @@ def _ctc_prefix_search_advance_sparse(
     slot = next_ind % S
     next_src = next_ind // S
     next_is_nonext = slot == (S - 1)
+    ext_idx = next_src * L + jnp.minimum(slot, L - 1)
     if batch_major:
         # in-loop form: mask-reduce instead of a gather (see tail
-        # docstring), decomposed over the (src beam, slot) axes so
-        # slot_toks needs no (N, Kp*L) flatten (that reshape retiles —
-        # one standalone copy kernel per decode step)
-        slot_l = jnp.minimum(slot, L - 1)
+        # docstring). A 2-axis (src, slot) decomposition that avoids the
+        # (N, Kp*L) flatten was A/B'd in r4 and measured +2 kernels/step
+        # (the 4-D predicate splits the fusion); the flat form stays.
         next_ext = jnp.where(
-            (
-                next_src[:, :, None, None]
-                == jnp.arange(Kp, dtype=next_src.dtype)[
-                    None, None, :, None
-                ]
-            )
-            & (
-                slot_l[:, :, None, None]
-                == jnp.arange(L, dtype=slot_l.dtype)[None, None, None]
-            ),
-            slot_toks[:, None],
+            ext_idx[:, :, None]
+            == jnp.arange(Kp * L, dtype=ext_idx.dtype)[None, None],
+            slot_toks.reshape(N, Kp * L)[:, None, :],
             0,
-        ).sum((2, 3))
+        ).sum(2)
     else:
         next_ext = jnp.take_along_axis(
-            slot_toks.reshape(N, Kp * L),
-            next_src * L + jnp.minimum(slot, L - 1),
-            axis=1,
+            slot_toks.reshape(N, Kp * L), ext_idx, axis=1
         )
 
     return _ctc_advance_tail(
@@ -1726,45 +1714,85 @@ class CTCPrefixSearch:
             sm_stats = jnp.stack([sm_max, sm_den], 2)  # (T, N, 2)
             iota_vrow = jnp.arange(V, dtype=jnp.int32)
 
-            def am_row(lgts_row, st, toks):
+            def am_row(lgts_row, st, toks, uni_tail=None):
                 """Acoustic probabilities (and unigram log-probs, when an
                 n-gram LM is fused) of `toks` (N, Q) from the step's
-                streamed logits row (N, V + 1) + softmax stats row (N, 2),
-                via HIGHEST-precision one-hot contractions: a flat
-                ``jnp.take`` here cost an index materialization, a gather
-                kernel, and relayout copies every decode step (gather cost
-                grows superlinearly with index count on TPU), while the
-                one-hot dot is MXU work that fuses. One nonzero term per
-                dot row keeps it bit-exact vs the gather (x + 0 == x); the
-                clamp keeps user-masked -inf logits from turning 0 * -inf
-                into NaN (exp(-1e30 - max) == exp(-inf - max) == 0 either
-                way). The ``exp(x - max) / den`` sequence bit-matches
-                softmax (the Pallas beam kernel's probability inputs), so
-                keep it — ``exp(x - log_norm)`` does not. The unigram read
-                rides the same one-hot as a second dot (a ``jnp.take(uni,
-                toks)`` measured ~7 dispatched kernels per decode step).
-                bf16 rows upcast exactly here (the stream stays bf16).
+                streamed logits row (N, V + 1) + softmax stats row (N, 2).
+                With `uni_tail`, unigrams are computed for only the LAST
+                ``uni_tail`` tokens (returned ``(N, uni_tail)``): the
+                sparse advance needs them at last tokens only, and the
+                all-Q unigram reduction wasted ~12 us/step of VPU time at
+                the fused-decode shape.
+
+                Two formulations, gated on the one-hot's size: for SMALL
+                Q, HIGHEST-precision one-hot contractions (a flat
+                ``jnp.take`` costs an index materialization, a gather
+                kernel, and relayout copies every decode step, while the
+                one-hot dot fuses; bit-exact — one nonzero term per dot
+                row, x + 0 == x). For LARGE Q the one-hot's (N, Q, V)
+                materialization is pure HBM traffic that dominates the
+                step: at the fused-decode shape (N=32, Q=384, V=1024)
+                it is ~50 MB written+read per frame, ~120 us of the
+                measured ~121 us/step — so the fetch switches to gathers
+                (tiny bytes, ~3 extra dispatches), worth ~2x fused
+                throughput. Both read the SAME clamped values, so results
+                are bit-identical (the clamp keeps user-masked -inf
+                logits from turning 0 * -inf into NaN on the dot path and
+                is harmless on the gather path). The ``exp(x - max) /
+                den`` sequence bit-matches softmax (the Pallas beam
+                kernel's probability inputs), so keep it — ``exp(x -
+                log_norm)`` does not. bf16 rows upcast exactly here (the
+                stream stays bf16).
                 """
                 lgts_row = lgts_row.astype(jnp.float32)
-                oh = (
-                    jnp.clip(toks, 0, V - 1)[:, :, None]
-                    == iota_vrow[None, None]
-                ).astype(jnp.float32)
-                raw = jnp.einsum(
-                    "nqv,nv->nq",
-                    oh,
-                    jnp.maximum(lgts_row[:, :V], -1e30),
-                    precision=jax.lax.Precision.HIGHEST,
+                tok_c = jnp.clip(toks, 0, V - 1)
+                lg = jnp.maximum(lgts_row[:, :V], -1e30)
+                big = (
+                    toks.shape[0] * toks.shape[1] * V
+                    > config.AM_ONEHOT_MAX_ELEMS
                 )
+                if big:
+                    # where-reduce: the one-hot is generated INSIDE the
+                    # reduce fusion and never materialized (one kernel,
+                    # HBM traffic = the (N, V) row + outputs). Same
+                    # one-nonzero-term exactness as the dot. A/B'd r4 at
+                    # (N=32, Q=384, V=1024): one-hot dot 121 us/step (the
+                    # 50 MB (N, Q, V) operand write+read IS the step),
+                    # take_along_axis 4.3 us/kernel (this chip charges
+                    # ~85 us per standalone in-loop gather — see the
+                    # canary's gather probe), where-reduce wins.
+                    eq = tok_c[:, :, None] == iota_vrow[None, None]
+                    raw = jnp.where(eq, lg[:, None, :], 0.0).sum(2)
+                else:
+                    oh = (
+                        tok_c[:, :, None] == iota_vrow[None, None]
+                    ).astype(jnp.float32)
+                    raw = jnp.einsum(
+                        "nqv,nv->nq",
+                        oh,
+                        lg,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                 probs = jnp.exp(raw - st[:, :1]) / st[:, 1:]
                 if uni_dev is None:
                     return probs, None
-                uni_raw = jnp.einsum(
-                    "nqv,v->nq",
-                    oh,
-                    jnp.maximum(uni_dev, -1e30),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                uni_cl = jnp.maximum(uni_dev, -1e30)
+                if uni_tail is not None:
+                    eq_t = (
+                        tok_c[:, -uni_tail:, None] == iota_vrow[None, None]
+                    )
+                    uni_raw = jnp.where(
+                        eq_t, uni_cl[None, None], 0.0
+                    ).sum(2)
+                elif big:
+                    uni_raw = jnp.where(eq, uni_cl[None, None], 0.0).sum(2)
+                else:
+                    uni_raw = jnp.einsum(
+                        "nqv,v->nq",
+                        oh,
+                        uni_cl,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                 return probs, uni_raw
 
         # top-M came from the fused prologue above: g = am * exp(beta * uni)
@@ -1785,47 +1813,6 @@ class CTCPrefixSearch:
 
             def sparse_at(ctx, Kp):
                 return _sparse_at(lm, ctx)
-
-            def am_sparse(lgts_row, st, ctoks, y_last):
-                """Sparse-path acoustic/unigram fetch on NATIVE shapes:
-                corrections ``(N, Kp, C)`` and last tokens ``(N, Kp)`` get
-                their own one-hot contraction (same HIGHEST-precision
-                bit-exactness argument as :func:`am_row`), and the
-                last-token dot computes acoustic AND unigram values in one
-                pass via a stacked rhs. The previous shared-one-hot form
-                flattened+concatenated the token arrays and sliced the
-                results apart — a reshape/concat/slice chain costing ~4
-                dispatched kernels per decode step on top of the dots.
-                Corrections need no unigram read (their LM values are the
-                stored ``cvals``)."""
-                lgts_row = lgts_row.astype(jnp.float32)
-                lg = jnp.maximum(lgts_row[:, :V], -1e30)
-                ohc = (
-                    jnp.clip(ctoks, 0, V - 1)[..., None]
-                    == iota_vrow[None, None, None]
-                ).astype(jnp.float32)  # (N, Kp, C, V)
-                raw_c = jnp.einsum(
-                    "nkcv,nv->nkc", ohc, lg,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                am_corr = (
-                    jnp.exp(raw_c - st[:, :1, None]) / st[:, 1:, None]
-                )
-                ohl = (
-                    jnp.clip(y_last, 0, V - 1)[..., None]
-                    == iota_vrow[None, None]
-                ).astype(jnp.float32)  # (N, Kp, V)
-                rhs = jnp.stack(
-                    [lg, jnp.broadcast_to(
-                        jnp.maximum(uni_dev, -1e30), lg.shape
-                    )], 1,
-                )  # (N, 2, V)
-                got = jnp.einsum(
-                    "nkv,nsv->nsk", ohl, rhs,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (N, 2, Kp)
-                am_last = jnp.exp(got[:, 0] - st[:, :1]) / st[:, 1:]
-                return am_corr, am_last, got[:, 1]
 
         elif use_uni:
             M = min(V, 2 * W)
@@ -1866,7 +1853,7 @@ class CTCPrefixSearch:
             in_next0 = prev
             advanced0 = _ctc_prefix_search_advance_sparse(
                 (top_vals[0], top_inds[0]),
-                partial(am_sparse, logits[0], sm_stats[0]),
+                partial(am_row, logits[0], sm_stats[0]),
                 uni_dev,
                 blank_probs[0],
                 beta,
@@ -2001,7 +1988,7 @@ class CTCPrefixSearch:
                     in_next = state
                     advanced = _ctc_prefix_search_advance_sparse(
                         (top_vals_t, top_inds_t),
-                        partial(am_sparse, lgts_t, st_t),
+                        partial(am_row, lgts_t, st_t),
                         uni_dev,
                         blank_t,
                         beta,

@@ -104,6 +104,8 @@ def compiled_stats(fn, *args, **kwargs) -> Dict[str, Any]:
     - ``bytes_accessed``: total bytes read+written per execution (XLA cost
       analysis)
     - ``flops``, ``transcendentals``: arithmetic totals per execution
+      (CAVEAT: XLA counts each while/scan body ONCE, not x trip count —
+      loop-heavy programs report one iteration's arithmetic, not totals)
     - ``loop_kernels``: per-iteration kernel count of the hottest while
       loop — the one with the largest trip count (the decode scan), kernel
       count breaking ties — or 0 if the program has none

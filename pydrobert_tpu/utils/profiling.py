@@ -90,7 +90,9 @@ def profile_program(
     - ``seconds_per_call``: median amortized wall time per execution
     - ``sync_overhead_s``: the per-call overhead that was amortized away
     - ``bytes_accessed`` / ``flops`` / ``transcendentals``: XLA cost
-      analysis of one execution
+      analysis of one execution. CAVEAT: cost analysis counts each
+      while/scan BODY ONCE, not x trip count — for loop-heavy programs
+      these are one iteration's figures, not totals
     - ``loop_kernels`` / ``loop_trip_count``: per-iteration kernel count of
       the hottest while loop (largest trip count), 0 if none — the
       dispatch-bound figure that transfers across chips

@@ -351,6 +351,28 @@ def test_ctc_beam_kernel_interpret_matches_reference_midscale(ref_torch):
             )
 
 
+def test_fused_am_fetch_gather_matches_onehot(monkeypatch):
+    """The in-loop acoustic fetch's two formulations — one-hot contraction
+    (small shapes) and gather (above AM_ONEHOT_MAX_ELEMS, where the
+    (N, Q, V) one-hot materialization is pure HBM traffic) — produce
+    BIT-IDENTICAL search results: both read the same clamped operands."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(23)
+    T, N, V, W = 6, 4, 16, 4
+    logits = rng.randn(T, N, V + 1).astype(np.float32)
+    lens = rng.randint(1, T + 1, (N,))
+    lm = _random_fused_lm(V, 3, seed=5)
+    search = D.CTCPrefixSearch(W, beta=0.5, lm=lm)
+    monkeypatch.setattr(tpu_config, "AM_ONEHOT_MAX_ELEMS", 1 << 40)
+    y1, l1, p1 = (np.asarray(a) for a in search(logits, lens))
+    monkeypatch.setattr(tpu_config, "AM_ONEHOT_MAX_ELEMS", 0)
+    y2, l2, p2 = (np.asarray(a) for a in search(logits, lens))
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_array_equal(p1, p2)
+
+
 @pytest.mark.parametrize("unroll", [2, 3])
 def test_ctc_prefix_search_unroll_invariant(monkeypatch, unroll):
     """DECODE_SCAN_UNROLL must not change results — including factors that

@@ -313,6 +313,57 @@ def test_sparse_corrections_probing_fallback_matches_dense(seeded):
     np.testing.assert_allclose(dl, hl, atol=1e-6)
 
 
+def test_sparse_corrections_dup_shadowing_wide_lists():
+    """Valid correction slots never repeat a token across orders (highest
+    stored order wins), exercised where the build-time shadow bitmasks
+    stretch: a child list wider than 32 (masks span two words) and a
+    4-gram query (three shadow pairs: 2-3, 2-4, 3-4), both through the
+    dense branch and with per-order list contexts."""
+    V = sos = 48
+    uni = {w: (-1.0 - 0.01 * w, -0.5) for w in range(V)}
+    uni[sos] = (float("-inf"), -0.5)
+    # bigram context (1,): 40 children, tokens 0..39 (> 32)
+    bi = {(1, t): (-2.0 - 0.01 * t, -0.3) for t in range(40)}
+    bi[(2, 1)] = (-2.5, -0.35)
+    bi[(3, 2)] = (-2.6, -0.36)
+    # trigram context (2, 1): children straddle both mask words of the
+    # bigram list (0, 5, 31 in word 0; 32, 39 in word 1) + fresh 40
+    tri = {(2, 1, t): (-1.5 - 0.01 * t, -0.2) for t in (0, 5, 31, 32, 39, 40)}
+    tri[(3, 2, 1)] = (-1.0, -0.25)
+    # 4-gram context (3, 2, 1): shadows bigram (7, 33), trigram (5, 40)
+    four = {(3, 2, 1, t): -1.2 - 0.01 * t for t in (7, 33, 5, 40, 41)}
+    lm = LookupLanguageModel(V, sos=sos, prob_dicts=[uni, bi, tri, four])
+    assert lm._combined_tables() is not None
+    # query hist "... 3 2 1": most-recent-first ctx = (1, 2, 3)
+    ctx = jnp.asarray([[1], [2], [3]], jnp.int32)
+    for query in (ctx, [ctx[0], ctx[1], ctx[2]]):
+        base, toks, vals, valid, logZ, logb, bounds = (
+            lm.sparse_corrections_ext(query)
+        )
+        toks_n, valid_n = np.asarray(toks)[0], np.asarray(valid)[0]
+        live = toks_n[valid_n]
+        assert len(live) == len(set(live.tolist())), live
+        # the shadowed lower-order slots are exactly the overlaps
+        b0, b1, b2, b3 = (int(x) for x in bounds[:4])
+        bi_live = set(toks_n[:b1][valid_n[:b1]].tolist())
+        tri_live = set(toks_n[b1:b2][valid_n[b1:b2]].tolist())
+        four_live = set(toks_n[b2:b3][valid_n[b2:b3]].tolist())
+        assert four_live == {7, 33, 5, 40, 41}
+        assert tri_live == {0, 31, 32, 39}  # 5, 40 shadowed by 4-gram
+        assert bi_live == set(range(40)) - {0, 5, 31, 32, 39, 7, 33}
+    # the full distribution still reconstructs calc_idx_log_probs exactly
+    hist = jnp.asarray([[3], [2], [1]], jnp.int32)
+    dense, _ = lm.calc_idx_log_probs(hist, {}, jnp.asarray([3], jnp.int32))
+    recon = np.asarray(base)[:, None] + np.asarray(lm._uni_logp)[None, :]
+    vals_n = np.asarray(vals)[0]
+    for c in range(toks_n.shape[0]):
+        if valid_n[c]:
+            recon[0, toks_n[c]] = vals_n[c]
+    np.testing.assert_allclose(recon, np.asarray(dense), atol=1e-5)
+    lse = np.log(np.exp(np.asarray(dense)).sum(1))
+    np.testing.assert_allclose(np.asarray(logZ), lse, atol=1e-5)
+
+
 @pytest.mark.parametrize("N", [1, 3])
 def test_score_sequences_matches_full(seeded, N):
     """`score_sequences` (probe only the observed token) equals gathering
