@@ -528,30 +528,32 @@ def _chip_peak_tflops() -> float:
     return 0.0
 
 
-def bench_train_mfu(inner=4):
+def bench_train_mfu(inner=4, d_model=512, num_layers=8, B=32):
     """Flagship-model (ConformerCTC, bf16 compute) training-step MFU.
 
     Measures the full step — SpecAugment, forward, CTC loss, backward,
     adamw — and reports steps/s, model TFLOP/s, and the fraction of the
     chip's peak bf16 matmul throughput (MFU). FLOPs come from XLA's own
-    cost analysis of the compiled step, so the number transfers across
-    chips: on a dispatch-throttled dev tunnel the MFU underestimates real
-    hardware, never the reverse.
+    cost analysis of the compiled step (the scan body is counted once =
+    exactly one step, see bench_canary's note), so the number transfers
+    across chips: on a dispatch-throttled dev tunnel the MFU
+    underestimates real hardware, never the reverse.
     """
     import optax
 
     from pydrobert_tpu.models import ConformerConfig, ConformerCTC, make_train_step
     from pydrobert_tpu.ops.img import spec_augment
 
-    # flagship shape d512/L8: measured MFU 0.057 vs 0.031 at d256/L4 on
-    # the same chip/phase — the larger matmuls utilize the MXU better and
-    # the number transfers; d512/L12 at B=16 measured 0.053 (no further
-    # gain). steps/s is not comparable to the pre-r3 d256/L4 rows.
+    # flagship shape d512/L8. The r4 step-time decomposition (BASELINE.md
+    # round-4 notes): ~10.5 ms fwd+bwd+adamw, the rest is dropout-mask
+    # generation + application — threefry keys cost ~27 ms of that alone,
+    # hence the rbg key below.
     cfg = ConformerConfig(
-        vocab_size=1024, num_filts=80, d_model=512, num_layers=8, num_heads=8
+        vocab_size=1024, num_filts=80, d_model=d_model,
+        num_layers=num_layers, num_heads=max(8, d_model // 64),
     )
     model = ConformerCTC(cfg)
-    B, T, U = 32, 1000, 100
+    T, U = 1000, 100
     rng = np.random.RandomState(5)
     feats = jnp.asarray(rng.randn(B, T, cfg.num_filts), jnp.float32)
     feat_lens = jnp.full((B,), T, jnp.int32)
@@ -581,7 +583,9 @@ def bench_train_mfu(inner=4):
         )
         return losses
 
-    key = jax.random.PRNGKey(1)
+    # RBG key: threefry dropout-mask generation alone cost ~27 ms of the
+    # 63 ms step (measured r4, see make_train_step's docstring)
+    key = jax.random.key(1, impl="rbg")
     args = (params, opt_state, key, feats, feat_lens, refs, ref_lens)
     compiled = jax.jit(run).lower(*args).compile()
     flops = 0.0
@@ -902,6 +906,18 @@ def main():
                 train_tflops / ceiling, 3
             )
 
+    def run_train_d1024():
+        # MFU at d1024/L8 (B=16): bigger matmuls raise arithmetic
+        # intensity past the fixed elementwise/RNG floor — measured 0.86
+        # fwd+bwd in the r4 probe; shows the framework, not the model
+        # code, sets the d512 number
+        _, tflops, mfu = _guard(
+            lambda: bench_train_mfu(inner=2, d_model=1024, B=16),
+            (0.0, 0.0, 0.0),
+        )
+        _RESULTS["train_mfu_d1024"] = mfu
+        _RESULTS["train_tflops_d1024"] = tflops
+
     def scalar(field, fn, digits=1):
         def run():
             _RESULTS[field] = round(_guard(fn, 0.0), digits)
@@ -925,6 +941,7 @@ def main():
         ("decode_blankskip_spiky_utt_per_sec",
          scalar("decode_blankskip_spiky_utt_per_sec", bench_ctc_blankskip)),
         ("train_mfu", run_train),
+        ("train_mfu_d1024", run_train_d1024),
         ("transducer_greedy_utt_per_sec",
          scalar("transducer_greedy_utt_per_sec", bench_transducer_greedy)),
         ("seq2seq_mer_step_per_sec",

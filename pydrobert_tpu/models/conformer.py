@@ -50,6 +50,15 @@ class ConformerConfig:
     conv_kernel: int = 15
     subsample_channels: int = 128
     dropout: float = 0.1
+    # attention-WEIGHT dropout, separate from `dropout`: a nonzero rate
+    # forces the (B, H, T', T') attention-probability tensor to be
+    # materialized (and stored for backward) just to mask it — at the
+    # flagship shape that is ~640 MB of HBM traffic per layer per step,
+    # measured as a large fraction of the training step on TPU. Common
+    # conformer recipes regularize with residual/FFN dropout only, so the
+    # default is 0.0; set it explicitly if you want torch-style
+    # attn_dropout == dropout.
+    attn_dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # compute dtype; params stay float32
     # sequence parallelism: a sharding (e.g. NamedSharding(mesh,
     # PartitionSpec("data", "model")) from
@@ -241,7 +250,7 @@ class _MHSA(nn.Module):
         y = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads,
             dtype=cfg.dtype,
-            dropout_rate=cfg.dropout,
+            dropout_rate=cfg.attn_dropout,
             deterministic=deterministic,
             name="attn",
         )(y, y, mask=attn_mask)
@@ -725,6 +734,12 @@ def make_train_step(
     Under ``jax.jit`` with sharded params/batch this is the full multi-chip
     training step: XLA inserts the DP grad psum and TP contraction psums
     from the shardings alone.
+
+    Pass an RBG key (``jax.random.key(seed, impl="rbg")``) on TPU: the
+    default threefry PRNG generates the dropout masks so slowly that it
+    alone cost ~27 ms of a 63 ms flagship training step (measured, r4);
+    rbg generates the same-quality masks at a fraction of that. All
+    pydrobert_tpu entry points accept either key flavor.
     """
     blank_id = model.cfg.vocab_size
     moe = model.cfg.num_experts > 1
