@@ -829,7 +829,7 @@ def main():
     # every field lands as a this-run measurement eventually. A watchdog
     # guarantees the line even if the device tunnel wedges mid-compile.
     t0 = time.monotonic()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
     _watchdog(budget * 1.35)
 
     def within(frac=1.0):
