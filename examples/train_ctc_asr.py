@@ -146,7 +146,9 @@ def main(argv=None):
         os.path.join(args.work_dir, "states"),
     )
     lparams = SpectDataLoaderParams(batch_size=args.batch_size, do_mvn=True)
-    key = jax.random.PRNGKey(tparams.seed)
+    # rbg: threefry dropout-mask generation cost ~27 ms of a 63 ms
+    # flagship step on TPU (see make_train_step's docstring)
+    key = jax.random.key(tparams.seed, impl="rbg")
     params = opt_state = None
     start = controller.get_last_epoch()
     batch_sh = batch_sharding(mesh)
