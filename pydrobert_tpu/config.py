@@ -11,6 +11,7 @@ import os
 
 __all__ = [
     "AM_ONEHOT_MAX_ELEMS",
+    "DECODE_PACK_LOGITS",
     "DECODE_SCAN_UNROLL",
     "DEFT_ALI_SUBDIR",
     "DEFT_CHUNK_SIZE",
@@ -112,6 +113,15 @@ for dispatch count. ``T - 1`` must not need padding: when ``(T - 1) %
 unroll != 0`` XLA adds a remainder epilogue, which is handled but compiles
 a second body.
 """
+
+DECODE_PACK_LOGITS = (
+    os.environ.get("PYDROBERT_TPU_DECODE_PACK_LOGITS", "0") == "1"
+)
+"""Fold the logits stream into the decode scan's single packed xs array.
+
+One dynamic-slice per step instead of two, at the cost of an up-front f32
+copy of the whole (T, N, V+1) logits (and the bf16 stream's bandwidth
+halving). Off by default; A/B measured r4 — see BASELINE.md."""
 
 AM_ONEHOT_MAX_ELEMS = int(
     os.environ.get("PYDROBERT_TPU_AM_ONEHOT_MAX_ELEMS", str(1 << 22))

@@ -1976,7 +1976,11 @@ class CTCPrefixSearch:
                     # the single packed row fuse into their consumers.
                     # Layout: [top_vals (M) | top_inds bits (M) | sm_max |
                     # sm_den | blank | valid].
-                    pack_t, lgts_t = xs
+                    if config.DECODE_PACK_LOGITS:
+                        pack_t = xs
+                        lgts_t = pack_t[:, 2 * M + 4:]
+                    else:
+                        pack_t, lgts_t = xs
                     top_vals_t = pack_t[:, :M]
                     top_inds_t = jax.lax.bitcast_convert_type(
                         pack_t[:, M : 2 * M], jnp.int32
@@ -2139,7 +2143,18 @@ class CTCPrefixSearch:
                     ],
                     2,
                 )  # (T - 1, N, 2M + 4)
-                xs = (pack, logits[1:])
+                if config.DECODE_PACK_LOGITS:
+                    # one xs stream instead of two: the logits row rides
+                    # the same packed array (one dynamic-slice per step
+                    # instead of two; costs an up-front f32 copy of the
+                    # logits and loses the bf16 stream's bandwidth halving
+                    # — A/B-gated, default off)
+                    pack = jnp.concatenate(
+                        [pack, logits[1:].astype(jnp.float32)], 2
+                    )
+                    xs = pack
+                else:
+                    xs = (pack, logits[1:])
             (
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
             ), _ = jax.lax.scan(
