@@ -144,11 +144,12 @@ SPARSE_MEMBERSHIP_GATHER = (
 direct-indexed bigram-table gathers instead of comparing against the
 ``max_children``-wide correction lists, inside the fused CTC decode.
 
-Off by default: on the dev tunnel chip each additional standalone gather
-op in the decode loop costs ~100us regardless of size (measured), while
-the fused compare-reduce blocks it replaces are nearly free; on production
-TPUs with fast gathers the trade flips for LMs with wide correction lists
-(the compare blocks scale with ``max_children``, the gathers don't).
+Off by default: on the dev tunnel chip an additional in-loop gather costs
+~6 us/step at 512 indices up to ~85 us for large ``take_along_axis``
+fetches (r4 microbench, BASELINE.md), while the where-reduce membership
+blocks it replaces fuse and are nearly free; on production TPUs with fast
+gathers the trade flips for LMs with wide correction lists (the reduce
+blocks scale with ``max_children``, the gathers don't).
 """
 
 SPARSE_FUSION_MAX_CORRECTIONS = int(
