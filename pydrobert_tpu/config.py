@@ -129,13 +129,16 @@ AM_ONEHOT_MAX_ELEMS = int(
 """Largest ``N * Q * V`` one-hot the in-loop acoustic fetch materializes.
 
 Decode loops read the acoustic probabilities of ``Q`` candidate tokens per
-batch row each frame. For small ``Q`` a one-hot contraction beats a gather
-on dispatch count (and is bit-exact, one nonzero term per dot row); but
-the one-hot is a real ``(N, Q, V)`` f32 materialization — pure HBM
-traffic. At the fused-decode shape (N=32, Q=384, V=1024) that is ~50 MB
-written+read per frame ≈ ~120 us of a measured ~121 us step, so above
-this element count the fetch switches to gathers (identical values read
-from the same clamped operands — bit-identical results)."""
+batch row each frame. For small ``Q`` a one-hot contraction is the
+measured winner (bit-exact — one nonzero term per dot row). Above this
+element count the fetch switches to a WHERE-REDUCE: the same one-hot
+predicate generated inside the reduce's input fusion and never
+materialized (identical values read from the same clamped operands —
+bit-identical results, pinned by
+``tests/test_decoding.py::test_fused_am_fetch_formulations_bit_equal``).
+A third formulation, ``take_along_axis`` gathers, was A/B'd and LOST on
+the dev chip (~85 us per large in-loop gather — BASELINE.md round-4
+notes); it is NOT what this flag enables."""
 
 SPARSE_MEMBERSHIP_GATHER = (
     os.environ.get("PYDROBERT_TPU_SPARSE_MEMBERSHIP_GATHER", "0") == "1"

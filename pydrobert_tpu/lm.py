@@ -805,46 +805,70 @@ class LookupLanguageModel(MixableSequentialLanguageModel):
             # is shadowed. The decode-step probe then replaces its
             # (B, s_i, s_j) compare/any/relayout chain (measured ~6
             # dispatched kernels per decode step) with fused bit tests on
-            # the rows it already gathers.
+            # the rows it already gathers. Construction is fully
+            # vectorized (one sort-based np.isin per (lower, higher) order
+            # pair over flat (row, token) keys — no per-context Python
+            # loop, so million-context dense LMs build in seconds), and a
+            # row stores only ITS OWN order's pairs: different orders
+            # reuse the same column indices (each gathered row belongs to
+            # exactly one order), keeping the row width at
+            # 4 + max_j sum_{i<j} words[i].
             s_list = [t.max_children for t in self._ctx_tables]
             nt = len(self._ctx_tables)
             words = [max(1, -(-s // 32)) for s in s_list]
             dup_cols = [dict() for _ in range(nt)]
-            col = 4
             for j in range(1, nt):
+                col = 4
                 for i in range(j):
                     dup_cols[j][i] = (col, words[i])
                     col += words[i]
-            R = col
+            R = 4 + (sum(words[: nt - 1]) if nt > 1 else 0)
             base = self._ctx_tables[0].base
+            radix = np.int64(self.vocab_size + 2)
             for j in range(1, nt):
-                tj = self._ctx_tables[j]
                 dj = parts[j]
                 wide = np.zeros((dj.shape[0], R), np.int32)
                 wide[:, : dj.shape[1]] = dj
+                wide_u = wide.view(np.uint32)
                 occ = np.nonzero(dj[:, 2] > 0)[0]
                 for i in range(j):
+                    if not len(occ):
+                        break
                     di = parts[i]
                     # lower context flat id = suffix of the higher one in
                     # most-recent-first coordinates
-                    lo = occ % (base ** (i + 1))
-                    c0, nw = dup_cols[j][i]
-                    for r, lor in zip(occ, lo):
-                        sj, lj = int(dj[r, 1]), int(dj[r, 2])
-                        si, li = (
-                            int(di[lor, 1]),
-                            int(di[lor, 2]),
-                        )
-                        if li <= 0 or lj <= 0:
-                            continue
-                        hit = np.isin(
-                            ctoks[i][si : si + li],
-                            ctoks[j][sj : sj + lj],
-                        )
-                        for c in np.nonzero(hit)[0]:
-                            wide[r, c0 + (c >> 5)] |= np.int32(
-                                np.uint32(1) << np.uint32(int(c) & 31)
-                            )
+                    lor = occ % (base ** (i + 1))
+                    li = di[lor, 2]
+                    sel = li > 0
+                    occ2, lor2 = occ[sel], lor[sel]
+                    if not len(occ2):
+                        continue
+                    li2 = di[lor2, 2].astype(np.int64)
+                    si2 = di[lor2, 1].astype(np.int64)
+                    lj2 = dj[occ2, 2].astype(np.int64)
+                    sj2 = dj[occ2, 1].astype(np.int64)
+                    # flat (pair row, token) keys for both sides
+                    rep = np.repeat(np.arange(len(occ2)), li2)
+                    offs = np.concatenate([[0], np.cumsum(li2)])
+                    slot = np.arange(offs[-1], dtype=np.int64) - offs[rep]
+                    lo_tok = ctoks[i][si2[rep] + slot].astype(np.int64)
+                    key_lo = rep.astype(np.int64) * radix + lo_tok
+                    hrep = np.repeat(np.arange(len(occ2)), lj2)
+                    hoffs = np.concatenate([[0], np.cumsum(lj2)])
+                    hslot = (
+                        np.arange(hoffs[-1], dtype=np.int64) - hoffs[hrep]
+                    )
+                    hi_tok = ctoks[j][sj2[hrep] + hslot].astype(np.int64)
+                    key_hi = hrep.astype(np.int64) * radix + hi_tok
+                    hit = np.isin(key_lo, key_hi)
+                    c0, _ = dup_cols[j][i]
+                    rr = occ2[rep[hit]]
+                    ss = slot[hit]
+                    np.bitwise_or.at(
+                        wide_u,
+                        (rr, c0 + (ss >> 5)),
+                        np.uint32(1) << (ss & 31).astype(np.uint32),
+                    )
                 parts[j] = wide
             if R > 4:
                 for j in range(nt):

@@ -1724,25 +1724,23 @@ class CTCPrefixSearch:
                 all-Q unigram reduction wasted ~12 us/step of VPU time at
                 the fused-decode shape.
 
-                Two formulations, gated on the one-hot's size: for SMALL
-                Q, HIGHEST-precision one-hot contractions (a flat
-                ``jnp.take`` costs an index materialization, a gather
-                kernel, and relayout copies every decode step, while the
-                one-hot dot fuses; bit-exact — one nonzero term per dot
-                row, x + 0 == x). For LARGE Q the one-hot's (N, Q, V)
-                materialization is pure HBM traffic that dominates the
-                step: at the fused-decode shape (N=32, Q=384, V=1024)
-                it is ~50 MB written+read per frame, ~120 us of the
-                measured ~121 us/step — so the fetch switches to gathers
-                (tiny bytes, ~3 extra dispatches), worth ~2x fused
-                throughput. Both read the SAME clamped values, so results
+                Two formulations, gated on the one-hot's size
+                (``config.AM_ONEHOT_MAX_ELEMS``): for SMALL Q,
+                HIGHEST-precision one-hot contractions (bit-exact — one
+                nonzero term per dot row, x + 0 == x). For LARGE Q a
+                WHERE-REDUCE: the same predicate generated inside the
+                reduce's input fusion and never materialized as a dot
+                operand. Both read the SAME clamped values, so results
                 are bit-identical (the clamp keeps user-masked -inf
-                logits from turning 0 * -inf into NaN on the dot path and
-                is harmless on the gather path). The ``exp(x - max) /
-                den`` sequence bit-matches softmax (the Pallas beam
-                kernel's probability inputs), so keep it — ``exp(x -
-                log_norm)`` does not. bf16 rows upcast exactly here (the
-                stream stays bf16).
+                logits from turning 0 * -inf into NaN either way); pinned
+                by ``test_fused_am_fetch_formulations_bit_equal``. The
+                third formulation, ``take_along_axis`` gathers, LOST the
+                r4 on-chip A/B 2.4x (~85 us per large in-loop gather on
+                the dev chip — BASELINE.md round-4 notes) and is not
+                used. The ``exp(x - max) / den`` sequence bit-matches
+                softmax (the Pallas beam kernel's probability inputs), so
+                keep it — ``exp(x - log_norm)`` does not. bf16 rows
+                upcast exactly here (the stream stays bf16).
                 """
                 lgts_row = lgts_row.astype(jnp.float32)
                 tok_c = jnp.clip(toks, 0, V - 1)

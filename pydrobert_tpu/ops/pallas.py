@@ -732,10 +732,25 @@ def ctc_beam_search_pallas(
     W = width
     M = min(V, 2 * W)
     NT = batch_tile if batch_tile is not None else _beam_pick_tile(T, N, V, W)
-    if NT is None or N % NT:
+    # explicit overrides get the same constraints the automatic pick
+    # enforces: positive, divides N, and NT % 8 == 0 when NT < N (Mosaic
+    # rejects non-multiple-of-8 second-minor block sizes) — violating them
+    # here beats dying later inside Mosaic lowering with a block-shape
+    # error (or a ZeroDivisionError on batch_tile=0)
+    if (
+        NT is None
+        or NT <= 0
+        or N % NT
+        or (NT < N and NT % 8)
+    ):
         raise ValueError(
             f"no usable batch tile for T={T} N={N} V={V} W={W}"
-            + (f" (got batch_tile={batch_tile})" if batch_tile else "")
+            + (
+                f" (got batch_tile={batch_tile}; must be positive, divide"
+                " N, and be a multiple of 8 when tiling)"
+                if batch_tile is not None
+                else ""
+            )
         )
     NB = N // NT
     tv, ti = exact_top_k(nonext_probs, M)
@@ -840,7 +855,11 @@ def _beam_pick_tile(T, N, V, W):
 
 
 def ctc_beam_search_vmem_ok(T, N, V, width) -> bool:
-    """Whether the kernel's VMEM residents fit at the automatic tile."""
+    """Whether SOME batch tile makes the whole-loop kernel usable at this
+    shape — both its VMEM residents and its Mosaic compile envelope are
+    tile-shape questions, so this is one predicate with two public names
+    (:func:`ctc_beam_search_compile_ok` is the alias; both delegate to
+    :func:`_beam_pick_tile` so they can never drift apart)."""
     return _beam_pick_tile(T, N, V, width) is not None
 
 
@@ -904,8 +923,13 @@ def _log_deferral(gate: str, key: str) -> None:
 
 
 def _beam_kernel_rev() -> str:
-    """Hash of the kernel-relevant source: cached gate decisions timed a
-    specific kernel implementation, so any edit must re-calibrate."""
+    """Hash of the kernel-relevant source AND the calibration methodology:
+    cached gate decisions timed a specific kernel implementation WITH a
+    specific timing harness, so an edit to either must re-calibrate
+    (round 4's harness overhaul — amortized in-scan timing, fresh
+    function objects, noise rule — changed verdicts while the kernel
+    source, and therefore the old key, stayed identical; stale host
+    caches kept serving the noise-era decisions)."""
     import hashlib
     import inspect
 
@@ -914,7 +938,8 @@ def _beam_kernel_rev() -> str:
         for f in (
             _rank_top_w, _ctc_beam_select, _ctc_beam_apply,
             _ctc_beam_buf_step, _ctc_beam_kernel, ctc_beam_search_pallas,
-            _beam_pick_tile, _beam_tile_envelope_ok,
+            _beam_pick_tile, _beam_tile_envelope_ok, _beam_tile_vmem_ok,
+            _timed_cal, _calibrate_beam_kernel,
         )
     )
     return hashlib.sha1(src.encode()).hexdigest()[:10]
@@ -988,9 +1013,11 @@ def ctc_beam_search_compile_ok(T, N, V, W) -> bool:
     automatic tile (:func:`_beam_pick_tile`) therefore decides
     tractability; outside it the XLA scan path is taken without ever
     attempting the kernel compile. Envelope bounds per body documented at
-    :func:`_beam_tile_envelope_ok`.
+    :func:`_beam_tile_envelope_ok`. Alias of
+    :func:`ctc_beam_search_vmem_ok` (one predicate, two public names —
+    see its note).
     """
-    return _beam_pick_tile(T, N, V, W) is not None
+    return ctc_beam_search_vmem_ok(T, N, V, W)
 
 # child program for deadline-guarded kernel timing in OFFLINE sweeps:
 # compiles + times the FORCED kernel path in its own process so a
@@ -1398,6 +1425,10 @@ def _topm_rev() -> str:
     src += inspect.getsource(_prologue_kernel)
     src += inspect.getsource(_total_order_key)
     src += inspect.getsource(_select_rounds_to_refs)
+    # the calibration methodology is part of the decision's identity too
+    # (see _beam_kernel_rev's note)
+    src += inspect.getsource(_timed_cal)
+    src += inspect.getsource(_calibrate_topm)
     return hashlib.sha1(src.encode()).hexdigest()[:10]
 
 
@@ -1585,7 +1616,10 @@ def calibrate_gates(force: bool = False, beam_shapes=None) -> dict:
         T, N, V, W = (int(x) for x in shape)
         gate = "beam" if i == 0 else f"beam@{_beam_shape_bucket(T, N, V, W)}"
         if not ctc_beam_search_vmem_ok(T, N, V, W):
-            out[gate] = {"skipped": "kernel VMEM budget rejects this shape"}
+            out[gate] = {
+                "skipped": "no usable batch tile (VMEM budget or Mosaic "
+                "compile envelope rejects every tile of this shape)"
+            }
             continue
         key = (
             f"{d.platform}:{kind}:{_beam_kernel_rev()}"

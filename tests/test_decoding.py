@@ -351,11 +351,12 @@ def test_ctc_beam_kernel_interpret_matches_reference_midscale(ref_torch):
             )
 
 
-def test_fused_am_fetch_gather_matches_onehot(monkeypatch):
+def test_fused_am_fetch_formulations_bit_equal(monkeypatch):
     """The in-loop acoustic fetch's two formulations — one-hot contraction
-    (small shapes) and gather (above AM_ONEHOT_MAX_ELEMS, where the
-    (N, Q, V) one-hot materialization is pure HBM traffic) — produce
-    BIT-IDENTICAL search results: both read the same clamped operands."""
+    (small shapes) and where-reduce (above AM_ONEHOT_MAX_ELEMS, the
+    one-hot predicate generated inside the reduce's input fusion, never
+    materialized) — produce BIT-IDENTICAL search results: both read the
+    same clamped operands with one nonzero term per reduction row."""
     from pydrobert_tpu import config as tpu_config
 
     rng = np.random.RandomState(23)
