@@ -40,6 +40,7 @@ __all__ = [
     "SPARSE_FUSION_MAX_CORRECTIONS",
     "SPARSE_MEMBERSHIP_GATHER",
     "TINY",
+    "TOPK_COMPACT_MIN_BATCH",
     "USE_JIT",
     "USE_PALLAS",
     "USE_PALLAS_BEAM",
@@ -122,6 +123,28 @@ DECODE_PACK_LOGITS = (
 One dynamic-slice per step instead of two, at the cost of an up-front f32
 copy of the whole (T, N, V+1) logits (and the bf16 stream's bandwidth
 halving). Off by default; A/B measured r4 — see BASELINE.md."""
+
+TOPK_COMPACT_MIN_BATCH = int(
+    os.environ.get("PYDROBERT_TPU_TOPK_COMPACT_MIN_BATCH", "128")
+)
+"""Batch size at which the factored advance's candidate top-K switches
+from one flat ``lax.top_k`` to the rank-compaction two-stage form.
+
+``lax.top_k`` lowers to a stable bitonic sort whose cost cliffs with the
+padded network width (measured on TPU v5 lite at N=256, in-scan: width
+<= 256 ~ 10.6 us, 304 ~ 24.6, 544 ~ 42.8 — BASELINE.md round-5 notes).
+The factored advance's (N, Kp*(M+2) = 544) candidate row sits past the
+cliff, but its per-beam slots are sorted-by-construction up to <= 3
+irregular values (the repeat-rule coefficient dip, the last-token slot,
+the non-extension slot) and removal holes, so each beam's exact top-K
+compacts with a cumsum + fused compares (no sort), leaving one cheap
+``Kp * K <= 256``-wide merge ``top_k``. Tie order is exactly flat-stable
+(value desc, flat index asc) — pinned against ``lax.top_k`` by
+``tests/test_decoding.py``. Composite sort forms (chunked/two-stage
+``top_k``) were A/B'd and LOST to the flat sort (XLA inserts relayout
+copies at every composition boundary); only the sort-free stage 1 wins.
+At small N the fused elementwise stage is dispatch-bound and the flat
+sort is cheaper (N=32: 6.4 us vs ~15), hence the batch gate."""
 
 AM_ONEHOT_MAX_ELEMS = int(
     os.environ.get("PYDROBERT_TPU_AM_ONEHOT_MAX_ELEMS", str(1 << 22))

@@ -751,6 +751,152 @@ def _ctc_match_info(y_prev_last, y_prev_lens, prev_is_prefix):
     return to_match, ext_is_exact
 
 
+def _topk_candidates_compact(vals3, shared_is_last, removed, K):
+    """Exact top-K over the factored advance's (N, Kp, S) candidates
+    without a wide sort.
+
+    ``lax.top_k`` over the flat (N, Kp*S = 544) row lowers to a stable
+    bitonic sort whose cost cliffs with padded network width (in-scan on
+    TPU v5 lite at N=256: ~10.6 us at width <= 256 vs ~42.8 at 544; see
+    ``config.TOPK_COMPACT_MIN_BATCH``). But each beam's S slots are
+    sorted by construction up to three irregular values: the M shared
+    slots are ``coeff * top_vals`` with ``top_vals`` descending and
+    ``coeff = tot`` constant >= 0 — except the one ``shared_is_last``
+    slot (the repeat-rule dip, ``coeff = b <= tot``) — plus the
+    last-token slot (M) and the non-extension slot (M+1). So each beam's
+    exact top-K is a cumsum compaction of the sorted run plus rank
+    arithmetic for the <= 3 irregular values (all fused elementwise, no
+    sort), and one cheap ``Kp*K <= 256``-wide merge ``top_k`` finishes.
+
+    Tie order is exactly ``lax.top_k``'s flat stable order (value desc,
+    flat index asc): within the sorted run ties sit in slot order, the
+    irregular ranks use lexicographic (value, slot) compares, and the
+    merge sees beams in (k major, per-beam rank minor) order. Pinned
+    bit-exact against the flat form by
+    ``tests/test_decoding.py::test_topk_candidates_compact_exact``.
+
+    REQUIRES the shared slots of ``vals3`` to be ``coeff * v_s`` with
+    ``v_s`` non-increasing and ``coeff >= 0`` constant per beam outside
+    ``shared_is_last`` (true for the in-loop factored advance: the
+    prologue's top-M values are top_k-sorted and masses are
+    non-negative; MASS_PAD beams only exist when ``K < width``, which
+    the caller gates out).
+
+    ``vals3``: final candidate values (removal masks already applied).
+    ``shared_is_last``: (N, Kp, M) dip marker (at most one per beam).
+    ``removed``: (N, Kp, M+1) removal mask over shared + last slots.
+    """
+    N, Kp, S = vals3.shape
+    M = S - 2
+    C = Kp * S
+    # the whole stage-1 works in the FLAT (N, C) layout the wide sort
+    # consumed: a first cut computed ranks on (N, Kp, S)/(N, Kp, M)
+    # tensors and XLA relayout-copied every producer/consumer boundary
+    # (measured +44 us/step of stage-1 kernels at N=256 vs ~20 expected
+    # from isolated probes). Index helpers are numpy constants — folded
+    # into the loop body, zero runtime cost.
+    c_slot = np.arange(C, dtype=np.int32) % S
+    c_in_sh = jnp.asarray(c_slot < M)
+    c_is_L = jnp.asarray(c_slot == M)
+    vflat = vals3.reshape(N, C)
+    rem_flat = jnp.pad(removed, ((0, 0), (0, 0), (0, 1))).reshape(N, C)
+    dip_flat = jnp.pad(shared_is_last, ((0, 0), (0, 0), (0, 2))).reshape(
+        N, C
+    )
+    live = c_in_sh[None] & ~rem_flat & ~dip_flat  # the sorted run R
+    # exclusive within-beam count of run slots before each slot: global
+    # exclusive cumsum minus its value at the beam's first slot
+    excl = jnp.cumsum(live.astype(jnp.int32), -1) - live
+    base = excl[:, ::S]  # (N, Kp) — beam-start values
+    pos_in_run = excl - jnp.broadcast_to(
+        base[:, :, None], (N, Kp, S)
+    ).reshape(N, C)
+    # per-beam irregular values, broadcast flat (broadcast + reshape of
+    # row-major views — shape ops, no data movement)
+    def _flat(per_beam):
+        return jnp.broadcast_to(
+            per_beam[:, :, None], (N, Kp) + (S,)
+        ).reshape(N, C)
+
+    has_dip = shared_is_last.any(-1)  # (N, Kp)
+    d_val = jnp.where(has_dip, jnp.where(
+        shared_is_last, vals3[..., :M], 0.0).sum(-1), NEG_INF)
+    s_d = jnp.where(
+        shared_is_last, jnp.arange(M, dtype=jnp.int32), 0
+    ).sum(-1)
+    L = vals3[..., M]
+    NE = vals3[..., M + 1]
+    d_f, sd_f, L_f, NE_f = _flat(d_val), _flat(s_d), _flat(L), _flat(NE)
+    hd_f = _flat(has_dip)
+    sl_f = jnp.asarray(c_slot)
+    # rank of a run slot = run slots before it (the run is sorted desc
+    # with ties already in slot order) + one lexicographic compare per
+    # irregular value; all elementwise on (N, C)
+    dip_beats = hd_f & (
+        (d_f > vflat) | ((d_f == vflat) & (sd_f < sl_f))
+    )
+    rank_run = pos_in_run + dip_beats + (L_f > vflat) + (NE_f > vflat)
+    # irregular ranks need within-beam counts of run slots that beat
+    # them: flat indicators, then one segment reduce each via the
+    # (N, Kp, S) view's trailing sum
+    def _seg_sum(flag):
+        return flag.reshape(N, Kp, S).sum(-1)
+
+    beats_d = _seg_sum(
+        live & ((vflat > d_f) | ((vflat == d_f) & (sl_f < sd_f)))
+    )
+    rank_d = beats_d + (L > d_val) + (NE > d_val)
+    rank_L = (
+        _seg_sum(live & (vflat >= L_f))
+        + (has_dip & (d_val >= L))
+        + (NE > L)
+    )
+    rank_NE = (
+        _seg_sum(live & (vflat >= NE_f))
+        + (has_dip & (d_val >= NE))
+        + (L >= NE)
+    )
+    big = jnp.int32(S + 2)  # any value >= K excludes a slot
+    rank_all = jnp.where(
+        rem_flat,
+        big,
+        jnp.where(
+            dip_flat,
+            _flat(rank_d),
+            jnp.where(
+                c_in_sh[None],
+                rank_run,
+                jnp.where(c_is_L[None], _flat(rank_L), _flat(rank_NE)),
+            ),
+        ),
+    )
+    # compact ranks < K into per-beam rank-indexed slots (where-reduce:
+    # the one-hot is generated inside the reduce fusion, never
+    # materialized); rank is within-beam so compaction reduces the
+    # (N, Kp, K, S) view over S
+    rank3 = rank_all.reshape(N, Kp, S)
+    r_iota = jnp.arange(K, dtype=jnp.int32)
+    hit = rank3[..., None, :] == r_iota[:, None]  # (N, Kp, K, S)
+    v16 = jnp.where(hit, vals3[..., None, :], 0.0).sum(-1)  # (N, Kp, K)
+    # emit the FLAT candidate index straight from the compaction and
+    # carry it through the merge as a stable-sort PAYLOAD: top_k +
+    # mask-reduce index decode cost ~8.6 us/step at N=256 (the one-hot
+    # compare over (N, K, Kp*K) rode a bad layout); the payload is free.
+    i16 = jnp.where(
+        hit,
+        jnp.asarray(c_slot.reshape(Kp, S))[None, :, None],
+        0,
+    ).sum(-1) + jnp.arange(Kp, dtype=jnp.int32)[None, :, None] * S
+    # ascending stable sort of -v == descending of v with ties in flat
+    # (k major, per-beam rank minor) = flat candidate order. Negation
+    # fuses into the compaction's output.
+    negv, idx = jax.lax.sort_key_val(
+        -v16.reshape(N, Kp * K), i16.reshape(N, Kp * K), dimension=1,
+        is_stable=True,
+    )
+    return -negv[:, :K], idx[:, :K]
+
+
 def ctc_prefix_search_advance_factored(
     top_probs_t: Tuple[jax.Array, jax.Array],
     nonext_probs_t: Optional[jax.Array],
@@ -877,12 +1023,32 @@ def ctc_prefix_search_advance_factored(
     )
     ext_scores = jnp.where(removed, NEG_INF, ext_scores)
 
-    tot_probs_cand = jnp.where(
+    tot_probs_cand3 = jnp.where(
         (jnp.arange(S) < S - 1)[None, None],
         jnp.pad(ext_scores, ((0, 0), (0, 0), (0, 1))),
         (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None],
-    ).reshape(N, Kp * S)
-    sel_vals, next_ind = jax.lax.top_k(tot_probs_cand, K)
+    )  # (N, Kp, S)
+    # candidate selection: above the batch gate, the rank-compaction
+    # two-stage form replaces the flat (N, Kp*S)-wide sort (bit-exact
+    # incl. tie order — see _topk_candidates_compact). The structural
+    # preconditions: in-loop (batch_major), no MASS_PAD beams (K ==
+    # width == Kp and V + 1 >= width), and the merge width Kp*K on the
+    # cheap side of the sort cliff.
+    if (
+        batch_major
+        and K == width
+        and Kp == width
+        and Kp * K <= 256
+        and V + 1 >= width
+        and N >= config.TOPK_COMPACT_MIN_BATCH
+    ):
+        sel_vals, next_ind = _topk_candidates_compact(
+            tot_probs_cand3, shared_is_last, removed, K
+        )
+    else:
+        sel_vals, next_ind = jax.lax.top_k(
+            tot_probs_cand3.reshape(N, Kp * S), K
+        )
 
     slot = next_ind % S
     next_src = next_ind // S

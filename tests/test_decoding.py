@@ -1605,3 +1605,92 @@ def test_count_body_kernels_trip_counts():
     assert trips == [5, 37], bodies
     hot = max(bodies.values(), key=lambda b: (b["trip_count"], b["kernels"]))
     assert hot["trip_count"] == 37
+
+
+def _compact_topk_case(rng, N, Kp, M, quantize=False):
+    """Random (vals3, shared_is_last, removed) satisfying the factored
+    advance's structural invariants (see _topk_candidates_compact)."""
+    if quantize:
+        v = rng.choice([0.0, 0.25, 0.5, 1.0], size=(N, M))
+    else:
+        v = rng.rand(N, M)
+    v = np.sort(v, axis=1)[:, ::-1]  # desc, ties adjacent
+    tot = rng.rand(N, Kp) * np.where(rng.rand(N, Kp) < 0.1, 0.0, 1.0)
+    b = tot * rng.rand(N, Kp)
+    if quantize:
+        b = np.where(rng.rand(N, Kp) < 0.5, tot, b)  # b == tot ties
+    shared = tot[:, :, None] * v[:, None, :]
+    # at most one dip per beam
+    has_dip = rng.rand(N, Kp) < 0.7
+    s_d = rng.randint(0, M, (N, Kp))
+    shared_is_last = np.zeros((N, Kp, M), bool)
+    for n in range(N):
+        for k in range(Kp):
+            if has_dip[n, k]:
+                shared_is_last[n, k, s_d[n, k]] = True
+                shared[n, k, s_d[n, k]] = b[n, k] * v[n, s_d[n, k]]
+    removed = rng.rand(N, Kp, M + 1) < 0.15
+    last = b * rng.rand(N, Kp)
+    last = np.where(rng.rand(N, Kp) < 0.2, -np.inf, last)
+    nonext = rng.rand(N, Kp)
+    if quantize:
+        nonext = rng.choice([0.0, 0.25, 0.5], size=(N, Kp))
+    vals3 = np.concatenate(
+        [shared, last[:, :, None], nonext[:, :, None]], axis=2
+    ).astype(np.float32)
+    ext_mask = np.concatenate(
+        [removed[..., :M], removed[..., M:]], axis=2
+    )
+    vals3[:, :, : M + 1] = np.where(
+        removed, -np.inf, vals3[:, :, : M + 1]
+    )
+    return (
+        jnp.asarray(vals3),
+        jnp.asarray(shared_is_last),
+        jnp.asarray(removed),
+    )
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("trial", range(3))
+def test_topk_candidates_compact_exact(trial, quantize):
+    """The rank-compaction candidate top-K is bit-exact against the flat
+    ``lax.top_k`` — values AND indices, including adversarial value ties
+    (quantized probabilities, b == tot coefficient ties, zero masses,
+    -inf removals)."""
+    rng = np.random.RandomState(31000 + trial)
+    N, Kp, M, K = 8, 16, 32, 16
+    vals3, sil, removed = _compact_topk_case(rng, N, Kp, M, quantize)
+    S = M + 2
+    rv, ri = jax.lax.top_k(vals3.reshape(N, Kp * S), K)
+    cv, ci = jax.jit(D._topk_candidates_compact, static_argnums=3)(
+        vals3, sil, removed, K
+    )
+    np.testing.assert_array_equal(np.asarray(rv), np.asarray(cv))
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(ci))
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_ctc_prefix_search_topk_compact_invariant(trial, monkeypatch):
+    """End-to-end: the batch-gated compact selection leaves the full
+    no-LM search's outputs bit-identical (same tokens, lengths, masses)."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(31100 + trial)
+    T, N, V, W = 12, 4, 50, 16
+    logits = jnp.asarray(rng.randn(T, N, V + 1).astype(np.float32))
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)).astype(np.int32))
+    search = D.CTCPrefixSearch(W)
+    monkeypatch.setattr(tpu_config, "TOPK_COMPACT_MIN_BATCH", 10**9)
+    y0, l0, p0 = jax.jit(search)(logits, lens)
+    monkeypatch.setattr(tpu_config, "TOPK_COMPACT_MIN_BATCH", 1)
+    y1, l1, p1 = jax.jit(search)(logits, lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    yl = np.asarray(l0)
+    y0, y1 = np.asarray(y0), np.asarray(y1)
+    for n in range(N):
+        for w in range(W):
+            np.testing.assert_array_equal(
+                y0[: yl[n, w], n, w], y1[: yl[n, w], n, w]
+            )
