@@ -11,6 +11,7 @@ import os
 
 __all__ = [
     "AM_ONEHOT_MAX_ELEMS",
+    "DECODE_BUF_F16",
     "DECODE_PACK_LOGITS",
     "DECODE_SCAN_UNROLL",
     "DEFT_ALI_SUBDIR",
@@ -123,6 +124,22 @@ DECODE_PACK_LOGITS = (
 One dynamic-slice per step instead of two, at the cost of an up-front f32
 copy of the whole (T, N, V+1) logits (and the bf16 stream's bandwidth
 halving). Off by default; A/B measured r4 — see BASELINE.md."""
+
+DECODE_BUF_F16 = (
+    os.environ.get("PYDROBERT_TPU_DECODE_BUF_F16", "1") != "0"
+)
+"""Carry the in-loop decode path buffer as float16 when exact.
+
+The batch-major (N, W, T) buffer is permuted (one-hot dot), written, and
+re-read (row interrogation) every decode step — the largest per-step HBM
+traffic at serving batch sizes (~33 MB/step f32 at B=256; the permute
+fusion alone measured 20.3 us/step, at the f32 bandwidth floor). Token
+ids are small integers, exact in float16 up to 2048, so for vocabularies
+``V <= 2048`` the buffer halves to f16 and the dots upcast exactly
+(results bit-identical; pinned by
+``tests/test_decoding.py::test_ctc_prefix_search_buf_f16_invariant``).
+Disable to force the f32 carry; vocabularies past 2048 use f32 always.
+"""
 
 TOPK_COMPACT_MIN_BATCH = int(
     os.environ.get("PYDROBERT_TPU_TOPK_COMPACT_MIN_BATCH", "128")

@@ -1546,22 +1546,34 @@ def _ctc_advance_tail(
             y_prev,
             precision=jax.lax.Precision.HIGHEST,
         )  # (N, K', T), f32
+        # fold the new-token write into the permute's epilogue and read
+        # the POST-write buffer for the row interrogation: next_to_match
+        # is defined on the NEW buffer (y_next[p_k, n, k']), and the
+        # where(p == q, next_ext, old) correction the pre-write read
+        # needed IS the post-write value — so the pre-write columns never
+        # materialize (one (N, K, T) pass saved per step) and the second
+        # dot reads the carry itself. Emitted in the carry's dtype
+        # (float16 when the caller enables it: token ids < 2048 are
+        # exact; the dot upcasts exactly).
+        pos = q if valid is None else jnp.where(valid, q, tm1)
+        wmask = (
+            jnp.arange(tm1, dtype=pos.dtype)[None, None] == pos[:, :, None]
+        )
+        y_new = jnp.where(
+            wmask, next_ext[:, :, None].astype(jnp.float32), cols
+        ).astype(y_prev.dtype)
         oh_p = (
             p[:, :, None] == jnp.arange(tm1, dtype=p.dtype)[None, None]
         ).astype(jnp.float32)  # (N, K, T); rows past tm1 reduce to 0
-        old_val = jnp.einsum(
+        next_to_match = jnp.einsum(
             "nkt,njt->nkj",
             oh_p,
-            cols,
+            y_new,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (N, K, K')
+        )  # (N, K, K') = y_next[n, k', p_k]
         next_ext_f = next_ext.astype(jnp.float32)
-        next_to_match = jnp.where(
-            p[:, :, None] == q[:, None, :],
-            next_ext_f[:, None, :],
-            old_val,
-        )
         next_ext_matches = next_to_match == next_ext_f[:, :, None]
+        cols = y_new
     else:
         if tm1:
             # out[n,k,k'] = y_prev[p_k, n, src_k'] via a streaming column
@@ -2076,11 +2088,18 @@ class CTCPrefixSearch:
         state = fuse_state(prev, in_next0, next_src, next_is_nonext, 1)
         # (int16 tokens were measured neutral-to-slower here: relayouts)
         if stream_buf:
-            # build the scan's batch-major f32 buffer directly: seeding it
-            # by transposing a time-major buffer bequeaths a transposed
+            # build the scan's batch-major float buffer directly: seeding
+            # it by transposing a time-major buffer bequeaths a transposed
             # carry layout that costs a whole-buffer relayout copy every
-            # scan step (the per-step dot emits row-major)
-            zeros_nt = jnp.zeros((N, W, T), jnp.float32)
+            # scan step (the per-step dot emits row-major). float16 when
+            # token ids are exact in it (halves the largest per-step HBM
+            # traffic; see config.DECODE_BUF_F16)
+            buf_dtype = (
+                jnp.float16
+                if config.DECODE_BUF_F16 and V <= 2048
+                else jnp.float32
+            )
+            zeros_nt = jnp.zeros((N, W, T), buf_dtype)
             y_buf = _apply_advance_to_buffer_nt(
                 prefix_lens0, next_ext0, jnp.ones((N, 1), bool), zeros_nt,
             )
@@ -2222,9 +2241,9 @@ class CTCPrefixSearch:
                 # reorder/extend the path buffer in place (identity for
                 # frozen batch rows) instead of rewriting it wholesale
                 if stream_buf:
-                    y_buf = _apply_advance_to_buffer_nt(
-                        prefix_lens, next_ext, valid_mask, cols
-                    )
+                    # the batch-major tail already folded the token write
+                    # into the permute's epilogue (post-write read)
+                    y_buf = cols
                 else:
                     y_buf = _apply_advance_to_buffer(
                         y_buf, prefix_lens, next_src, next_ext, valid_mask,

@@ -1694,3 +1694,29 @@ def test_ctc_prefix_search_topk_compact_invariant(trial, monkeypatch):
             np.testing.assert_array_equal(
                 y0[: yl[n, w], n, w], y1[: yl[n, w], n, w]
             )
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_ctc_prefix_search_buf_f16_invariant(trial, monkeypatch):
+    """The float16 path-buffer carry is bit-exact vs float32 (token ids
+    < 2048 are exact in f16; the permute/interrogation dots upcast)."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(31200 + trial)
+    T, N, V, W = 14, 3, 60, 8
+    logits = jnp.asarray(rng.randn(T, N, V + 1).astype(np.float32))
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)).astype(np.int32))
+    search = D.CTCPrefixSearch(W)
+    monkeypatch.setattr(tpu_config, "DECODE_BUF_F16", False)
+    y0, l0, p0 = jax.jit(search)(logits, lens)
+    monkeypatch.setattr(tpu_config, "DECODE_BUF_F16", True)
+    y1, l1, p1 = jax.jit(search)(logits, lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    yl = np.asarray(l0)
+    y0, y1 = np.asarray(y0), np.asarray(y1)
+    for n in range(N):
+        for w in range(W):
+            np.testing.assert_array_equal(
+                y0[: yl[n, w], n, w], y1[: yl[n, w], n, w]
+            )
