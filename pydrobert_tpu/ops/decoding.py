@@ -887,12 +887,17 @@ def _topk_candidates_compact(vals3, shared_is_last, removed, K):
         jnp.asarray(c_slot.reshape(Kp, S))[None, :, None],
         0,
     ).sum(-1) + jnp.arange(Kp, dtype=jnp.int32)[None, :, None] * S
-    # ascending stable sort of -v == descending of v with ties in flat
-    # (k major, per-beam rank minor) = flat candidate order. Negation
-    # fuses into the compaction's output.
-    negv, idx = jax.lax.sort_key_val(
-        -v16.reshape(N, Kp * K), i16.reshape(N, Kp * K), dimension=1,
-        is_stable=True,
+    # ascending sort of (-v, flat_idx) as a TWO-KEY unstable sort ==
+    # descending of v with ties in flat candidate order: identical to a
+    # stable single-key sort, but XLA's stable lowering appends a hidden
+    # iota tie-breaker operand (a third (N, 256) array through the sort —
+    # measured 11.2 vs 7.6 us/step); the flat index IS the tie-breaker,
+    # so make it a key instead. Negation fuses into the compaction.
+    negv, idx = jax.lax.sort(
+        (-v16.reshape(N, Kp * K), i16.reshape(N, Kp * K)),
+        dimension=1,
+        is_stable=False,
+        num_keys=2,
     )
     return -negv[:, :K], idx[:, :K]
 

@@ -1325,7 +1325,10 @@ def _select_rounds_to_refs(key, iota, M, vals_ref, idx_ref):
         i = jnp.where(hit, iota, key.shape[1]).min(1)
         key_cols.append(k[:, None])
         idx_cols.append(i[:, None])
-        key = jnp.where(hit & (iota == i[:, None]), _KEY_MIN, key)
+        # (iota == i) alone uniquely identifies the winner lane — the
+        # previous `hit &` conjunction re-read the full-width hit mask
+        # for nothing (~1 of 6 full-width passes per round)
+        key = jnp.where(iota == i[:, None], _KEY_MIN, key)
     keys = jnp.concatenate(key_cols, 1)  # (RB, M)
     vals_ref[:, :M] = jax.lax.bitcast_convert_type(
         jnp.where(keys >= 0, keys, keys ^ _KEY_FLIP), jnp.float32
@@ -1700,9 +1703,12 @@ def decode_prologue_pallas(
         raise ValueError(f"m must be in [1, {V}], got {m}")
     R = T * N
     x2 = logits.reshape(R, Vp1)
-    Lp = -(-Vp1 // 128) * 128
-    if Lp != Vp1:
-        x2 = jnp.pad(x2, ((0, 0), (0, Lp - Vp1)))
+    # NO lane pad to a 128 multiple: Mosaic masks partial minor tiles
+    # itself, while an explicit jnp.pad materializes a full padded copy
+    # of the biggest tensor in the decode through HBM (590 MB / ~1.75 ms
+    # per decode at the B=256 serving shape, measured r5). The kernel
+    # masks lanes > V, so whatever the masked loads carry is inert.
+    Lp = Vp1
     if g_bias is None:
         bias = jnp.zeros((1, Lp), jnp.float32)
     else:
