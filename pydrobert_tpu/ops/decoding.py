@@ -1012,15 +1012,52 @@ def ctc_prefix_search_advance_factored(
     # pad/where chain stays elementwise and fuses into one loop fusion.
     # Slot map (unchanged): [0, M) shared top-M | M last token | M+1 nonext.
     is_shared = (jnp.arange(M + 1) < M)[None, None]  # (1, 1, M + 1)
-    cand_v = jnp.where(
-        is_shared,
-        jnp.pad(top_inds, ((0, 0), (0, 1)))[:, None],
-        y_prev_last[:, :, None],
-    )  # (N, Kp, M + 1)
-    removed = (
-        ext_is_exact[:, :, None, :]
-        & (cand_v[:, :, :, None] == to_match[:, :, None, :])
-    ).any(-1)
+    # removed[n, k, s] = any_j exact[n, k, j] & (cand_v[n, k, s] ==
+    # last[n, j]). The candidate token of every SHARED slot is
+    # k-independent (top_inds[n, s]), so the match predicate factors out
+    # of k and the reduction over j is a batched (Kp x Kp) @ (Kp x M+1)
+    # dot on 0/1 operands (exact: counts < 2^24) — the direct 4-D
+    # (N, Kp, M+1, Kp) compare+any reduce measured 3.6 us/step at B=32
+    # (latency-bound at these minor-dim sizes); the MXU form ~0.5.
+    # slot M's candidate token IS y_prev_last[n, k] (k-dependent), so it
+    # is handled separately; the shared columns' reduction over j is
+    # either a batched 0/1 dot (MXU; exact, counts < 2^24) or the direct
+    # compare+any reduce — measured on TPU v5 lite: the dot wins at
+    # small N (B=32: 0.5 vs 3.6 us/step — the 4-D reduce is
+    # latency-bound at these minor-dim sizes) and LOSES at large N
+    # (B=256: the dot's operand relayouts cost ~23 us/step); gate on the
+    # same batch threshold as the compact top-K.
+    cand_shared = jnp.pad(top_inds, ((0, 0), (0, 1)))  # (N, M+1)
+    if N < config.TOPK_COMPACT_MIN_BATCH:
+        match_f = (
+            cand_shared[:, :, None] == y_prev_last[:, None, :]
+        ).astype(jnp.float32)  # (N, M+1, Kp)
+        removed_sh = (
+            jnp.einsum(
+                "nkj,nsj->nks",
+                ext_is_exact.astype(jnp.float32),
+                match_f,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            > 0
+        )  # (N, Kp, M+1); its column M is recomputed below
+        removed_last = (
+            ext_is_exact
+            & (y_prev_last[:, :, None] == y_prev_last[:, None, :])
+        ).any(-1)  # (N, Kp)
+        removed = jnp.where(
+            is_shared, removed_sh, removed_last[:, :, None]
+        )
+    else:
+        cand_v = jnp.where(
+            is_shared,
+            cand_shared[:, None],
+            y_prev_last[:, :, None],
+        )  # (N, Kp, M + 1)
+        removed = (
+            ext_is_exact[:, :, None, :]
+            & (cand_v[:, :, :, None] == to_match[:, :, None, :])
+        ).any(-1)
     ext_scores = jnp.where(
         is_shared,
         jnp.pad(shared_scores, ((0, 0), (0, 0), (0, 1))),
