@@ -263,8 +263,11 @@ def _bench_search(search, B, T, V, seed, reps=3, inner=1):
     def run(logits, lens):
         def step(carry, _):
             y, y_lens, y_probs = search(carry, lens)
-            # fold outputs back in so iterations can't be elided
-            return carry + y_probs.sum() * 1e-9, y_lens
+            # fold outputs back in so iterations can't be elided or
+            # CSE'd; a single-element in-place update (not a full-tensor
+            # add — that materialized a logits-sized add per iteration,
+            # ~1.8 ms/decode of pure harness overhead at B=256)
+            return carry.at[0, 0, 0].add(y_probs.sum() * 1e-9), y_lens
         out, y_lens = jax.lax.scan(step, logits, None, length=inner)
         return out, y_lens
 
@@ -306,7 +309,12 @@ def bench_ctc_beam16_bf16_bs256():
     def run(lg, lens):
         def step(carry, _):
             y, y_lens, y_probs = search(carry, lens)
-            return carry + (y_probs.sum() * 1e-9).astype(carry.dtype), y_lens
+            return (
+                carry.at[0, 0, 0].add(
+                    (y_probs.sum() * 1e-9).astype(carry.dtype)
+                ),
+                y_lens,
+            )
         out, y_lens = jax.lax.scan(step, lg, None, length=inner)
         return out, y_lens
 
@@ -343,7 +351,7 @@ def bench_ctc_blankskip(B=256, T=500, V=1024, max_frames=128):
                 carry, lens, threshold=0.99, max_frames=max_frames
             )
             y, y_lens, y_probs = search(clg, clens)
-            return carry + y_probs.sum() * 1e-9, y_lens
+            return carry.at[0, 0, 0].add(y_probs.sum() * 1e-9), y_lens
         out, y_lens = jax.lax.scan(step, lg, None, length=inner)
         return out, y_lens
 
@@ -370,7 +378,7 @@ def bench_ctc_greedy_wer(B=32, T=500, V=1024):
             S = y.shape[0]
             y = jnp.where(jnp.arange(S)[:, None] < y_lens[None], y, -1)
             er = error_rate(refs, y, eos=-1, norm=False)
-            return carry + er.sum() * 1e-9, y_lens
+            return carry.at[0, 0, 0].add(er.sum() * 1e-9), y_lens
         out, y_lens = jax.lax.scan(step, logits, None, length=inner)
         return out, y_lens
 

@@ -2205,7 +2205,16 @@ class CTCPrefixSearch:
                         pack_t = xs
                         lgts_t = pack_t[:, 2 * M + 4:]
                     else:
-                        pack_t, lgts_t = xs
+                        # the logits frame is dynamic-sliced from the
+                        # loop-INVARIANT logits instead of streaming a
+                        # ``logits[1:]`` xs: building that xs copies the
+                        # whole (T, N, V+1) tensor per decode (513 MB /
+                        # ~1.75 ms at the B=256 serving shape) just to
+                        # drop row 0
+                        pack_t, t = xs
+                        lgts_t = jax.lax.dynamic_slice_in_dim(
+                            logits, t, 1, 0
+                        )[0]
                     top_vals_t = pack_t[:, :M]
                     top_inds_t = jax.lax.bitcast_convert_type(
                         pack_t[:, M : 2 * M], jnp.int32
@@ -2347,12 +2356,13 @@ class CTCPrefixSearch:
                     jnp.arange(1, T, dtype=jnp.int32),
                 )
             else:
-                # the raw logits stream through the scan (sliced views, no
-                # copy): the advance reads its per-token acoustic values
-                # straight off the frame via the shared one-hot. Everything
-                # else is packed into one f32 xs array (see step); the
-                # valid mask is precomputed as a lane so the step needs no
-                # iteration counter at all.
+                # the advance reads its per-token acoustic values straight
+                # off the frame via the shared one-hot; the step
+                # dynamic-slices each frame from the loop-INVARIANT logits
+                # (an xs stream of logits[1:] copied the whole (T, N, V+1)
+                # tensor per decode just to drop row 0). Everything else is
+                # packed into one f32 xs array plus the frame counter (see
+                # step); the valid mask is precomputed as a lane.
                 validf = (
                     jnp.arange(1, T)[:, None] < lens[None]
                 ).astype(jnp.float32)
@@ -2379,7 +2389,7 @@ class CTCPrefixSearch:
                     )
                     xs = pack
                 else:
-                    xs = (pack, logits[1:])
+                    xs = (pack, jnp.arange(1, T, dtype=jnp.int32))
             (
                 y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
             ), _ = jax.lax.scan(

@@ -1343,6 +1343,19 @@ def _select_rounds_to_refs(key, iota, M, vals_ref, idx_ref):
         )
 
 
+def _pick_block_rows(R: int, cap: int) -> int:
+    """Row-block size for the selection kernels: the largest multiple of
+    8 <= cap that DIVIDES R when one exists >= 64 — a non-dividing block
+    forces a row pad that materializes a full copy of the padded input
+    through HBM (66 MB per decode at the B=32 headline shape, measured
+    r5); otherwise the old cap-and-pad choice."""
+    cap = min(cap, max(8, -(-R // 8) * 8))
+    for rb in range(cap, 63, -8):
+        if R % rb == 0:
+            return rb
+    return cap
+
+
 def _topm_kernel(x_ref, vals_ref, idx_ref, *, M, V):
     # bf16 inputs stream from HBM in bf16 (half the bytes of the kernel's
     # one full-width read) and upcast here, VMEM-resident and exact
@@ -1382,7 +1395,7 @@ def top_m_pallas(
     Vp = -(-V // 128) * 128
     if Vp != V:
         x2 = jnp.pad(x2, ((0, 0), (0, Vp - V)))
-    RB = min(block_rows, max(8, -(-R // 8) * 8))
+    RB = _pick_block_rows(R, block_rows)
     pad_r = (-R) % RB
     if pad_r:
         x2 = jnp.pad(x2, ((0, pad_r), (0, 0)))
@@ -1716,7 +1729,7 @@ def decode_prologue_pallas(
             jnp.asarray(g_bias, jnp.float32).reshape(1, V),
             ((0, 0), (0, Lp - V)),
         )
-    RB = min(block_rows, max(8, -(-R // 8) * 8))
+    RB = _pick_block_rows(R, block_rows)
     pad_r = (-R) % RB
     if pad_r:
         x2 = jnp.pad(x2, ((0, pad_r), (0, 0)))
