@@ -13,6 +13,7 @@ __all__ = [
     "AM_ONEHOT_MAX_ELEMS",
     "DECODE_BUF_F16",
     "DECODE_PACK_LOGITS",
+    "DECODE_RENORM",
     "DECODE_SCAN_UNROLL",
     "DEFT_ALI_SUBDIR",
     "DEFT_CHUNK_SIZE",
@@ -124,6 +125,29 @@ DECODE_PACK_LOGITS = (
 One dynamic-slice per step instead of two, at the cost of an up-front f32
 copy of the whole (T, N, V+1) logits (and the bf16 stream's bandwidth
 halving). Off by default; A/B measured r4 — see BASELINE.md."""
+
+DECODE_RENORM = (
+    os.environ.get("PYDROBERT_TPU_DECODE_RENORM", "1") != "0"
+)
+"""Per-frame power-of-two renormalization of the CTC beam masses.
+
+The reference carries prefix masses in linear f32
+(``_decoding.py:636-934``); with diffuse acoustics they decay
+multiplicatively and reach f32 denormal range by ~frame 45 at V=256 —
+where torch (keeps denormals) limps to ~frame 56 and then flushes to
+exactly zero, after which its beam selection is arbitrary. XLA:TPU
+flushes denormals immediately, so long high-entropy utterances silently
+diverge. With this flag each scan step rescales every beam's masses by
+``2**-e`` where ``e`` is the exponent of the batch row's best total
+mass, carrying ``e`` in an int32 accumulator, and the final probabilities
+apply ``ldexp`` once. Scaling by a power of two is EXACT in floating
+point: every candidate product/sum/comparison is bit-identical to the
+unrenormalized trajectory wherever that trajectory stays in normal
+range, and where it would underflow the renormalized one keeps full
+precision (pinned by
+``tests/test_decoding.py::test_ctc_prefix_search_renorm_invariant`` and
+the T=200 diffuse-logits parity test vs the float64 reference oracle).
+"""
 
 DECODE_BUF_F16 = (
     os.environ.get("PYDROBERT_TPU_DECODE_BUF_F16", "1") != "0"

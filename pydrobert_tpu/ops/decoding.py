@@ -2188,9 +2188,15 @@ class CTCPrefixSearch:
         else:
             ctx = jnp.zeros((0,), jnp.int32)
 
+        # int32 accumulator of the power-of-two mass rescales (see
+        # config.DECODE_RENORM); exp(ls * ln2) folds back in once at the end
+        ls = jnp.zeros((N,), jnp.int32)
+
         if T > 1:
             def step(carry, xs):
-                y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx = carry
+                y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx, ls = (
+                    carry
+                )
                 if use_lm and not use_sparse and not use_uni:
                     nonext_t, blank_t, t = xs
                     valid_mask = (t < lens)[:, None]  # (N, 1)
@@ -2303,6 +2309,31 @@ class CTCPrefixSearch:
                 y_lens = jnp.where(valid_mask, y_next_lens, y_lens)
                 nb = jnp.where(valid_mask, nb_next, nb)
                 b = jnp.where(valid_mask, b_next, b)
+                if config.DECODE_RENORM:
+                    # power-of-two mass renormalization (exact — see
+                    # config.DECODE_RENORM): rescale the row's beams by
+                    # 2**-e, e the exponent of beam 0's total mass, and
+                    # accumulate e. Beams come out of the advance sorted
+                    # by candidate score, so beam 0's post-absorption
+                    # total is within a factor W+1 of the row max — close
+                    # enough for exponent extraction, and reading it is a
+                    # slice, not a reduce. Frozen rows converge to e == 0
+                    # after one rescale. The maximum() re-clamps
+                    # dummy-beam masses so scaling can never push them to
+                    # -inf; the e >= -126 clamp keeps the factor finite
+                    # on backends that keep denormals (CPU tests).
+                    # (an equivalent pure-bit-ops formulation — bitcast +
+                    # exponent shifts — measured 2589 utt/s vs 2878 here:
+                    # the s32 shift/bitcast chain fragmented into 61
+                    # kernels/step where frexp/exp2 fuse to 34)
+                    best = nb[:, 0] + b[:, 0]
+                    e = jnp.maximum(
+                        jnp.frexp(jnp.where(best > 0, best, 1.0))[1], -126
+                    )
+                    fac = jnp.exp2(-e.astype(nb.dtype))[:, None]
+                    nb = jnp.maximum(nb * fac, MASS_PAD)
+                    b = jnp.maximum(b * fac, MASS_PAD)
+                    ls = ls + e
                 if use_sparse:
                     # one-hot contraction instead of a per-step gather (see
                     # _ctc_advance_tail docstring); exact (one nonzero term
@@ -2345,10 +2376,12 @@ class CTCPrefixSearch:
                 y_last = y_next_last
                 is_prefix = next_is_prefix
                 return (
-                    y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
+                    y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx, ls,
                 ), None
 
-            carry = (y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx)
+            carry = (
+                y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx, ls,
+            )
             if use_lm and not use_sparse and not use_uni:
                 xs = (
                     nonext_probs[1:],
@@ -2391,7 +2424,7 @@ class CTCPrefixSearch:
                 else:
                     xs = (pack, jnp.arange(1, T, dtype=jnp.int32))
             (
-                y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx,
+                y_buf, y_lens, y_last, nb, b, is_prefix, state, ctx, ls,
             ), _ = jax.lax.scan(
                 step, carry, xs, unroll=config.DECODE_SCAN_UNROLL
             )
@@ -2401,8 +2434,19 @@ class CTCPrefixSearch:
             y_buf = jnp.transpose(y_buf, (2, 0, 1)).astype(jnp.int32)
         y_probs = nb + b
         # dummy-beam masses are negative (real prefix masses are sums of
-        # probability products >= 0): restore the -inf the API promises
-        y_probs = jnp.where(y_probs < 0, NEG_INF, y_probs)
+        # probability products >= 0): restore the -inf the API promises.
+        # The sign test runs on the RAW masses — ldexp of a dummy's large
+        # negative mass by a very negative scale could flush to -0
+        if config.DECODE_RENORM:
+            # fold the accumulated power-of-two rescales back in; results
+            # below the normal f32 floor honestly flush to zero here, but
+            # the SEARCH ran at full precision (the reference's linear
+            # masses underflow mid-search and corrupt the selection)
+            y_probs = jnp.where(
+                y_probs < 0, NEG_INF, jnp.ldexp(y_probs, ls[:, None])
+            )
+        else:
+            y_probs = jnp.where(y_probs < 0, NEG_INF, y_probs)
         return y_buf, y_lens, y_probs
 
 

@@ -1720,3 +1720,107 @@ def test_ctc_prefix_search_buf_f16_invariant(trial, monkeypatch):
             np.testing.assert_array_equal(
                 y0[: yl[n, w], n, w], y1[: yl[n, w], n, w]
             )
+
+
+@pytest.mark.parametrize("trial", range(3))
+@pytest.mark.parametrize("fused", [False, True])
+def test_ctc_prefix_search_renorm_invariant(trial, fused, monkeypatch):
+    """Power-of-two mass renormalization (config.DECODE_RENORM) is
+    bit-exact vs the raw linear-mass carry wherever the raw trajectory
+    stays in normal f32 range: scaling by 2**-e is exact, every candidate
+    product/sum/comparison aligns identically, and ldexp undoes the
+    accumulated scale exactly."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(52000 + trial)
+    T, N, V, W = 16, 3, 48, 6
+    logits = jnp.asarray(rng.randn(T, N, V + 1).astype(np.float32))
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)).astype(np.int32))
+    if fused:
+        table = np.log(
+            rng.dirichlet(np.ones(V), V + 1).astype(np.float32)
+        )
+        search = D.CTCPrefixSearch(W, 0.3, TableLM(jnp.asarray(table)))
+    else:
+        search = D.CTCPrefixSearch(W)
+    monkeypatch.setattr(tpu_config, "DECODE_RENORM", False)
+    y0, l0, p0 = jax.jit(search)(logits, lens)
+    monkeypatch.setattr(tpu_config, "DECODE_RENORM", True)
+    y1, l1, p1 = jax.jit(search)(logits, lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    yl = np.asarray(l0)
+    y0, y1 = np.asarray(y0), np.asarray(y1)
+    for n in range(N):
+        for w in range(W):
+            np.testing.assert_array_equal(
+                y0[: yl[n, w], n, w], y1[: yl[n, w], n, w]
+            )
+
+
+@pytest.mark.slow
+def test_ctc_prefix_search_diffuse_long_parity_f64_oracle(ref_torch):
+    """T=200 DIFFUSE-logits parity (VERDICT r4 #4): with high-entropy
+    acoustics the per-frame winner probability is ~0.1, so beam masses
+    reach ~1e-180 by frame 200 — far below the f32 normal floor
+    (~1.2e-38). The reference's linear f32 masses underflow mid-search
+    (denormals to ~1e-45, then exactly zero), after which its selection
+    is arbitrary — so the honest oracle is the SAME reference run in
+    float64, which this test asserts the torch f32 run genuinely diverges
+    from. Our f32 search with power-of-two renormalization (the default)
+    must match the f64 oracle's lengths and hypotheses exactly; final
+    probabilities are below f32 range and flush to zero on both sides of
+    the comparison (asserted against the oracle's within atol).
+    (Reference mass carry: /root/reference/src/pydrobert/torch/
+    _decoding.py:636-934.)"""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    import torch
+    from pydrobert.torch.modules import CTCPrefixSearch as RefCTC
+
+    T, N, V, width = 200, 6, 256, 8
+    rng = np.random.RandomState(60200)
+    logits = rng.randn(T, N, V + 1).astype(np.float64)
+    logits[..., V] += 4.0  # blank prob ~0.1: diffuse, decay ~10x/frame
+    lens = rng.randint(3 * T // 4, T + 1, (N,))
+
+    ref = RefCTC(width)
+    exp_y, exp_lens, exp_p = (
+        e.numpy() for e in ref(torch.tensor(logits), torch.tensor(lens))
+    )
+    # the f64 masses must themselves be far from underflow for the oracle
+    # to be trustworthy
+    assert np.isfinite(exp_p).all() and (exp_p > 0).all()
+    assert exp_p.min() < 1e-60  # genuinely below any f32 representation
+
+    # the reference in f32 diverges from its own f64 run: underflowed
+    # masses make the selection arbitrary. This is the defect renorm fixes
+    f32_y, f32_lens, f32_p = (
+        e.numpy()
+        for e in ref(
+            torch.tensor(logits.astype(np.float32)), torch.tensor(lens)
+        )
+    )
+    assert (np.asarray(f32_p) == 0).all()  # all masses underflowed
+    f32_matches = all(
+        f32_lens[n, k] == exp_lens[n, k]
+        and (f32_y[: exp_lens[n, k], n, k] == exp_y[: exp_lens[n, k], n, k]).all()
+        for n in range(N)
+        for k in range(width)
+    )
+    assert not f32_matches, "expected the f32 reference to diverge"
+
+    search = D.CTCPrefixSearch(width)
+    act_y, act_lens, act_p = (
+        np.asarray(a)
+        for a in search(logits.astype(np.float32), lens)
+    )
+    np.testing.assert_array_equal(act_lens, exp_lens)
+    np.testing.assert_allclose(act_p, exp_p, rtol=1e-3, atol=1e-37)
+    for n in range(N):
+        for k in range(width):
+            ln = act_lens[n, k]
+            np.testing.assert_array_equal(
+                act_y[:ln, n, k], exp_y[:ln, n, k], err_msg=f"n={n} k={k}"
+            )
