@@ -55,9 +55,14 @@ class ConformerConfig:
     # materialized (and stored for backward) just to mask it — at the
     # flagship shape that is ~640 MB of HBM traffic per layer per step,
     # measured as a large fraction of the training step on TPU. Common
-    # conformer recipes regularize with residual/FFN dropout only, so the
-    # default is 0.0; set it explicitly if you want torch-style
-    # attn_dropout == dropout.
+    # conformer recipes regularize with residual/FFN dropout only — e.g.
+    # torch's own nn.MultiheadAttention and flax's
+    # MultiHeadDotProductAttention both default their attention-weight
+    # dropout to 0.0 independently of the model's residual dropout — so
+    # the default here is 0.0; set it explicitly if you want
+    # attn_dropout == dropout (the r1-r3 behavior; the bench carries a
+    # train_step_per_sec_attn_dropout field at 0.1 so the two configs
+    # stay comparable).
     attn_dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # compute dtype; params stay float32
     # sequence parallelism: a sharding (e.g. NamedSharding(mesh,
@@ -102,6 +107,40 @@ class ConformerConfig:
         return 4
 
 
+class _FastDropout(nn.Module):
+    """Drop-in for ``nn.Dropout``: keep mask thresholds raw uint8 PRNG
+    bits instead of materializing uniform f32s (``random.bernoulli``
+    converts bits -> f32 in [0,1) first) — a quarter of the mask-bit HBM
+    traffic across the flagship step's 40 activation-sized sites.
+
+    Measured on the d512/L8/B32/T1000 step (TPU v5 lite, same phase):
+    uint8 bits 27.5 steps/s vs flax ``nn.Dropout`` 27.0, uint32 bits
+    26.5, uint16 25.1; wrapping the apply in ``jax.checkpoint`` to
+    regenerate masks in backward LOSES (23.4 — XLA already avoids
+    storing the f32 masks, and the remat barrier breaks fusions).
+
+    Keep probability is quantized to 1/256 (|realized - rate| <= 1/512;
+    at the default 0.1 the realized rate is 26/256 ~ 0.1016). The
+    realized masks differ from ``nn.Dropout``'s, which no API promises.
+    """
+
+    rate: float
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate == 0.0:
+            return x
+        if self.rate >= 1.0:
+            return jnp.zeros_like(x)
+        key = self.make_rng("dropout")
+        rate = float(self.rate)
+        cutoff = jnp.uint8(max(min(round(rate * 256.0), 255), 1))
+        scale = 1.0 / (1.0 - rate)
+        bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
+        return jnp.where(bits >= cutoff, x * jnp.asarray(scale, x.dtype), 0)
+
+
 def _sinusoidal_pos_emb(T: int, d: int, dtype, offset=0) -> jax.Array:
     # `offset` shifts the absolute positions (streaming chunks encode with
     # their true global positions; int offsets are exact in f32 < 2**24)
@@ -123,9 +162,9 @@ class _FeedForward(nn.Module):
         x = nn.LayerNorm(dtype=cfg.dtype, name="ln")(x)
         x = nn.Dense(cfg.d_model * cfg.ffn_factor, dtype=cfg.dtype, name="wi")(x)
         x = nn.silu(x)
-        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        x = _FastDropout(cfg.dropout, deterministic=deterministic)(x)
         x = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="wo")(x)
-        return nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        return _FastDropout(cfg.dropout, deterministic=deterministic)(x)
 
 
 class _MoEFeedForward(nn.Module):
@@ -211,7 +250,7 @@ class _MoEFeedForward(nn.Module):
             "sec,sd->ecd", dispatch.astype(cfg.dtype), yf.astype(cfg.dtype)
         )
         h = nn.silu(jnp.einsum("ecd,edf->ecf", xe, wi) + bi[:, None])
-        h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+        h = _FastDropout(cfg.dropout, deterministic=deterministic)(h)
         oe = jnp.einsum("ecf,efd->ecd", h, wo) + bo[:, None]
         out = jnp.einsum("sec,ecd->sd", combine.astype(cfg.dtype), oe)
 
@@ -223,7 +262,7 @@ class _MoEFeedForward(nn.Module):
         self.sow("losses", "moe_aux", E * jnp.sum(f_e * p_e))
 
         out = out.reshape(N, T, d)
-        return nn.Dropout(cfg.dropout, deterministic=deterministic)(out)
+        return _FastDropout(cfg.dropout, deterministic=deterministic)(out)
 
 
 class _MHSA(nn.Module):
@@ -254,7 +293,7 @@ class _MHSA(nn.Module):
             deterministic=deterministic,
             name="attn",
         )(y, y, mask=attn_mask)
-        return nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
+        return _FastDropout(cfg.dropout, deterministic=deterministic)(y)
 
 
 class _DepthwiseConv1D(nn.Module):
@@ -308,7 +347,7 @@ class _ConvModule(nn.Module):
         y = nn.LayerNorm(dtype=cfg.dtype, name="norm")(y)
         y = nn.silu(y)
         y = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="pw2")(y)
-        return nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
+        return _FastDropout(cfg.dropout, deterministic=deterministic)(y)
 
 
 class _ConformerBlock(nn.Module):
@@ -381,7 +420,7 @@ def _encoder_body(
     T4 = x.shape[1]
     pad_mask = jnp.arange(T4)[None] < out_lens[:, None]  # (N, T')
     x = x + _sinusoidal_pos_emb(T4, cfg.d_model, cfg.dtype, pos_offset)[None]
-    x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+    x = _FastDropout(cfg.dropout, deterministic=deterministic)(x)
     block_cls = (
         nn.remat(_ConformerBlock, static_argnums=(3,))
         if cfg.remat
