@@ -38,6 +38,7 @@ __all__ = [
     "EPS_0",
     "EPS_INF",
     "EPS_NINF",
+    "FUSED_TOPK_TWOSTAGE",
     "INDEX_PAD_VALUE",
     "SPARSE_FUSION_MAX_CORRECTIONS",
     "SPARSE_MEMBERSHIP_GATHER",
@@ -164,6 +165,23 @@ ids are small integers, exact in float16 up to 2048, so for vocabularies
 ``tests/test_decoding.py::test_ctc_prefix_search_buf_f16_invariant``).
 Disable to force the f32 carry; vocabularies past 2048 use f32 always.
 """
+
+FUSED_TOPK_TWOSTAGE = (
+    os.environ.get("PYDROBERT_TPU_FUSED_TOPK_TWOSTAGE", "0") == "1"
+)
+"""Two-stage exact top-K in the fused (shallow-fusion) advance.
+
+Tried for VERDICT r4 #3 and REJECTED on-chip, default off. The fused
+advance's candidate row is ``Kp * (M + C + 2)`` wide (~1.3k at the
+headline shape) and its single TopK custom call profiles at 28.7
+us/step (B=32) — but the in-scan microbench shows the flat TopK IS the
+fastest exact formulation on TPU v5 lite: flat ``lax.top_k`` 16.1
+us/step vs flat two-key sort 40.0, per-beam sort + 256-wide merge 45.8,
+per-beam top_k + merge 46.3 (sorts pay several full-width passes; the
+TopK custom kernel doesn't). Full-decode A/B: two-stage 450.3/537.8
+utt/s vs flat 578.7/962.5 at B=32/B=256. The flag keeps the two-stage
+form selectable for re-measurement on other chips; selections are
+bit-identical either way (ties included)."""
 
 TOPK_COMPACT_MIN_BATCH = int(
     os.environ.get("PYDROBERT_TPU_TOPK_COMPACT_MIN_BATCH", "128")

@@ -1352,8 +1352,32 @@ def _ctc_prefix_search_advance_sparse(
         (jnp.arange(S) < L)[None, None],
         jnp.pad(ext_scores, ((0, 0), (0, 0), (0, 1))),
         (nb_nonext_probs_cand + b_nonext_probs_cand)[:, :, None],
-    ).reshape(N, Kp * S)
-    sel_vals, next_ind = jax.lax.top_k(tot_probs_cand, K)
+    )  # (N, Kp, S)
+    if config.FUSED_TOPK_TWOSTAGE and S >= K:
+        # two-stage exact top-K: the flat (N, Kp*S) row is ~1.3k wide at
+        # the headline fused shape, past lax.top_k's sort-network cliff
+        # (pads to 2048 lanes; the single TopK custom call measured 28.7
+        # us/step at B=32 — the largest block in the fused scan body).
+        # Any global top-K candidate is in its own beam's top-K, so take
+        # per-beam top-K over the S slots (sorts a 128-lane row) and
+        # finish with one 256-wide two-key merge. Ties stay bit-identical
+        # to the flat form: top_k is stable (lower index first) and the
+        # merge sorts (-value, flat index) exactly like the factored
+        # path's compact top-K above.
+        v1, s1 = jax.lax.top_k(tot_probs_cand, K)  # (N, Kp, K)
+        f1 = s1 + jnp.arange(Kp, dtype=jnp.int32)[None, :, None] * S
+        negv, next_ind = jax.lax.sort(
+            (-v1.reshape(N, Kp * K), f1.reshape(N, Kp * K)),
+            dimension=1,
+            is_stable=False,
+            num_keys=2,
+        )
+        sel_vals = -negv[:, :K]
+        next_ind = next_ind[:, :K]
+    else:
+        sel_vals, next_ind = jax.lax.top_k(
+            tot_probs_cand.reshape(N, Kp * S), K
+        )
 
     slot = next_ind % S
     next_src = next_ind // S

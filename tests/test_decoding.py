@@ -1824,3 +1824,33 @@ def test_ctc_prefix_search_diffuse_long_parity_f64_oracle(ref_torch):
             np.testing.assert_array_equal(
                 act_y[:ln, n, k], exp_y[:ln, n, k], err_msg=f"n={n} k={k}"
             )
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fused_topk_twostage_invariant(trial, monkeypatch):
+    """The (default-off, A/B-rejected on TPU v5 lite — see
+    config.FUSED_TOPK_TWOSTAGE) two-stage fused top-K selects
+    bit-identically to the flat form, ties included."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(71000 + trial)
+    T, N, V, W = 12, 3, 48, 6
+    logits = rng.randn(T, N, V + 1).astype(np.float32)
+    # adversarial ties: quantize logits so repeated values collide
+    logits = np.round(logits * 2) / 2
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)).astype(np.int32))
+    table = np.log(rng.dirichlet(np.ones(V), V + 1).astype(np.float32))
+    search = D.CTCPrefixSearch(W, 0.4, TableLM(jnp.asarray(table)))
+    monkeypatch.setattr(tpu_config, "FUSED_TOPK_TWOSTAGE", False)
+    y0, l0, p0 = jax.jit(search)(jnp.asarray(logits), lens)
+    monkeypatch.setattr(tpu_config, "FUSED_TOPK_TWOSTAGE", True)
+    y1, l1, p1 = jax.jit(search)(jnp.asarray(logits), lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    yl = np.asarray(l0)
+    y0, y1 = np.asarray(y0), np.asarray(y1)
+    for n in range(N):
+        for w in range(W):
+            np.testing.assert_array_equal(
+                y0[: yl[n, w], n, w], y1[: yl[n, w], n, w]
+            )
