@@ -93,6 +93,13 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     inner = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     T, V, W = 500, 1024, 16
+    # calibrate the Pallas gates first so the traced program is the one
+    # the bench measures (uncalibrated, the prologue top-M runs as a full
+    # stable sort — ~45 us/step of phantom attribution at B=256)
+    from pydrobert_tpu.ops.pallas import calibrate_gates
+
+    calibrate_gates(force=False, beam_shapes=[(64, 8, 128, 8),
+                                              (500, 32, 1024, 16)])
     rng = np.random.RandomState(3)
     logits = jnp.asarray(rng.randn(T, B, V + 1), jnp.float32)
     lens = jnp.asarray(rng.randint(T // 2, T + 1, (B,)).astype(np.int32))

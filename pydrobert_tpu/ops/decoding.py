@@ -1088,6 +1088,12 @@ def ctc_prefix_search_advance_factored(
             tot_probs_cand3, shared_is_last, removed, K
         )
     else:
+        # (a two-key unstable sort replacement for this flat top_k — the
+        # compact path's merge trick — was A/B'd r5 and measured neutral:
+        # 2,822.7 vs 2,838 utt/s at B=32. lax.top_k's stable lowering
+        # here already carries only two operands, so there is no hidden
+        # payload to drop; the sort IS ~5 us/step of the body, but it is
+        # floor-priced.)
         sel_vals, next_ind = jax.lax.top_k(
             tot_probs_cand3.reshape(N, Kp * S), K
         )
