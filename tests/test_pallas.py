@@ -86,11 +86,18 @@ def _beam_outputs_equal(a, b):
 
 
 @pytest.mark.parametrize("shape", [(64, 8, 128, 8), (32, 4, 64, 4)])
-def test_ctc_beam_search_kernel_matches_search(seeded, shape):
+def test_ctc_beam_search_kernel_matches_search(seeded, shape, monkeypatch):
+    from pydrobert_tpu import config
     from pydrobert_tpu.ops.decoding import CTCPrefixSearch
     from pydrobert_tpu.ops.pallas import ctc_beam_search_pallas
 
     T, N, V, W = shape
+    # the (gated-off, measured-loser) whole-loop kernel carries RAW
+    # linear masses — the reference's semantics. The XLA scan has
+    # renormalized (denormal-proof) by default since r5, which is MORE
+    # accurate on TPU once masses decay below normal f32 (by ~frame 55
+    # here): pin the kernel against the raw-carry scan it implements
+    monkeypatch.setattr(config, "DECODE_RENORM", False)
     logits = jnp.asarray(np.random.randn(T, N, V + 1) * 2, jnp.float32)
     lens = jnp.asarray(np.random.randint(0, T + 1, (N,)), jnp.int32)
     lens = lens.at[0].set(T)
@@ -109,6 +116,9 @@ def test_ctc_prefix_search_beam_gate(seeded, monkeypatch):
     from pydrobert_tpu.ops import decoding as D
 
     T, N, V, W = 48, 4, 128, 8
+    # raw-carry baseline: the kernel implements the unrenormalized
+    # reference semantics (see test_ctc_beam_search_kernel_matches_search)
+    monkeypatch.setattr(config, "DECODE_RENORM", False)
     logits = jnp.asarray(np.random.randn(T, N, V + 1) * 2, jnp.float32)
     lens = jnp.asarray(np.random.randint(1, T + 1, (N,)), jnp.int32)
     search = D.CTCPrefixSearch(W)
