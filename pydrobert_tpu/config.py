@@ -89,6 +89,12 @@ The kernel's VMEM-resident beam state and path buffer remove the scan's
 per-step HBM traffic and op-dispatch cost on production TPUs, but lose on
 dev chips where Pallas grid-step overhead dominates — hence measurement,
 not a blind default.
+
+The kernel carries RAW linear masses (the reference's semantics), so
+with :data:`DECODE_RENORM` on (the default) the ``"auto"`` gate never
+routes to it — the XLA scan is denormal-proof and the kernel is not.
+Forcing ``"1"`` is an explicit opt-in to raw masses and dispatches
+regardless.
 """
 
 USE_PALLAS_TOPM = os.environ.get("PYDROBERT_TPU_PALLAS_TOPM", "auto")

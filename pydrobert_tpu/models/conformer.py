@@ -119,9 +119,13 @@ class _FastDropout(nn.Module):
     regenerate masks in backward LOSES (23.4 — XLA already avoids
     storing the f32 masks, and the remat barrier breaks fusions).
 
-    Keep probability is quantized to 1/256 (|realized - rate| <= 1/512;
-    at the default 0.1 the realized rate is 26/256 ~ 0.1016). The
-    realized masks differ from ``nn.Dropout``'s, which no API promises.
+    Drop probability is quantized to 1/256 (|realized - rate| <= 1/512;
+    at the default 0.1 the realized rate is 26/256 ~ 0.1016, and rates
+    below 1/512 round to no-op), and the inverted scale uses the
+    REALIZED keep probability ``(256 - cutoff)/256`` so E[output] == x
+    exactly — scaling by ``1/(1 - rate)`` against the quantized mask
+    would shrink activations ~0.17%/site at rate 0.1. The realized
+    masks differ from ``nn.Dropout``'s, which no API promises.
     """
 
     rate: float
@@ -133,12 +137,15 @@ class _FastDropout(nn.Module):
             return x
         if self.rate >= 1.0:
             return jnp.zeros_like(x)
+        cutoff = min(round(float(self.rate) * 256.0), 255)
+        if cutoff == 0:
+            return x
         key = self.make_rng("dropout")
-        rate = float(self.rate)
-        cutoff = jnp.uint8(max(min(round(rate * 256.0), 255), 1))
-        scale = 1.0 / (1.0 - rate)
+        scale = 256.0 / (256.0 - cutoff)
         bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
-        return jnp.where(bits >= cutoff, x * jnp.asarray(scale, x.dtype), 0)
+        return jnp.where(
+            bits >= jnp.uint8(cutoff), x * jnp.asarray(scale, x.dtype), 0
+        )
 
 
 def _sinusoidal_pos_emb(T: int, d: int, dtype, offset=0) -> jax.Array:

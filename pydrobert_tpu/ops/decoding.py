@@ -780,7 +780,11 @@ def _topk_candidates_compact(vals3, shared_is_last, removed, K):
     ``shared_is_last`` (true for the in-loop factored advance: the
     prologue's top-M values are top_k-sorted and masses are
     non-negative; MASS_PAD beams only exist when ``K < width``, which
-    the caller gates out).
+    the caller gates out), AND ``M >= 2 * K`` so every beam keeps at
+    least ``K`` live candidates after removal — an unfilled rank would
+    compact to a phantom ``(0.0, slot 0)`` entry where the flat sort
+    ranks the removed slots' ``NEG_INF`` values (the caller's gate
+    enforces this).
 
     ``vals3``: final candidate values (removal masks already applied).
     ``shared_is_last``: (N, Kp, M) dip marker (at most one per beam).
@@ -887,19 +891,26 @@ def _topk_candidates_compact(vals3, shared_is_last, removed, K):
         jnp.asarray(c_slot.reshape(Kp, S))[None, :, None],
         0,
     ).sum(-1) + jnp.arange(Kp, dtype=jnp.int32)[None, :, None] * S
-    # ascending sort of (-v, flat_idx) as a TWO-KEY unstable sort ==
-    # descending of v with ties in flat candidate order: identical to a
-    # stable single-key sort, but XLA's stable lowering appends a hidden
-    # iota tie-breaker operand (a third (N, 256) array through the sort —
-    # measured 11.2 vs 7.6 us/step); the flat index IS the tie-breaker,
-    # so make it a key instead. Negation fuses into the compaction.
-    negv, idx = jax.lax.sort(
-        (-v16.reshape(N, Kp * K), i16.reshape(N, Kp * K)),
-        dimension=1,
-        is_stable=False,
-        num_keys=2,
+    return _merge_topk(
+        v16.reshape(N, Kp * K), i16.reshape(N, Kp * K), K
     )
-    return -negv[:, :K], idx[:, :K]
+
+
+def _merge_topk(v, idx, K):
+    """Descending top-K of (value, flat-candidate-index) pairs.
+
+    Ascending sort of ``(-v, idx)`` as a TWO-KEY unstable sort ==
+    descending of ``v`` with ties in flat candidate order: identical to
+    a stable single-key sort, but XLA's stable lowering appends a hidden
+    iota tie-breaker operand (a third full-width array through the sort
+    — measured 11.2 vs 7.6 us/step at (256, 256)); the flat index IS
+    the tie-breaker, so make it a key instead. The negations fuse into
+    the producer/consumer. Shared by the rank-compaction and two-stage
+    fused selections — the tie order is bit-exactness-critical."""
+    negv, i = jax.lax.sort(
+        (-v, idx), dimension=1, is_stable=False, num_keys=2
+    )
+    return -negv[:, :K], i[:, :K]
 
 
 def ctc_prefix_search_advance_factored(
@@ -1074,14 +1085,22 @@ def ctc_prefix_search_advance_factored(
     # two-stage form replaces the flat (N, Kp*S)-wide sort (bit-exact
     # incl. tie order — see _topk_candidates_compact). The structural
     # preconditions: in-loop (batch_major), no MASS_PAD beams (K ==
-    # width == Kp and V + 1 >= width), and the merge width Kp*K on the
-    # cheap side of the sort cliff.
+    # width == Kp and V + 1 >= width), the merge width Kp*K on the
+    # cheap side of the sort cliff, and M >= 2*width so every beam
+    # always has >= K live candidates: removal can disable at most
+    # K - 1 distinct shared tokens plus the last slot, so live >=
+    # (M + 2) - K >= K + 2 and the compaction never reaches a phantom
+    # rank (an unfilled rank compacts to value 0.0 at slot 0, which a
+    # scarcity regime — M < 2*width with heavy absorption removal —
+    # could otherwise select; the flat sort ranks the removed slots'
+    # NEG_INF entries instead).
     if (
         batch_major
         and K == width
         and Kp == width
         and Kp * K <= 256
         and V + 1 >= width
+        and M >= 2 * width
         and N >= config.TOPK_COMPACT_MIN_BATCH
     ):
         sel_vals, next_ind = _topk_candidates_compact(
@@ -1372,14 +1391,9 @@ def _ctc_prefix_search_advance_sparse(
         # path's compact top-K above.
         v1, s1 = jax.lax.top_k(tot_probs_cand, K)  # (N, Kp, K)
         f1 = s1 + jnp.arange(Kp, dtype=jnp.int32)[None, :, None] * S
-        negv, next_ind = jax.lax.sort(
-            (-v1.reshape(N, Kp * K), f1.reshape(N, Kp * K)),
-            dimension=1,
-            is_stable=False,
-            num_keys=2,
+        sel_vals, next_ind = _merge_topk(
+            v1.reshape(N, Kp * K), f1.reshape(N, Kp * K), K
         )
-        sel_vals = -negv[:, :K]
-        next_ind = next_ind[:, :K]
     else:
         sel_vals, next_ind = jax.lax.top_k(
             tot_probs_cand.reshape(N, Kp * S), K
@@ -1644,6 +1658,24 @@ def _ctc_advance_tail(
             precision=jax.lax.Precision.HIGHEST,
         )  # (N, K, K') = y_next[n, k', p_k]
         next_ext_f = next_ext.astype(jnp.float32)
+        if valid is None:
+            # p_k == tm1 (an exactly-full buffer, reachable only through
+            # the standalone core API) interrogates the APPENDED row,
+            # which both the write mask and oh_p treat as out-of-range
+            # (all-zero row): supply it directly — it holds next_ext_j
+            # where beam j wrote there (q_j == tm1), pad 0 otherwise
+            # (the pre-write form's where(p == q, ...) correction
+            # covered this case). In-loop callers pass `valid` and run
+            # the scan contract lens <= T - 1 < tm1, where p < tm1
+            # always — the correction is skipped there (it measured
+            # ~1.5% of the B=256 serving step as a fused epilogue).
+            next_to_match = jnp.where(
+                p[:, :, None] >= tm1,
+                jnp.where(
+                    q[:, None, :] >= tm1, next_ext_f[:, None, :], 0.0
+                ),
+                next_to_match,
+            )
         next_ext_matches = next_to_match == next_ext_f[:, :, None]
         cols = y_new
     else:
@@ -1870,11 +1902,20 @@ class CTCPrefixSearch:
             ctc_beam_search_vmem_ok,
         )
 
+        # the whole-loop kernel carries RAW linear masses (the
+        # reference's semantics); with DECODE_RENORM on (the default)
+        # the scan below is denormal-proof and the kernel is not, so
+        # the AUTO gate must not route to it — a calibration flip would
+        # make long diffuse decodes silently device-dependent. Forcing
+        # USE_PALLAS_BEAM="1" is an explicit opt-in to raw masses (the
+        # forced-mode contract in config.py) and still dispatches.
+        forced_beam = config.USE_PALLAS_BEAM in (True, 1, "1", "true", "on")
         if (
             not use_lm
             and initial_state is None
             and T >= 2
             and 1 < W <= min(32, V)
+            and (forced_beam or not config.DECODE_RENORM)
             and ctc_beam_search_vmem_ok(T, N, V, W)
             and beam_kernel_preferred(T, N, V, W)
         ):

@@ -1638,9 +1638,6 @@ def _compact_topk_case(rng, N, Kp, M, quantize=False):
     vals3 = np.concatenate(
         [shared, last[:, :, None], nonext[:, :, None]], axis=2
     ).astype(np.float32)
-    ext_mask = np.concatenate(
-        [removed[..., :M], removed[..., M:]], axis=2
-    )
     vals3[:, :, : M + 1] = np.where(
         removed, -np.inf, vals3[:, :, : M + 1]
     )
@@ -1845,6 +1842,37 @@ def test_fused_topk_twostage_invariant(trial, monkeypatch):
     y0, l0, p0 = jax.jit(search)(jnp.asarray(logits), lens)
     monkeypatch.setattr(tpu_config, "FUSED_TOPK_TWOSTAGE", True)
     y1, l1, p1 = jax.jit(search)(jnp.asarray(logits), lens)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    yl = np.asarray(l0)
+    y0, y1 = np.asarray(y0), np.asarray(y1)
+    for n in range(N):
+        for w in range(W):
+            np.testing.assert_array_equal(
+                y0[: yl[n, w], n, w], y1[: yl[n, w], n, w]
+            )
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_ctc_prefix_search_small_vocab_compact_gate(trial, monkeypatch):
+    """Candidate-scarcity guard on the rank-compaction top-K: with
+    V < 2*width every beam can run out of live candidates (heavy
+    absorption removal), where the compaction would emit phantom
+    (0.0, slot 0) entries that the flat sort correctly ranks as the
+    removed slots' NEG_INF values. The gate now requires M >= 2*width;
+    this pins batch-gated == flat at a small vocab where the old gate
+    engaged the compact path."""
+    from pydrobert_tpu import config as tpu_config
+
+    rng = np.random.RandomState(83000 + trial)
+    T, N, V, W = 24, 6, 20, 16
+    logits = jnp.asarray(rng.randn(T, N, V + 1).astype(np.float32))
+    lens = jnp.asarray(rng.randint(T // 2, T + 1, (N,)).astype(np.int32))
+    search = D.CTCPrefixSearch(W)
+    monkeypatch.setattr(tpu_config, "TOPK_COMPACT_MIN_BATCH", 1 << 30)
+    y0, l0, p0 = jax.jit(search)(logits, lens)
+    monkeypatch.setattr(tpu_config, "TOPK_COMPACT_MIN_BATCH", 2)
+    y1, l1, p1 = jax.jit(search)(logits, lens)
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     yl = np.asarray(l0)
